@@ -1,0 +1,86 @@
+"""Ordered conversation rollup (A2/A3) — the "gather + barrier" recast.
+
+The reference polls Redis until all chunks land, flattens, stable-sorts
+by page index, and counts classifications
+(``tasks/pdf_hybrid_tasks.py:282-339``). In Spark the shuffle *is* the
+barrier: a ``groupBy(conv_id)`` with an order-recovering aggregate.
+
+Two strategies, identical results:
+
+- ``conv_text``: single-phase. Catalyst already performs partial (map-
+  side) aggregation for ``collect_list``/``count``; fine when no single
+  conversation is huge.
+- ``conv_text_salted``: explicit two-phase for the long-agent-trace skew
+  archetype. Phase 1 groups by ``(conv_id, turn_bucket)`` so a 10^4-turn
+  conversation is pre-reduced by many tasks; phase 2 merges the few
+  bucket rows per conversation. Because buckets are contiguous turn
+  ranges, concatenating per-bucket joins in bucket order equals the
+  global ordered join — the salt never touches a sort key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_spark.oracle.extract import TEXT_KINDS_COUNTED_AS_TEXT
+
+_TEXT_KINDS_SQL = ", ".join(f"'{k}'" for k in TEXT_KINDS_COUNTED_AS_TEXT)
+
+# ordered, blank-skipping join of per-turn texts (≙ ocr_service.py:249-262)
+_JOIN_TURNS = (
+    "array_join(transform(filter(array_sort(collect_list(struct(turn_idx, extracted_text))),"
+    " x -> x.extracted_text is not null and trim(x.extracted_text) != ''),"
+    " x -> x.extracted_text), '\\n\\n')"
+)
+
+
+def conv_text(extracted: DataFrame) -> DataFrame:
+    """extracted -> conv_text(conv_id, full_text, n_turns, n_text, n_ocr)."""
+    return extracted.groupBy("conv_id").agg(
+        F.expr(_JOIN_TURNS).alias("full_text"),
+        F.count("*").cast("int").alias("n_turns"),
+        F.expr(f"count_if(kind in ({_TEXT_KINDS_SQL}))").cast("int").alias("n_text"),
+        F.expr("count_if(kind = 'ocr_lines')").cast("int").alias("n_ocr"),
+    )
+
+
+def conv_text_salted(extracted: DataFrame, bucket_turns: int = 256) -> DataFrame:
+    """Two-phase skew-safe variant of ``conv_text`` (P5, SURVEY §2.4)."""
+    bucketed = extracted.withColumn(
+        "turn_bucket", (F.col("turn_idx") / F.lit(bucket_turns)).cast("int")
+    )
+    partial = bucketed.groupBy("conv_id", "turn_bucket").agg(
+        F.expr(_JOIN_TURNS).alias("bucket_text"),
+        F.count("*").cast("int").alias("n_turns"),
+        F.expr(f"count_if(kind in ({_TEXT_KINDS_SQL}))").cast("int").alias("n_text"),
+        F.expr("count_if(kind = 'ocr_lines')").cast("int").alias("n_ocr"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.expr(
+            "array_join(transform(filter(array_sort(collect_list(struct(turn_bucket, bucket_text))),"
+            " x -> x.bucket_text != ''), x -> x.bucket_text), '\\n\\n')"
+        ).alias("full_text"),
+        F.sum("n_turns").cast("int").alias("n_turns"),
+        F.sum("n_text").cast("int").alias("n_text"),
+        F.sum("n_ocr").cast("int").alias("n_ocr"),
+    )
+
+
+def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage/metrics rows (≙ stats + progress, SURVEY §1.3).
+
+    Emitted as an aggregate over ``spark_partition_id()`` so it reflects
+    the physical partitioning that actually executed.
+    """
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("turns_in"),
+            F.expr("count_if(parse_ok)").alias("turns_out"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("bytes_out"),
+            F.expr("count_if(not parse_ok)").alias("parse_failures"),
+        )
+        .select(F.lit(run_id).alias("run_id"), "*")
+    )

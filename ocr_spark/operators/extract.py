@@ -1,0 +1,166 @@
+"""The extraction core: a vectorized ``mapInPandas`` over transcript turns.
+
+This is the Spark recast of the reference's per-page worker loop
+(``tasks/pdf_hybrid_tasks.py:151-197`` — classify, route, extract, with
+per-page error isolation): one Arrow record batch in, one batch of
+``extracted`` rows out, no per-row Python at the Spark boundary and no
+driver involvement. The per-turn semantics are imported from the frozen
+oracle (``ocr_spark.oracle``), so distributed output is byte-identical to
+the single-process spec by construction.
+
+Scale notes (100 TB design):
+
+- ``extract()`` is a *narrow* transformation — zero shuffle. Input
+  partitioning comes from the source scan (``maxPartitionBytes`` bounds
+  task size); Arrow batch size bounds Python-worker memory.
+- ``extract_deduped()`` is the memoization join (A6 ≙ the reference's
+  sha256 Redis cache, ``tasks/ocr_tasks.py:45-91``): identical payloads
+  are extracted once and results fanned back with an equi-join on the
+  content hash. At web scale duplicate turns are common (boilerplate,
+  retries, forwarded content), so this trades one shuffle for running
+  the Python stage on unique payloads only.
+- ``salt_repartition()`` spreads one giant conversation (the long-agent-
+  trace skew archetype, SURVEY §2.4 P5) across many tasks by salting the
+  partition key with a turn-index bucket; the salt never reaches a sort
+  key, so final ordering is unaffected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ocr_spark.oracle.extract import extract_turn
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField(
+            "lines",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("text", T.StringType(), True),
+                        T.StructField("confidence", T.DoubleType(), True),
+                        T.StructField("bbox", T.ArrayType(T.DoubleType()), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField(
+            "blocks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType(), True),
+                        T.StructField("text", T.StringType(), True),
+                        T.StructField("bbox", T.ArrayType(T.DoubleType()), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("parse_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("bytes_in", T.LongType(), False),
+    ]
+)
+
+_OUT_COLUMNS = [f.name for f in EXTRACTED_SCHEMA.fields]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Iterator form: anything expensive to set up would init here once per
+    # python worker (≙ the reference's model-preload singleton,
+    # services/ocr_service/ocr_service.py:42-56); the oracle needs none.
+    for pdf in batches:
+        conv_ids = pdf["conv_id"].to_numpy()
+        turn_idxs = pdf["turn_idx"].to_numpy()
+        texts = pdf["text"].to_numpy()
+        tools = pdf["tool"].to_numpy()
+        out = {name: [] for name in _OUT_COLUMNS}
+        for i in range(len(pdf)):
+            text = texts[i] or ""
+            tool = tools[i] or ""
+            row = extract_turn(text, tool)
+            out["conv_id"].append(conv_ids[i])
+            out["turn_idx"].append(turn_idxs[i])
+            out["kind"].append(row["kind"])
+            out["extracted_text"].append(row["extracted_text"])
+            out["spans"].append(
+                [{"start": s, "end": e} for s, e in row["spans"]]
+            )
+            out["lines"].append(row["lines"])
+            out["blocks"].append(row["blocks"])
+            out["parse_ok"].append(row["parse_ok"])
+            out["error"].append(row["error"])
+            out["bytes_in"].append(len(text.encode()) + len(tool.encode()))
+        yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+
+
+def extract(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> extracted. Narrow (no shuffle); column-pruned input."""
+    return transcripts.select("conv_id", "turn_idx", "text", "tool").mapInPandas(
+        _extract_batches, EXTRACTED_SCHEMA
+    )
+
+
+def extract_deduped(transcripts: DataFrame) -> DataFrame:
+    """A6 memoization: run the Python stage once per unique payload.
+
+    ≙ reference cache keyed by sha256(content) (`utils/encoding.py:42-54`,
+    `tasks/ocr_tasks.py:45-91`): dedupe-before-UDF, then fan results back
+    to every (conv_id, turn_idx) with an equi-join on the hash.
+    """
+    keyed = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.sha2(F.concat_ws("\x1f", F.col("text"), F.col("tool")), 256).alias("payload_sha"),
+        "text",
+        "tool",
+    )
+    uniq = keyed.select("payload_sha", "text", "tool").dropDuplicates(["payload_sha"])
+    # extract over unique payloads, carrying the hash through as conv_id slot
+    uniq_in = uniq.select(
+        F.col("payload_sha").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+        "tool",
+    )
+    uniq_out = extract(uniq_in).withColumnRenamed("conv_id", "payload_sha").drop("turn_idx")
+    return keyed.select("conv_id", "turn_idx", "payload_sha").join(
+        uniq_out, "payload_sha", "left"
+    ).drop("payload_sha")
+
+
+def salt_repartition(transcripts: DataFrame, num_partitions: int, bucket_turns: int = 256) -> DataFrame:
+    """P5 skew salting: distribute giant conversations across tasks.
+
+    Partitions by ``(conv_id, turn_idx div bucket_turns)`` so a 10^4-turn
+    agent trace spans ~40 tasks instead of hot-spotting one, while small
+    conversations stay whole. Only the *shuffle* key is salted; ordering
+    keys downstream are untouched.
+    """
+    return transcripts.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        (F.col("turn_idx") / F.lit(bucket_turns)).cast("int"),
+    )

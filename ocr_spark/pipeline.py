@@ -1,0 +1,94 @@
+"""End-to-end pipeline: transcripts -> extracted + conv_text + metrics.
+
+Spark recast of the reference's flagship hybrid-extract lifecycle
+(SURVEY §3 E3): scan -> classify/route/extract (narrow, vectorized) ->
+snapshot write (the checkpoint) -> ordered rollup. The shuffle is the
+barrier; the committed snapshot is the cache; resume is an anti-join
+against already-committed keys (≙ the sha256 Redis result cache,
+``services/redis_service.py:135-202``, minus the TTL).
+
+Snapshot layout: each run appends ``snapshot=N`` subdirectories of
+parquet under the output root, with a ``_COMMITTED`` marker written only
+after the parquet job succeeds — readers ignore uncommitted snapshots, so
+a killed run never corrupts the table (Iceberg would give us this
+atomically; the marker is the no-dependency stand-in with the same
+reader-visible semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_spark.operators.aggregate import conv_text_salted, partition_metrics
+from ocr_spark.operators.extract import extract, extract_deduped, salt_repartition
+
+
+def run_extraction(
+    transcripts: DataFrame,
+    dedupe: bool = True,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """transcripts -> extracted (lazy; no action triggered)."""
+    df = transcripts
+    if salt_partitions:
+        df = salt_repartition(df, salt_partitions)
+    return extract_deduped(df) if dedupe else extract(df)
+
+
+def run_pipeline(transcripts: DataFrame, dedupe: bool = True):
+    """Returns (extracted, conv_text, metrics) DataFrames, all lazy."""
+    extracted = run_extraction(transcripts, dedupe=dedupe)
+    rollup = conv_text_salted(extracted)
+    metrics = partition_metrics(extracted, run_id=uuid.uuid4().hex[:12])
+    return extracted, rollup, metrics
+
+
+# ---------------------------------------------------------------------------
+# Resumable snapshot store
+# ---------------------------------------------------------------------------
+
+_MARKER = "_COMMITTED"
+
+
+def _committed_snapshots(root: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("snapshot=") and os.path.exists(
+            os.path.join(root, name, _MARKER)
+        ):
+            out.append(os.path.join(root, name))
+    return out
+
+
+def read_snapshots(spark: SparkSession, root: str) -> DataFrame | None:
+    paths = _committed_snapshots(root)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def run_resumable(spark: SparkSession, transcripts: DataFrame, out_root: str) -> DataFrame:
+    """Extract only the turns not yet in a committed snapshot, then append.
+
+    Returns the full committed ``extracted`` table after the run. Running
+    twice on the same input is a no-op the second time; a run killed
+    before commit leaves no visible partial state (marker-gated reads).
+    """
+    existing = read_snapshots(spark, out_root)
+    todo = transcripts
+    if existing is not None:
+        done_keys = existing.select("conv_id", "turn_idx")
+        todo = transcripts.join(done_keys, ["conv_id", "turn_idx"], "left_anti")
+    snap_idx = len(_committed_snapshots(out_root))
+    snap_dir = os.path.join(out_root, f"snapshot={snap_idx}")
+    extracted = run_extraction(todo)
+    extracted.write.mode("overwrite").parquet(snap_dir)
+    # job succeeded -> publish the snapshot
+    with open(os.path.join(snap_dir, _MARKER), "w") as fh:
+        fh.write("ok\n")
+    return read_snapshots(spark, out_root)

@@ -1,0 +1,91 @@
+"""Pipeline-level behaviors: distributed generation parity, resumable
+snapshot runs, and skew handling evidence."""
+
+import pytest
+
+from ocr_spark import fixtures
+from ocr_spark.operators.extract import extract
+from ocr_spark.pipeline import read_snapshots, run_pipeline, run_resumable
+
+
+def test_distributed_generator_matches_driver_side(spark):
+    """transcripts_df (executor expansion) == generate_transcripts (driver)."""
+    want = fixtures.generate_transcripts(25)
+    got = fixtures.transcripts_df(spark, 25).collect()
+    want_map = {(r[0], r[1]): r for r in want}
+    assert len(got) == len(want)
+    for r in got:
+        w = want_map[(r["conv_id"], r["turn_idx"])]
+        assert (r["role"], r["text"], r["tool"]) == (w[2], w[3], w[4])
+        assert r["ts"].replace(tzinfo=None) == w[5].replace(tzinfo=None)
+
+
+def test_run_pipeline_shapes(spark):
+    transcripts = fixtures.transcripts_df(spark, 15)
+    extracted, rollup, metrics = run_pipeline(transcripts)
+    n_turns = transcripts.count()
+    assert extracted.count() == n_turns
+    roll = rollup.collect()
+    assert sum(r["n_turns"] for r in roll) == n_turns
+    assert {r["conv_id"] for r in roll} == {f"conv{i:08d}" for i in range(15)}
+    m = metrics.collect()
+    assert sum(r["turns_in"] for r in m) == n_turns
+
+
+def test_resume_equals_single_run(spark, tmp_path):
+    """run(first half) -> run(full) == run(full) once; second full run is a no-op."""
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(12), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    half = full.filter("turn_idx % 2 = 0")
+
+    resumed_root = str(tmp_path / "resumed")
+    run_resumable(spark, half, resumed_root)  # simulated partial progress
+    resumed = run_resumable(spark, full, resumed_root)
+
+    single_root = str(tmp_path / "single")
+    single = run_resumable(spark, full, single_root)
+
+    cols = ["conv_id", "turn_idx", "kind", "extracted_text", "parse_ok"]
+    a = sorted(map(tuple, resumed.select(cols).collect()))
+    b = sorted(map(tuple, single.select(cols).collect()))
+    assert a == b
+
+    # idempotent: a third run adds nothing
+    again = run_resumable(spark, full, resumed_root)
+    assert again.count() == full.count()
+
+
+def test_uncommitted_snapshot_invisible(spark, tmp_path):
+    root = tmp_path / "store"
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(3), fixtures.TRANSCRIPT_COLUMNS
+    )
+    run_resumable(spark, full, str(root))
+    # fake a crashed run: parquet written but no _COMMITTED marker
+    crashed = root / "snapshot=1"
+    extract(full.limit(5)).write.mode("overwrite").parquet(str(crashed))
+    visible = read_snapshots(spark, str(root))
+    assert visible.count() == full.count()  # crashed snapshot ignored
+
+
+def test_skew_spread_across_partitions(spark):
+    """A giant conversation salted across tasks: no partition holds more
+    than ~2 buckets' worth of its turns (straggler guard, SURVEY §5.5)."""
+    from ocr_spark.operators.extract import salt_repartition
+    from pyspark.sql import functions as F
+
+    rows = [
+        (f"giant", i, "user", f"turn {i} text", "", fixtures.EPOCH) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, fixtures.TRANSCRIPT_COLUMNS)
+    salted = salt_repartition(df, 16, bucket_turns=128)
+    per_part = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in per_part]
+    assert len(counts) > 4  # spread, not hot-spotted
+    assert max(counts) <= 128 * 3  # no partition holds the whole conversation

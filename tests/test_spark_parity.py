@@ -1,0 +1,111 @@
+"""Golden equality: the distributed pipeline matches the frozen oracle
+byte-for-byte under a stable sort by (conv_id, turn_idx), regardless of
+partitioning, dedupe-join plan, or salting (the north rule's per-turn
+text-equality invariant)."""
+
+import pytest
+
+from ocr_spark import fixtures
+from ocr_spark.operators.aggregate import conv_text, conv_text_salted, partition_metrics
+from ocr_spark.operators.extract import extract, extract_deduped, salt_repartition
+from ocr_spark.oracle import aggregate_conversation, extract_turn
+
+N_CONVS = 40  # every archetype appears many times (~700 turns)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """Oracle rows keyed by (conv_id, turn_idx)."""
+    rows = fixtures.generate_transcripts(N_CONVS)
+    out = {}
+    for conv_id, turn_idx, role, text, tool, ts in rows:
+        out[(conv_id, turn_idx)] = (extract_turn(text, tool), text, tool)
+    return out
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = fixtures.generate_transcripts(N_CONVS)
+    df = spark.createDataFrame(rows, fixtures.TRANSCRIPT_COLUMNS)
+    return df.repartition(7).cache()  # deliberately odd partitioning
+
+
+def _assert_matches_golden(result_rows, golden):
+    assert len(result_rows) == len(golden)
+    for row in result_rows:
+        want, _text, _tool = golden[(row["conv_id"], row["turn_idx"])]
+        key = (row["conv_id"], row["turn_idx"])
+        assert row["kind"] == want["kind"], key
+        assert row["extracted_text"] == want["extracted_text"], key
+        assert [(s["start"], s["end"]) for s in row["spans"]] == want["spans"], key
+        assert [(l["text"], l["confidence"], list(l["bbox"])) for l in row["lines"]] == [
+            (l["text"], l["confidence"], l["bbox"]) for l in want["lines"]
+        ], key
+        assert [(b["type"], b["text"], list(b["bbox"])) for b in row["blocks"]] == [
+            (b["type"], b["text"], b["bbox"]) for b in want["blocks"]
+        ], key
+        assert row["parse_ok"] == want["parse_ok"], key
+
+
+def test_extract_matches_oracle(spark, transcripts, golden):
+    rows = extract(transcripts).collect()
+    _assert_matches_golden(rows, golden)
+
+
+def test_extract_deduped_same_result(spark, transcripts, golden):
+    rows = extract_deduped(transcripts).collect()
+    _assert_matches_golden(rows, golden)
+
+
+def test_salted_repartition_same_result(spark, transcripts, golden):
+    rows = extract(salt_repartition(transcripts, 16, bucket_turns=4)).collect()
+    _assert_matches_golden(rows, golden)
+
+
+def test_conv_text_matches_oracle(spark, transcripts, golden):
+    per_conv = {}
+    for (conv_id, turn_idx), (want, _, _) in golden.items():
+        per_conv.setdefault(conv_id, []).append(
+            (turn_idx, want["kind"], want["extracted_text"])
+        )
+    expected = {cid: aggregate_conversation(turns) for cid, turns in per_conv.items()}
+
+    extracted = extract(transcripts)
+    for agg_fn in (conv_text, lambda df: conv_text_salted(df, bucket_turns=4)):
+        got = {r["conv_id"]: r for r in agg_fn(extracted).collect()}
+        assert set(got) == set(expected)
+        for cid, want in expected.items():
+            row = got[cid]
+            assert row["full_text"] == want["full_text"], cid
+            assert row["n_turns"] == want["n_turns"], cid
+            assert row["n_text"] == want["n_text"], cid
+            assert row["n_ocr"] == want["n_ocr"], cid
+
+
+def test_partition_metrics_totals(spark, transcripts, golden):
+    extracted = extract(transcripts)
+    rows = partition_metrics(extracted, run_id="test").collect()
+    assert sum(r["turns_in"] for r in rows) == len(golden)
+    assert sum(r["parse_failures"] for r in rows) == sum(
+        1 for (want, _, _) in golden.values() if not want["parse_ok"]
+    )
+    total_bytes = sum(
+        len(text.encode()) + len(tool.encode()) for (_, text, tool) in golden.values()
+    )
+    assert sum(r["bytes_in"] for r in rows) == total_bytes
+
+
+def test_ordering_stable_under_shuffled_input(spark, golden):
+    """Same rows in reversed/odd partition layout -> identical ordered output."""
+    rows = fixtures.generate_transcripts(N_CONVS)
+    df = spark.createDataFrame(list(reversed(rows)), fixtures.TRANSCRIPT_COLUMNS).repartition(13)
+    got = (
+        extract(df)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "extracted_text")
+        .collect()
+    )
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert keys == sorted(golden.keys())
+    for r in got:
+        assert r["extracted_text"] == golden[(r["conv_id"], r["turn_idx"])][0]["extracted_text"]

@@ -1,38 +1,119 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over sf0.001.
+``queries()`` registers every implemented operator (SURVEY.md §2 plus the
+training-data-pipeline operators); ``oracle_sql()`` holds the DuckDB
+counterparts for the SQL-expressible ones. Extraction-pipeline entries
+over synthesized transcripts are rows-only (non-SQL-expressible:
+vectorized UDF semantics frozen by the pure-Python oracle in
+``ocr_spark/oracle`` and verified by ``python -m pytest -x -q``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocr_spark import fixtures, queries as Q
+from ocr_spark.oracles import ORACLES
+from ocr_spark.operators.aggregate import conv_text_salted, partition_metrics
+from ocr_spark.operators.extract import extract
+from ocr_spark.pipeline import run_extraction
+
+
+def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the transcript input shape
+    (one conversation per source, docs as turns in doc_id order)."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return doc.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 documents recast as
+    transcripts — classify -> vectorized extract -> ordered rollup."""
+    transcripts = _documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    extracted = run_extraction(transcripts, dedupe=True)
+    return conv_text_salted(extracted)
+
+
+def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full per-turn extraction over deterministic fixture
+    transcripts (all archetypes); golden parity is enforced in pytest."""
+    t = fixtures.transcripts_df(spark, 80)
+    return extract(t).select(
+        "conv_id", "turn_idx", "kind", "extracted_text", "parse_ok", "bytes_in"
+    )
+
+
+def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = fixtures.transcripts_df(spark, 80)
+    return conv_text_salted(extract(t))
+
+
+def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = fixtures.transcripts_df(spark, 80)
+    return partition_metrics(extract(t), run_id="driver").select(
+        "partition_id", "turns_in", "turns_out", "bytes_in", "bytes_out", "parse_failures"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # extraction-semantics operators over documents (SURVEY §2.2-2.3)
+        "t5_cleanup_normalize": Q.q_t5_cleanup_normalize,
+        "f1_page_classifier": Q.q_f1_page_classifier,
+        "f3_empty_text_filter": Q.q_f3_empty_text_filter,
+        "s3_content_hash": Q.q_s3_content_hash,
+        "a6_dedup_exact": Q.q_a6_dedup_exact,
+        "t9_stats_projection": Q.q_t9_stats_projection,
+        "a3_ordered_concat": Q.q_a3_ordered_concat,
+        "a2_ordered_gather": Q.q_a2_ordered_gather,
+        "a8_top_k": Q.q_a8_top_k,
+        "f7_limit_predicate": Q.q_f7_limit_predicate,
+        # text-analysis / dedup (training-data pipeline ops)
+        "token_count": Q.q_token_count,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "lang_id_heuristic": Q.q_lang_id_heuristic,
+        "quality_score": Q.q_quality_score,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "minhash_signature": Q.q_minhash_signature,
+        # events: windows / chunking / ordered aggregation (SURVEY §2.4-2.6)
+        "w1_running_count": Q.q_w1_running_count,
+        "w2_stable_event_order": Q.q_w2_stable_event_order,
+        "p1_chunk_split": Q.q_p1_chunk_split,
+        "a4_batch_summary": Q.q_a4_batch_summary,
+        "f5_validation_predicates": Q.q_f5_validation_predicates,
+        "sessionize": Q.q_sessionize,
+        "event_type_rollup": Q.q_event_type_rollup,
+        # relational coverage
+        "tpch_q1": Q.q_tpch_q1,
+        "tpch_q6": Q.q_tpch_q6,
+        "tpch_q3": Q.q_tpch_q3,
+        "dim_broadcast_join": Q.q_dim_broadcast_join,
+        "semi_join_exists": Q.q_semi_join_exists,
+        # similarity search over embeddings
+        "embedding_norms": Q.q_embedding_norms,
+        "cosine_topk": Q.q_cosine_topk,
+        "lsh_sign_buckets": Q.q_lsh_sign_buckets,
+        "ann_bucketed_topk": Q.q_ann_bucketed_topk,
+        # extraction pipeline proper (rows-only; pytest enforces goldens)
+        "extract_pipeline": _q_extract_pipeline,
+        "conv_rollup": _q_conv_rollup,
+        "partition_metrics": _q_partition_metrics,
+    }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

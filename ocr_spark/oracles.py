@@ -1,0 +1,319 @@
+"""DuckDB oracle SQL for every SQL-expressible query in ``ocr_spark.queries``.
+
+The driver pre-registers the parquet tables as views (``region nation
+customer supplier part orders lineitem events documents embeddings``)
+and compares row-count + schema + order-insensitive value hash against
+the Spark result, so column names and rounding must match the Spark side
+exactly.
+"""
+
+ORACLES: dict[str, str] = {}
+
+
+ORACLES["t5_cleanup_normalize"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text, ' value ', '  value' || chr(9) || ' ', 'g'),
+                            ' table ', ' table' || repeat(chr(10), 4), 'g'),
+             '\n\s*\n\s*\n+', chr(10) || chr(10), 'g'),
+             '[ \t]+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+ORACLES["f1_page_classifier"] = """
+SELECT doc_id,
+       CASE WHEN length(trim(substr(text, 1, CAST((doc_id * 7) % 80 AS INT)))) < 30
+            THEN 'image' ELSE 'text' END AS kind
+FROM documents
+"""
+
+ORACLES["f3_empty_text_filter"] = """
+SELECT doc_id
+FROM documents
+WHERE trim(substr(text, 1, CAST((doc_id * 7) % 80 AS INT))) <> ''
+"""
+
+ORACLES["s3_content_hash"] = """
+SELECT doc_id, sha256(text) AS sha FROM documents
+"""
+
+ORACLES["a6_dedup_exact"] = """
+SELECT sha256(text) AS sha,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+FROM documents GROUP BY 1
+"""
+
+ORACLES["t9_stats_projection"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 4) AS avg_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       CAST(count(*) FILTER (WHERE n_chars < 100) AS BIGINT) AS short_docs
+FROM documents GROUP BY source
+"""
+
+ORACLES["a3_ordered_concat"] = """
+SELECT source,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS full_text,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+ORACLES["a2_ordered_gather"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS last_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+ORACLES["a8_top_k"] = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) <= 10
+"""
+
+ORACLES["f7_limit_predicate"] = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 50
+"""
+
+ORACLES["token_count"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+ORACLES["doc_fingerprint"] = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+ORACLES["lang_id_heuristic"] = r"""
+WITH padded AS (
+  SELECT doc_id, ' ' || text || ' ' AS p,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       round(((length(p) - length(regexp_replace(p, ' the ', ' ', 'g'))) / 4.0
+            + (length(p) - length(regexp_replace(p, ' a ', ' ', 'g'))) / 2.0)
+             / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN round(((length(p) - length(regexp_replace(p, ' the ', ' ', 'g'))) / 4.0
+               + (length(p) - length(regexp_replace(p, ' a ', ' ', 'g'))) / 2.0)
+               / n_tokens, 6) >= 0.05
+            THEN 'en-like' ELSE 'other' END AS lang_guess
+FROM padded
+"""
+
+ORACLES["quality_score"] = """
+SELECT doc_id,
+       round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                      / length(text)), 6) AS quality
+FROM documents
+"""
+
+ORACLES["ngram_jaccard_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), shingles AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+QUALIFY row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) <= 20
+"""
+
+ORACLES["minhash_signature"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> ('0x' || substr(md5('0' || '|' || s), 1, 15))::BIGINT)) AS h0,
+       list_min(list_transform(shingles, s -> ('0x' || substr(md5('1' || '|' || s), 1, 15))::BIGINT)) AS h1,
+       list_min(list_transform(shingles, s -> ('0x' || substr(md5('2' || '|' || s), 1, 15))::BIGINT)) AS h2,
+       list_min(list_transform(shingles, s -> ('0x' || substr(md5('3' || '|' || s), 1, 15))::BIGINT)) AS h3
+FROM sh
+"""
+
+ORACLES["w1_running_count"] = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+FROM events
+"""
+
+ORACLES["w2_stable_event_order"] = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+FROM events GROUP BY user_id
+"""
+
+ORACLES["p1_chunk_split"] = """
+WITH numbered AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST(floor((rn - 1) / 50) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(max(event_id) AS BIGINT) AS last_event
+FROM numbered GROUP BY 1, 2
+"""
+
+ORACLES["a4_batch_summary"] = """
+SELECT CAST(count(*) AS BIGINT) AS total_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+       round(sum(value), 4) AS total_value
+FROM events
+"""
+
+ORACLES["f5_validation_predicates"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_valid
+FROM events WHERE value >= 0 AND value <= 50
+GROUP BY event_type
+"""
+
+ORACLES["sessionize"] = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+ORACLES["event_type_rollup"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q6"] = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["tpch_q3"] = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+QUALIFY row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) <= 10
+"""
+
+ORACLES["dim_broadcast_join"] = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["semi_join_exists"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+GROUP BY o_orderpriority
+"""
+
+_COS = """
+list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])
+ / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))
+  * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))
+"""
+
+ORACLES["embedding_norms"] = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+"""
+
+ORACLES["cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 10
+"""
+
+ORACLES["lsh_sign_buckets"] = """
+SELECT array_to_string(list_transform(embedding[1:8],
+         x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM embeddings GROUP BY 1
+"""
+
+ORACLES["ann_bucketed_topk"] = f"""
+WITH wb AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb FROM wb WHERE vec_id = 0)
+SELECT vec_id,
+       round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
+FROM wb, q
+WHERE vec_id <> 0 AND bucket = qb
+QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
+"""

@@ -10,6 +10,12 @@ local testing so the plans we inspect locally are the plans we'd ship:
   regardless of input partition size.
 - shuffle partitions sized for the local core count; on a real cluster
   this is set to ~2-3x total cores (AQE coalesces the excess).
+- ``max_partition_bytes``: bytes-on-disk is a poor proxy for task cost
+  when the stage runs a python-CPU-bound UDF over compressed text — at
+  the default 128 MB a few hundred MB of snappy parquet becomes a
+  handful of scan tasks and the extraction stage starves the cluster.
+  Extraction jobs set this ~10-50x smaller (scaled so one split is a
+  few seconds of UDF work); pure-relational scans keep the default.
 """
 
 from __future__ import annotations
@@ -23,12 +29,17 @@ def build_session(
     app_name: str = "ocr_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    if max_partition_bytes is None:
+        max_partition_bytes = int(
+            os.environ.get("OCR_SPARK_MAX_PARTITION_BYTES", str(128 * 1024 * 1024))
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -38,10 +49,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        .config("spark.sql.files.openCostInBytes", str(max(max_partition_bytes // 8, 262144)))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

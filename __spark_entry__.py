@@ -88,8 +88,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": Q.q_quality_score,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "minhash_signature": Q.q_minhash_signature,
+        "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
+        "simhash_fingerprint": Q.q_simhash_fingerprint,
+        "simhash_near_dup": Q.q_simhash_near_dup,
+        "embedding_near_dup": Q.q_embedding_near_dup,
         # events: windows / chunking / ordered aggregation (SURVEY §2.4-2.6)
+        "f2_confidence_filter": Q.q_f2_confidence_filter,
+        "f4_file_type_dispatch": Q.q_f4_file_type_dispatch,
+        "f6_block_projection": Q.q_f6_block_projection,
+        "a7_reading_order": Q.q_a7_reading_order,
+        "t4_line_join": Q.q_t4_line_join,
+        "s2_base64_roundtrip": Q.q_s2_base64_roundtrip,
         "w1_running_count": Q.q_w1_running_count,
+        "w3_event_gap": Q.q_w3_event_gap,
+        "topk_per_group": Q.q_topk_per_group,
+        "event_type_rollup_totals": Q.q_event_type_rollup_totals,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,
         "a4_batch_summary": Q.q_a4_batch_summary,

@@ -317,3 +317,184 @@ FROM wb, q
 WHERE vec_id <> 0 AND bucket = qb
 QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup & fingerprinting, part 2
+# ---------------------------------------------------------------------------
+
+ORACLES["minhash_lsh_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         list_min(list_transform(shingles, s -> ('0x' || substr(md5('0' || '|' || s), 1, 15))::BIGINT)) AS h0,
+         list_min(list_transform(shingles, s -> ('0x' || substr(md5('1' || '|' || s), 1, 15))::BIGINT)) AS h1,
+         list_min(list_transform(shingles, s -> ('0x' || substr(md5('2' || '|' || s), 1, 15))::BIGINT)) AS h2,
+         list_min(list_transform(shingles, s -> ('0x' || substr(md5('3' || '|' || s), 1, 15))::BIGINT)) AS h3
+  FROM sh
+), banded AS (
+  SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS band_key FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+), shx AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+), inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cand
+  JOIN shx sa ON sa.doc_id = cand.doc_a
+  JOIN shx sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.25
+"""
+
+_SIMHASH_SQL = "|| ".join(
+    "(CASE WHEN 2 * list_sum(list_transform(t, tok -> ('0x' || substr(md5(tok), %d, 1))::BIGINT %% 2)) >= len(t)"
+    " THEN '1' ELSE '0' END) " % (b + 1)
+    for b in range(16)
+)
+
+ORACLES["simhash_fingerprint"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id, {sim} AS simhash FROM toks
+""".format(sim=_SIMHASH_SQL)
+
+ORACLES["simhash_near_dup"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sig AS (
+  SELECT doc_id, {sim} AS simhash FROM toks
+), banded AS (
+  SELECT doc_id, simhash, 0 AS band, substr(simhash, 1, 8) AS half FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, substr(simhash, 9, 8) AS half FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(range(1, 17),
+            i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INT) AS hamming
+FROM banded a JOIN banded b USING (band, half)
+WHERE a.doc_id < b.doc_id
+  AND len(list_filter(range(1, 17),
+        i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 2
+""".format(sim=_SIMHASH_SQL)
+
+ORACLES["embedding_near_dup"] = f"""
+WITH wb AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
+FROM wb a JOIN wb b USING (bucket)
+WHERE a.vec_id < b.vec_id
+QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_a ASC, vec_b ASC) <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 back-fill
+# ---------------------------------------------------------------------------
+
+ORACLES["f2_confidence_filter"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), kept AS (
+  SELECT doc_id,
+         list_filter(t, tok -> CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT AS DOUBLE) / 65535.0 >= 0.5) AS k
+  FROM toks
+)
+SELECT doc_id, CAST(len(k) AS INT) AS n_kept, array_to_string(k, ' ') AS kept_text
+FROM kept
+"""
+
+ORACLES["f4_file_type_dispatch"] = """
+SELECT doc_id,
+       ['png', 'pdf', 'txt'][CAST(doc_id % 3 + 1 AS INT)] AS ext,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ocr' WHEN 1 THEN 'hybrid' ELSE 'reject' END AS route
+FROM documents
+"""
+
+ORACLES["f6_block_projection"] = r"""
+WITH blocks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(0, 4), i -> {
+             'type': CAST((doc_id + i) % 2 AS INT),
+             'btext': trim(substr(text,
+                        i * CAST(ceil(length(text) / 4.0) AS INT) + 1,
+                        CAST(ceil(length(text) / 4.0) AS INT)))
+           }),
+           b -> b.type = 0 AND b.btext <> '') AS kept
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(kept) AS INT) AS n_blocks,
+       array_to_string(list_transform(kept, b -> b.btext), chr(10)) AS block_text
+FROM blocks
+"""
+
+ORACLES["a7_reading_order"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_transform(list_sort(list_transform(
+         range(1, len(t) + 1),
+         i -> {'y': CAST(('0x' || substr(md5(t[i] || '|' || doc_id), 1, 2))::BIGINT AS INT) % 4,
+               'pos': i, 'w': t[i]})), s -> s.w), ' ') AS ordered_text
+FROM toks
+"""
+
+ORACLES["t4_line_join"] = r"""
+SELECT doc_id,
+       array_to_string(list_filter(list_transform(regexp_split_to_array(text, '\.'),
+         s -> trim(s)), s -> s <> ''), chr(10)) AS joined
+FROM documents
+"""
+
+ORACLES["s2_base64_roundtrip"] = """
+SELECT doc_id,
+       base64(encode(text)) AS b64,
+       decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok
+FROM documents
+"""
+
+ORACLES["w3_event_gap"] = """
+SELECT user_id, event_id,
+       CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_ms
+FROM events
+"""
+
+ORACLES["topk_per_group"] = """
+SELECT event_type, event_id, round(value, 4) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
+"""
+
+ORACLES["event_type_rollup_totals"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY ROLLUP (event_type)
+"""

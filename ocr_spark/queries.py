@@ -531,3 +531,278 @@ def q_ann_bucketed_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup & fingerprinting, part 2 (MinHash-LSH / SimHash / embedding near-dup)
+# ---------------------------------------------------------------------------
+
+def _shingles_df(spark, sf_dir):
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup dedup: band signatures (2 bands x 2 rows),
+    bucket-join for candidate pairs, then verify exact Jaccard >= 0.25.
+
+    Scale shape: candidates come from equi-joining band buckets (shuffle
+    on band_key, never a cross join); exact verification is
+    candidate-first — shingles are joined onto the candidate pairs, so
+    verification cost scales with |candidates|, not |docs|^2.
+    """
+    sig = q_minhash_signature(spark, sf_dir)
+    banded = None
+    for b in range(2):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.25)
+    )
+    return joined.select("doc_a", "doc_b", "jaccard")
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_expr() -> str:
+    """16-bit SimHash over word tokens: bit b is the majority vote of the
+    b-th md5 hex digit's parity across tokens (portable to DuckDB)."""
+    bits = []
+    for b in range(_SIMHASH_BITS):
+        cnt = (
+            f"aggregate(transform(toks, t -> cast(conv(substr(md5(t), {b + 1}, 1), 16, 10) as int) % 2),"
+            f" 0, (acc, v) -> acc + v)"
+        )
+        bits.append(f"case when 2 * ({cnt}) >= size(toks) then '1' else '0' end")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def q_simhash_fingerprint(spark, sf_dir):
+    """SimHash document fingerprint (near-dup detection by hamming distance)."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return toks.select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: candidates share one 8-bit half (pigeonhole
+    for hamming <= 2 over 16 bits needs 2 bands), verified hamming <= 2.
+
+    Bucket-join on the half, never a cross join; exact hamming only on
+    candidates.
+    """
+    sig = q_simhash_fingerprint(spark, sf_dir)
+    banded = None
+    for b in range(2):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * 8 + 1, 8).alias("half"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    hamming = F.expr(
+        "size(filter(sequence(1, 16), i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1)))"
+    )
+    return (
+        a.join(b_, ["band", "half"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket join (first 8 dims)
+    for candidates, exact cosine on candidates, top-20 pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "array_join(transform(slice(embedding, 1, 8),"
+        " x -> case when x >= 0 then '1' else '0' end), '')"
+    )
+    wb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = wb.alias("a")
+    b = wb.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(F.expr(_cosine_expr("a.embedding", "b.embedding")), 4).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 back-fill: F2/F4/F6+T2/A7/T4/S2 + extra window coverage
+# ---------------------------------------------------------------------------
+
+def q_f2_confidence_filter(spark, sf_dir):
+    """F2 (`text_extractor.py:160-161`): drop low-confidence lines via a
+    higher-order array filter — synthetic per-token confidence from md5."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    kept = F.expr(
+        "filter(toks, t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as double) / 65535.0 >= 0.5)"
+    )
+    return toks.select(
+        "doc_id",
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def q_f4_file_type_dispatch(spark, sf_dir):
+    """F4 (`file_upload_helpers.py:93-118`): extension dispatch as two
+    filtered sub-plans recombined with unionByName (the router pattern,
+    T6) — semantically a CASE, structurally the reference's branch."""
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(F.array(F.lit("png"), F.lit("pdf"), F.lit("txt")), (F.col("doc_id") % 3 + 1).cast("int")).alias("ext"),
+    )
+    image = doc.filter(F.col("ext") == "png").withColumn("route", F.lit("ocr"))
+    pdf = doc.filter(F.col("ext") == "pdf").withColumn("route", F.lit("hybrid"))
+    other = doc.filter(~F.col("ext").isin("png", "pdf")).withColumn("route", F.lit("reject"))
+    return image.unionByName(pdf).unionByName(other).select("doc_id", "ext", "route")
+
+
+def q_f6_block_projection(spark, sf_dir):
+    """F6+T2 (`block_extractor.py:26-38`): synthetic 4-quarter blocks with
+    alternating type; keep type==0 text blocks, strip-skip empties,
+    concatenate — all builtin array expressions."""
+    doc = _t(spark, sf_dir, "documents")
+    qlen = "cast(ceil(length(text) / 4.0) as int)"
+    blocks = (
+        f"transform(sequence(0, 3), i -> struct(cast((doc_id + i) % 2 as int) as type,"
+        f" trim(substr(text, i * {qlen} + 1, {qlen})) as btext))"
+    )
+    kept = f"filter({blocks}, b -> b.type = 0 and b.btext != '')"
+    return doc.select(
+        "doc_id",
+        F.expr(f"size({kept})").cast("int").alias("n_blocks"),
+        F.expr(f"array_join(transform({kept}, b -> b.btext), '\\n')").alias("block_text"),
+    )
+
+
+def q_a7_reading_order(spark, sf_dir):
+    """A7/T1 (`helpers/text_extractor.py:24`, sort=True): reading-order
+    sort by (row y, position x) with deterministic synthetic layout."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    sorted_words = (
+        "array_join(transform(array_sort(transform(sequence(1, size(toks)),"
+        " i -> struct(cast(conv(substr(md5(concat(element_at(toks, i), '|', doc_id)), 1, 2), 16, 10) as int) % 4 as y,"
+        " i as pos, element_at(toks, i) as w))), s -> s.w), ' ')"
+    )
+    return toks.select("doc_id", F.expr(sorted_words).alias("ordered_text"))
+
+
+def q_t4_line_join(spark, sf_dir):
+    """T4 (`text_extractor.py:193`): newline-join of non-blank lines."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.expr(
+            r"array_join(filter(transform(split(text, '\\.'), s -> trim(s)), s -> s != ''), '\n')"
+        ).alias("joined"),
+    )
+
+
+def q_s2_base64_roundtrip(spark, sf_dir):
+    """S2 (`utils/encoding.py:10-39`): base64 transport encode + verified
+    roundtrip decode."""
+    doc = _t(spark, sf_dir, "documents")
+    # Spark's base64 emits MIME 76-char line wrapping; strip it for the
+    # canonical unwrapped transport form.
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), r"[\r\n]", "")
+    return doc.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+def q_w3_event_gap(spark, sf_dir):
+    """lead/lag window: seconds since the user's previous event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # millisecond epochs: second-truncated diffs disagree across engines
+    # when timestamps carry sub-second precision
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_millis(F.col("ts").cast("timestamp"))
+         - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))).cast("bigint").alias("gap_ms"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events by value per event_type (rank window, deterministic ties)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_event_type_rollup_totals(spark, sf_dir):
+    """ROLLUP aggregation (per-type subtotals + grand total)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_event_gap": Q.q_w3_event_gap,
         "topk_per_group": Q.q_topk_per_group,
         "event_type_rollup_totals": Q.q_event_type_rollup_totals,
+        # multimodal binary columns (decode stub / resize plan / frame sample)
+        "mm_decode_meta": Q.q_mm_decode_meta,
+        "mm_resize_plan": Q.q_mm_resize_plan,
+        "mm_frame_sample": Q.q_mm_frame_sample,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,
         "a4_batch_summary": Q.q_a4_batch_summary,

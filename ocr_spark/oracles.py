@@ -498,3 +498,65 @@ SELECT event_type,
        round(sum(value), 4) AS total_value
 FROM events GROUP BY ROLLUP (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal (fixture text is pure ASCII, so VARCHAR substr == byte slice
+# and md5(varchar) == md5 of the utf-8 payload bytes)
+# ---------------------------------------------------------------------------
+
+_MM_BASE = """
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         text,
+         md5(text) AS sha,
+         ('0x' || substr(md5(text), 1, 4))::BIGINT AS h1,
+         ('0x' || substr(md5(text), 5, 4))::BIGINT AS h2
+  FROM documents
+"""
+
+ORACLES["mm_decode_meta"] = f"""
+WITH base AS ({_MM_BASE})
+SELECT media_id, kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       sha,
+       CASE WHEN kind IN ('image', 'video') THEN CAST(64 + h1 % 1856 AS INT) END AS width,
+       CASE WHEN kind IN ('image', 'video') THEN CAST(64 + h2 % 1856 AS INT) END AS height,
+       CASE WHEN kind IN ('image', 'video') THEN 3 END AS channels,
+       CASE WHEN kind = 'audio' THEN CAST(8000 + (h1 % 5) * 8000 AS INT) END AS sample_rate,
+       CAST(CASE WHEN kind = 'audio' THEN 1 + h2 % 16
+                 WHEN kind = 'video' THEN 1 + h2 % 8
+                 ELSE 1 END AS INT) AS n_frames,
+       true AS decode_ok
+FROM base
+"""
+
+ORACLES["mm_resize_plan"] = f"""
+WITH base AS ({_MM_BASE}), meta AS (
+  SELECT media_id, kind,
+         CAST(64 + h1 % 1856 AS INT) AS width,
+         CAST(64 + h2 % 1856 AS INT) AS height
+  FROM base WHERE kind IN ('image', 'video')
+)
+SELECT media_id, kind, width, height,
+       CAST(floor(width * (CASE WHEN greatest(width, height) > 512
+              THEN 512.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_width,
+       CAST(floor(height * (CASE WHEN greatest(width, height) > 512
+              THEN 512.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_height,
+       greatest(width, height) > 512 AS resized
+FROM meta
+"""
+
+ORACLES["mm_frame_sample"] = f"""
+WITH base AS ({_MM_BASE}), video AS (
+  SELECT media_id, text,
+         CAST(1 + h2 % 8 AS INT) AS n_frames,
+         greatest(CAST(floor(length(text) / CAST(1 + h2 % 8 AS INT)) AS INT), 1) AS frame_len
+  FROM base WHERE kind = 'video'
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(length(substr(text, CAST(i AS INT) * frame_len + 1, frame_len)) AS BIGINT) AS frame_n_bytes,
+       md5(substr(text, CAST(i AS INT) * frame_len + 1, frame_len)) AS frame_sha
+FROM video, unnest(range(0, n_frames, 2)) AS r(i)
+"""

@@ -806,3 +806,54 @@ def q_event_type_rollup_totals(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary payload + typed metadata (decode stub / resize / frames)
+# ---------------------------------------------------------------------------
+
+def q_mm_decode_meta(spark, sf_dir):
+    """Arrow-batched 'decode' of binary media payloads into typed metadata
+    (deterministic fake decode; see operators/multimodal.py docstring)."""
+    from ocr_spark.operators.multimodal import decode_media_meta, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return decode_media_meta(media).select(
+        "media_id", "kind", F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "sha", "width", "height", "channels", "sample_rate",
+        F.col("n_frames").cast("int").alias("n_frames"), "decode_ok",
+    )
+
+
+def q_mm_resize_plan(spark, sf_dir):
+    """Downscale rule (≙ image_processor.py:100-107): longer side <= 512,
+    never upscale; all builtin expressions after metadata decode."""
+    from ocr_spark.operators.multimodal import (
+        decode_media_meta,
+        media_from_documents,
+        resize_plan,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_plan(decode_media_meta(media), max_side=512)
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame sampling: explode every 2nd frame index, slice the
+    payload JVM-side (binary substring), hash each frame slice."""
+    from ocr_spark.operators.multimodal import (
+        decode_media_meta,
+        frame_sample,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    meta = decode_media_meta(media).select("media_id", "kind", "n_frames")
+    joined = media.select("media_id", "payload").join(meta, "media_id")
+    frames = frame_sample(joined, every_k=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("bigint").alias("frame_n_bytes"),
+        F.md5("frame_bytes").alias("frame_sha"),
+    )

@@ -1,0 +1,86 @@
+"""Multimodal plumbing tests: binary payload columns, typed metadata,
+deterministic fake decode, resize rule, frame sampling.
+
+The decode itself is a stub (no codecs in this container) — what these
+tests pin is the Spark-side contract: schemas, Arrow batch shapes,
+determinism under repartitioning, and the JVM-side frame slicing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.multimodal import (
+    MEDIA_META_SCHEMA,
+    decode_media_meta,
+    decode_media_real,
+    frame_sample,
+    media_from_documents,
+    resize_plan,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return media_from_documents(doc)
+
+
+def test_media_schema_and_kinds(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_meta_matches_schema_and_is_deterministic(media):
+    meta = decode_media_meta(media)
+    assert meta.schema == MEDIA_META_SCHEMA
+    rows1 = {r.media_id: r for r in meta.collect()}
+    # repartitioning must not change any decoded value
+    rows2 = {r.media_id: r for r in decode_media_meta(media.repartition(7)).collect()}
+    assert rows1 == rows2
+    for r in rows1.values():
+        assert r.decode_ok
+        assert r.n_bytes > 0 and len(r.sha) == 32
+        if r.kind == "image":
+            assert 64 <= r.width < 1920 and r.channels == 3 and r.n_frames == 1
+        elif r.kind == "audio":
+            assert r.width is None and 8000 <= r.sample_rate <= 40000
+        elif r.kind == "video":
+            assert r.n_frames >= 1 and r.channels == 3
+
+
+def test_decode_real_is_clearly_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media_real(media)
+
+
+def test_resize_plan_never_upscales(media):
+    plan = resize_plan(decode_media_meta(media), max_side=512).collect()
+    assert plan  # image+video rows exist
+    for r in plan:
+        assert max(r.out_width, r.out_height) <= 512
+        assert r.out_width <= r.width and r.out_height <= r.height
+        if not r.resized:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+
+
+def test_frame_sample_covers_every_other_frame(media):
+    meta = decode_media_meta(media).select("media_id", "kind", "n_frames")
+    joined = media.select("media_id", "payload").join(meta, "media_id")
+    frames = frame_sample(joined, every_k=2)
+    got = frames.groupBy("media_id").agg(
+        F.count("*").alias("n"), F.max("frame_idx").alias("max_idx")
+    )
+    expect = meta.filter(F.col("kind") == "video").select("media_id", "n_frames")
+    both = {r.media_id: r for r in got.join(expect, "media_id").collect()}
+    assert both
+    for r in both.values():
+        assert r.n == (r.n_frames + 1) // 2  # ceil(n_frames / 2)
+        assert r.max_idx <= r.n_frames - 1
+    # frame bytes are non-empty slices
+    assert frames.filter(F.length("frame_bytes") == 0).count() == 0

@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_meta": Q.q_mm_decode_meta,
         "mm_resize_plan": Q.q_mm_resize_plan,
         "mm_frame_sample": Q.q_mm_frame_sample,
+        # streaming twin (batch form; streaming path covered in pytest)
+        "tumbling_window_counts": Q.q_tumbling_window_counts,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,
         "a4_batch_summary": Q.q_a4_batch_summary,

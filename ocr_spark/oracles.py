@@ -560,3 +560,12 @@ SELECT media_id,
        md5(substr(text, CAST(i AS INT) * frame_len + 1, frame_len)) AS frame_sha
 FROM video, unnest(range(0, n_frames, 2)) AS r(i)
 """
+
+
+ORACLES["tumbling_window_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""

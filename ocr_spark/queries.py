@@ -857,3 +857,22 @@ def q_mm_frame_sample(spark, sf_dir):
         F.length("frame_bytes").cast("bigint").alias("frame_n_bytes"),
         F.md5("frame_bytes").alias("frame_sha"),
     )
+
+
+def q_tumbling_window_counts(spark, sf_dir):
+    """Event-time tumbling window aggregation (batch twin of the
+    streaming windowed_turn_counts; epoch-aligned 1-hour windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

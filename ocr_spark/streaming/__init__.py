@@ -1,0 +1,6 @@
+from ocr_spark.streaming.incremental import (  # noqa: F401
+    TRANSCRIPT_SCHEMA,
+    stateful_conv_progress,
+    stream_extract,
+    windowed_turn_counts,
+)

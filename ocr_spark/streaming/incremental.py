@@ -1,0 +1,176 @@
+"""Structured Streaming surface: continuous ingestion of transcript turns.
+
+The reference is request/response (Celery work queue with at-least-once
+redelivery, ``celery_app.py:55-66,84-85``), not a stream — but a 100 TB
+deployment ingests transcripts continuously, so the engine exposes the
+same extraction plan as an incremental Structured Streaming job:
+
+- ``stream_extract``: file-source stream -> the identical vectorized
+  ``extract`` plan (mapInPandas works unchanged under streaming) ->
+  parquet sink with checkpoint. Checkpoint + file-sink commit log give
+  exactly-once output per input file — the streaming twin of the batch
+  snapshot/resume path (``pipeline.run_resumable``).
+- ``windowed_turn_counts``: event-time tumbling window + watermark for
+  late turns (the batch engine has no watermark concept; this is the
+  streaming analog of the per-window metrics rollup).
+- ``stateful_conv_progress``: custom stateful operator via
+  ``applyInPandasWithState`` — a running per-conversation progress row
+  (≙ the reference's progress beacon, ``tasks/pdf_hybrid_tasks.py:174-176``
+  / ``redis_service.py:379-409``), emitted on every update.
+
+Scale notes: the file source lists new files per trigger (at real scale
+use Iceberg/Kafka sources — same plan); state is per-conv_id and
+partitioned by the shuffle, so a hot conversation is one state row, not
+a hot partition; watermark bounds state size for the windowed agg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ocr_spark.operators.extract import extract
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental extraction: new transcript files -> extracted parquet.
+
+    Returns the started StreamingQuery (trigger availableNow: drain all
+    currently-available input then stop — deterministic for tests; drop
+    the trigger for a long-running continuous job).
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    extracted = extract(stream)
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_turn_counts(
+    transcripts: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window per role with late-data watermark."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+            "chars",
+        )
+    )
+
+
+_PROGRESS_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turns_done", T.LongType(), True),
+        T.StructField("bytes_done", T.LongType(), True),
+        T.StructField("max_turn_idx", T.IntegerType(), True),
+    ]
+)
+
+_PROGRESS_STATE = T.StructType(
+    [
+        T.StructField("turns_done", T.LongType(), True),
+        T.StructField("bytes_done", T.LongType(), True),
+        T.StructField("max_turn_idx", T.IntegerType(), True),
+    ]
+)
+
+
+def _progress_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    turns, nbytes, max_idx = (state.get if state.exists else (0, 0, -1))
+    for pdf in pdfs:
+        turns += len(pdf)
+        nbytes += int(pdf["text"].str.len().fillna(0).sum())
+        if len(pdf):
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+    state.update((turns, nbytes, max_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "turns_done": [turns],
+            "bytes_done": [nbytes],
+            "max_turn_idx": [max_idx],
+        }
+    )
+
+
+def stateful_conv_progress(transcripts: DataFrame) -> DataFrame:
+    """Running per-conversation progress (custom stateful operator,
+    streaming-only: ``applyInPandasWithState`` requires a streaming
+    DataFrame; state accumulates across triggers)."""
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        _progress_fn,
+        outputStructType=_PROGRESS_OUT,
+        stateStructType=_PROGRESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Windowed role metrics as an append-mode stream (watermark closes
+    windows; closed windows land in the parquet sink exactly once)."""
+    stream = read_transcript_stream(spark, input_dir)
+    counts = windowed_turn_counts(stream, window=window, watermark=watermark)
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: incremental extraction exactly-once via
+checkpoint, watermarked windowed aggregation, custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import fixtures
+from ocr_spark.operators.extract import extract
+from ocr_spark.streaming import (
+    stateful_conv_progress,
+    stream_extract,
+    windowed_turn_counts,
+)
+from ocr_spark.streaming.incremental import read_transcript_stream, run_windowed_stream
+
+ROOT = "/tmp/ocr_spark_stream_test"
+
+
+@pytest.fixture()
+def dirs():
+    shutil.rmtree(ROOT, ignore_errors=True)
+    paths = {n: os.path.join(ROOT, n) for n in ("in", "out", "ckpt", "wout", "wckpt")}
+    os.makedirs(paths["in"])
+    yield paths
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+
+def _write_batch(spark, path, first_conv, n_convs, batch_name):
+    rows = []
+    for seq in range(first_conv, first_conv + n_convs):
+        rows.extend(fixtures.conversation_rows(seq, skew=False))
+    from ocr_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    df.coalesce(2).write.mode("overwrite").parquet(os.path.join(path, batch_name))
+
+
+def _sorted_extract(df):
+    return [
+        (r.conv_id, r.turn_idx, r.kind, r.extracted_text, r.parse_ok)
+        for r in df.select("conv_id", "turn_idx", "kind", "extracted_text", "parse_ok")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+
+
+def test_stream_extract_is_incremental_and_exactly_once(spark, dirs):
+    _write_batch(spark, dirs["in"], 0, 12, "b1")
+    q = stream_extract(spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"])
+    q.awaitTermination()
+    got1 = _sorted_extract(spark.read.parquet(dirs["out"]))
+    want1 = _sorted_extract(extract(spark.read.parquet(dirs["in"] + "/b1")))
+    assert got1 == want1
+
+    # second batch arrives; re-run drains ONLY the new files (checkpoint)
+    _write_batch(spark, dirs["in"], 12, 8, "b2")
+    q = stream_extract(spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"])
+    q.awaitTermination()
+    got2 = _sorted_extract(spark.read.parquet(dirs["out"]))
+    want2 = _sorted_extract(extract(spark.read.parquet(dirs["in"] + "/*")))
+    assert got2 == want2
+
+    # re-running with no new input adds nothing (exactly-once)
+    q = stream_extract(spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"])
+    q.awaitTermination()
+    assert _sorted_extract(spark.read.parquet(dirs["out"])) == want2
+
+
+def test_windowed_counts_append_emits_closed_windows(spark, dirs):
+    _write_batch(spark, dirs["in"], 0, 30, "b1")
+    q = run_windowed_stream(
+        spark, dirs["in"] + "/*", dirs["wout"], dirs["wckpt"],
+        window="1 hour", watermark="30 minutes",
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(dirs["wout"]).collect()
+    assert emitted, "watermark should have closed at least one window"
+
+    batch = {
+        (r.win_start, r.role): (r.n_turns, r.chars)
+        for r in windowed_turn_counts(spark.read.parquet(dirs["in"] + "/b1")).collect()
+    }
+    # every emitted (closed) window must equal the batch computation
+    for r in emitted:
+        assert batch[(r.win_start, r.role)] == (r.n_turns, r.chars)
+    # windows still inside the watermark are withheld, so emitted <= batch
+    assert len(emitted) <= len(batch)
+
+
+def test_stateful_conv_progress_accumulates(spark, dirs):
+    _write_batch(spark, dirs["in"], 0, 10, "b1")
+    stream = read_transcript_stream(spark, dirs["in"] + "/*")
+    q = (
+        stateful_conv_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.conv_id: (r.turns_done, r.bytes_done, r.max_turn_idx)
+        for r in spark.sql(
+            "select conv_id, max(turns_done) turns_done, max(bytes_done) bytes_done,"
+            " max(max_turn_idx) max_turn_idx from conv_progress group by conv_id"
+        ).collect()
+    }
+    want = {
+        r.conv_id: (r.t, r.b, r.m)
+        for r in spark.read.parquet(dirs["in"] + "/b1")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("t"),
+            F.sum(F.length("text")).alias("b"),
+            F.max("turn_idx").alias("m"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": Q.q_tpch_q3,
         "dim_broadcast_join": Q.q_dim_broadcast_join,
         "semi_join_exists": Q.q_semi_join_exists,
+        "set_ops": Q.q_set_ops,
+        "distinct_agg": Q.q_distinct_agg,
+        "cube_totals": Q.q_cube_totals,
+        "median_value_per_type": Q.q_median_value_per_type,
         # similarity search over embeddings
         "embedding_norms": Q.q_embedding_norms,
         "cosine_topk": Q.q_cosine_topk,

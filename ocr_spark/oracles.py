@@ -569,3 +569,40 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# set ops / distinct aggregates / multi-dim aggregates
+# ---------------------------------------------------------------------------
+
+ORACLES["set_ops"] = """
+SELECT doc_id, 'except' AS op FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  EXCEPT ALL
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+)
+UNION ALL
+SELECT doc_id, 'intersect' AS op FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+ORACLES["distinct_agg"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+ORACLES["cube_totals"] = """
+SELECT event_type, CAST(user_id % 4 AS INT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY CUBE (event_type, (CAST(user_id % 4 AS INT)))
+"""
+
+ORACLES["median_value_per_type"] = """
+SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
+FROM events GROUP BY event_type
+"""

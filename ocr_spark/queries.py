@@ -876,3 +876,44 @@ def q_tumbling_window_counts(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# set ops / distinct aggregates / multi-dim aggregates (A9 + beyond-reference)
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark, sf_dir):
+    """EXCEPT ALL + INTERSECT of two deterministic doc_id subsets, tagged."""
+    doc = _t(spark, sf_dir, "documents")
+    a = doc.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    b = doc.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    ex = a.exceptAll(b).withColumn("op", F.lit("except"))
+    it = a.intersect(b).withColumn("op", F.lit("intersect"))
+    return ex.unionByName(it)
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Distinct-count aggregate (exact) per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+def q_cube_totals(spark, sf_dir):
+    """CUBE over (event_type, user bucket): all subtotal combinations."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("int")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+
+
+def q_median_value_per_type(spark, sf_dir):
+    """Exact interpolated median of value per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value")
+    )

@@ -1,0 +1,104 @@
+"""Physical-plan hygiene tests (the 100 TB checklist, SURVEY §4).
+
+These pin the *shape* of the plans Catalyst produces, not just results:
+filters and projections must reach the parquet scan, small dimensions
+must broadcast, the extraction stage must stay narrow, and the salted
+rollup must be exactly two exchanges. A regression here is a silent
+10-100x at scale even though every correctness test stays green.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import ocr_spark.queries as Q
+from ocr_spark import fixtures
+from ocr_spark.operators.aggregate import conv_text_salted
+from ocr_spark.operators.extract import extract, salt_repartition
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def n_ops(p: str, op: str) -> int:
+    """Count physical operators via their '(N) Op' detail headers
+    (formatted mode prints each node in the tree AND a detail section)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}", p, flags=re.MULTILINE))
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    p = plan(Q.q_tpch_q6(spark, SF_DIR))
+    assert "PushedFilters:" in p
+    # the shipdate/discount/quantity predicates must be pushed, not post-scan
+    assert "GreaterThanOrEqual(l_shipdate" in p or "GreaterThanOrEqual(l_disc" in p
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    p = plan(Q.q_tpch_q6(spark, SF_DIR))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    schema_line = read[0]
+    # q6 needs 4 columns; the 11-column lineitem must be pruned
+    assert "l_returnflag" not in schema_line and "l_orderkey" not in schema_line
+
+
+def test_small_dimension_join_broadcasts(spark):
+    p = plan(Q.q_dim_broadcast_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+@pytest.fixture(scope="module")
+def transcripts_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    fixtures.transcripts_df(spark, 20).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_extract_is_narrow(spark, transcripts_parquet):
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan(extract(t))
+    # scan -> mapInPandas, zero shuffles
+    assert n_ops(p, "Exchange") == 0
+
+
+def test_salted_rollup_is_two_phase(spark, transcripts_parquet):
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan(conv_text_salted(extract(salt_repartition(t, 8))))
+    # exchanges: salt repartition + bucket-agg shuffle + conv-agg shuffle
+    assert n_ops(p, "Exchange") == 3
+    assert "MapInPandas" in p
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    # AQE hides codegen spans pre-execution; ask codegen mode directly
+    p = plan(Q.q_tpch_q1(spark, SF_DIR), mode="codegen")
+    assert "WholeStageCodegen" in p
+
+
+def test_aggregation_is_two_phase_partial_final(spark):
+    p = plan(Q.q_tpch_q1(spark, SF_DIR), mode="simple")
+    assert "partial_sum" in p  # map-side combine before the shuffle
+
+
+def test_cleanup_normalize_stays_jvm_side(spark):
+    # T5 is pure builtins — no python evaluation node may appear
+    p = plan(Q.q_t5_cleanup_normalize(spark, SF_DIR))
+    assert "Python" not in p and "mapInPandas" not in p
+
+
+def test_lsh_candidates_never_cross_join(spark):
+    for fn in (Q.q_minhash_lsh_pairs, Q.q_simhash_near_dup, Q.q_embedding_near_dup):
+        p = plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, fn

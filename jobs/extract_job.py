@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline (north rule:
+"launched via spark-submit --py-files on multi-executor clusters").
+
+    spark-submit --master <cluster> --py-files ocr_spark.zip \
+        jobs/extract_job.py --input /path/transcripts_parquet \
+        --output /path/out --salt-partitions 512
+
+Runs the resumable snapshot pipeline (anti-join against committed
+snapshots -> salted vectorized extraction -> atomic snapshot commit with
+per-partition lineage/metrics) and then the ordered conversation rollup
+to ``<output>/conv_text``. Re-running after a kill resumes from the last
+committed snapshot. Prints a one-line JSON summary on completion.
+
+Package the py-files zip with:  python tools/make_pyfiles.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--output", required=True, help="output root (snapshots+rollup)")
+    ap.add_argument("--salt-partitions", type=int, default=0,
+                    help="salted repartition width (0 = scan partitioning)")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    # spark-submit provides master/conf; build on whatever it gives us.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("ocr_spark_extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ocr_spark.operators.aggregate import conv_text_salted
+    from ocr_spark.operators.extract import salt_repartition
+    from ocr_spark.pipeline import read_metrics, run_resumable
+
+    t0 = time.time()
+    transcripts = spark.read.parquet(args.input)
+    if args.salt_partitions:
+        transcripts = salt_repartition(transcripts, args.salt_partitions)
+    snap_root = os.path.join(args.output, "extracted")
+    committed = run_resumable(spark, transcripts, snap_root, run_id=args.run_id)
+    rollup_dir = os.path.join(args.output, "conv_text")
+    conv_text_salted(committed).write.mode("overwrite").parquet(rollup_dir)
+
+    metrics = read_metrics(spark, snap_root)
+    summary = {
+        "turns_committed": committed.count(),
+        "conversations": spark.read.parquet(rollup_dir).count(),
+        "parse_failures": (
+            metrics.groupBy().sum("parse_failures").collect()[0][0] if metrics else None
+        ),
+        "wall_s": round(time.time() - t0, 1),
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: F401
 
 from ocr_spark.operators.aggregate import conv_text_salted, partition_metrics
 from ocr_spark.operators.extract import extract, extract_deduped, salt_repartition
@@ -72,13 +72,25 @@ def read_snapshots(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
-def run_resumable(spark: SparkSession, transcripts: DataFrame, out_root: str) -> DataFrame:
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    run_id: str | None = None,
+) -> DataFrame:
     """Extract only the turns not yet in a committed snapshot, then append.
 
     Returns the full committed ``extracted`` table after the run. Running
     twice on the same input is a no-op the second time; a run killed
     before commit leaves no visible partial state (marker-gated reads).
+
+    Each committed snapshot also gets a per-partition lineage/metrics
+    table under ``<out_root>/metrics/snapshot=N`` (run_id, snapshot,
+    partition_id, turns in/out, bytes in/out, parse failures — ≙ the
+    reference's stats + progress rows, SURVEY §1.3), computed from the
+    committed parquet so the numbers describe exactly what readers see.
     """
+    run_id = run_id or uuid.uuid4().hex[:12]
     existing = read_snapshots(spark, out_root)
     todo = transcripts
     if existing is not None:
@@ -88,7 +100,25 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame, out_root: str) ->
     snap_dir = os.path.join(out_root, f"snapshot={snap_idx}")
     extracted = run_extraction(todo)
     extracted.write.mode("overwrite").parquet(snap_dir)
+    metrics = partition_metrics(
+        spark.read.parquet(snap_dir), run_id=run_id
+    ).withColumn("snapshot", F.lit(snap_idx))
+    metrics.write.mode("overwrite").parquet(
+        os.path.join(out_root, "metrics", f"snapshot={snap_idx}")
+    )
     # job succeeded -> publish the snapshot
     with open(os.path.join(snap_dir, _MARKER), "w") as fh:
         fh.write("ok\n")
     return read_snapshots(spark, out_root)
+
+
+def read_metrics(spark: SparkSession, out_root: str) -> DataFrame | None:
+    """All lineage/metrics rows for committed snapshots under out_root."""
+    paths = [
+        os.path.join(out_root, "metrics", os.path.basename(p))
+        for p in _committed_snapshots(out_root)
+        if os.path.isdir(os.path.join(out_root, "metrics", os.path.basename(p)))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)

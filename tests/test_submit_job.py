@@ -1,0 +1,61 @@
+"""End-to-end spark-submit --py-files launch (north-rule launch path):
+package the engine, submit the extraction job against parquet input in a
+fresh JVM, resume it, and check snapshots + metrics + rollup outputs."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _submit(zip_path, input_dir, out_dir, extra=()):
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "extract_job.py"),
+        "--input", input_dir,
+        "--output", out_dir,
+        *extra,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    from ocr_spark import fixtures
+    from tools.make_pyfiles import build
+
+    input_dir = str(tmp_path / "transcripts")
+    fixtures.transcripts_df(spark, 10).write.mode("overwrite").parquet(input_dir)
+    n_turns = spark.read.parquet(input_dir).count()
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    out_dir = str(tmp_path / "out")
+
+    summary = _submit(zip_path, input_dir, out_dir, ("--salt-partitions", "8"))
+    assert summary["turns_committed"] == n_turns
+    assert summary["conversations"] == 10
+    assert summary["parse_failures"] is not None
+
+    # committed snapshot + metrics tables exist and reconcile
+    extracted = spark.read.parquet(os.path.join(out_dir, "extracted", "snapshot=0"))
+    assert extracted.count() == n_turns
+    metrics = spark.read.parquet(os.path.join(out_dir, "extracted", "metrics"))
+    assert metrics.groupBy().sum("turns_in").collect()[0][0] == n_turns
+
+    # resume in a fresh JVM: nothing new to do, output unchanged
+    summary2 = _submit(zip_path, input_dir, out_dir)
+    assert summary2["turns_committed"] == n_turns
+    snap1 = spark.read.parquet(os.path.join(out_dir, "extracted", "snapshot=1"))
+    assert snap1.count() == 0

@@ -123,32 +123,85 @@ def extract(transcripts: DataFrame) -> DataFrame:
     )
 
 
+_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "dup_keys",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("conv_id", T.StringType(), False),
+                        T.StructField("turn_idx", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        *[f for f in EXTRACTED_SCHEMA.fields if f.name not in ("conv_id", "turn_idx")],
+    ]
+)
+
+
+def _extract_dedup_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in _DEDUP_SCHEMA.fields]
+    for pdf in batches:
+        texts = pdf["text"].to_numpy()
+        tools = pdf["tool"].to_numpy()
+        keys = pdf["dup_keys"].to_numpy()
+        out = {name: [] for name in cols}
+        for i in range(len(pdf)):
+            text = texts[i] or ""
+            tool = tools[i] or ""
+            row = extract_turn(text, tool)
+            out["dup_keys"].append(keys[i])
+            out["kind"].append(row["kind"])
+            out["extracted_text"].append(row["extracted_text"])
+            out["spans"].append([{"start": s, "end": e} for s, e in row["spans"]])
+            out["lines"].append(row["lines"])
+            out["blocks"].append(row["blocks"])
+            out["parse_ok"].append(row["parse_ok"])
+            out["error"].append(row["error"])
+            out["bytes_in"].append(len(text.encode()) + len(tool.encode()))
+        yield pd.DataFrame(out, columns=cols)
+
+
 def extract_deduped(transcripts: DataFrame) -> DataFrame:
     """A6 memoization: run the Python stage once per unique payload.
 
     ≙ reference cache keyed by sha256(content) (`utils/encoding.py:42-54`,
-    `tasks/ocr_tasks.py:45-91`): dedupe-before-UDF, then fan results back
-    to every (conv_id, turn_idx) with an equi-join on the hash.
+    `tasks/ocr_tasks.py:45-91`). Shape: ONE shuffle — ``groupBy(sha)``
+    collects every (conv_id, turn_idx) bearing that payload, the UDF runs
+    once per unique payload with the key list passed through the Arrow
+    batch, and an ``explode`` fans the result back out. No second
+    shuffle, no wide sort-merge join of nested results (the naive
+    dedupe-then-join plan costs ~2x the narrow extraction; this one
+    costs one aggregation of the input).
+
+    Pays off when the UDF is expensive (real OCR inference) or the
+    duplicate rate is high; for a cheap parser on mostly-unique data
+    prefer plain ``extract`` (see bench.py).
     """
     keyed = transcripts.select(
+        F.sha2(F.concat_ws("\x1f", F.col("text"), F.col("tool")), 256).alias("payload_sha"),
         "conv_id",
         "turn_idx",
-        F.sha2(F.concat_ws("\x1f", F.col("text"), F.col("tool")), 256).alias("payload_sha"),
         "text",
         "tool",
     )
-    uniq = keyed.select("payload_sha", "text", "tool").dropDuplicates(["payload_sha"])
-    # extract over unique payloads, carrying the hash through as conv_id slot
-    uniq_in = uniq.select(
-        F.col("payload_sha").alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        "text",
-        "tool",
+    grouped = keyed.groupBy("payload_sha").agg(
+        F.first("text").alias("text"),
+        F.first("tool").alias("tool"),
+        F.collect_list(F.struct("conv_id", "turn_idx")).alias("dup_keys"),
     )
-    uniq_out = extract(uniq_in).withColumnRenamed("conv_id", "payload_sha").drop("turn_idx")
-    return keyed.select("conv_id", "turn_idx", "payload_sha").join(
-        uniq_out, "payload_sha", "left"
-    ).drop("payload_sha")
+    uniq_out = grouped.select("text", "tool", "dup_keys").mapInPandas(
+        _extract_dedup_batches, _DEDUP_SCHEMA
+    )
+    rest = [f.name for f in EXTRACTED_SCHEMA.fields if f.name not in ("conv_id", "turn_idx")]
+    return uniq_out.select(F.explode("dup_keys").alias("k"), *rest).select(
+        F.col("k.conv_id").alias("conv_id"),
+        F.col("k.turn_idx").alias("turn_idx"),
+        *rest,
+    )
 
 
 def salt_repartition(transcripts: DataFrame, num_partitions: int, bucket_turns: int = 256) -> DataFrame:

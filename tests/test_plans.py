@@ -98,6 +98,17 @@ def test_cleanup_normalize_stays_jvm_side(spark):
     assert "Python" not in p and "mapInPandas" not in p
 
 
+def test_dedupe_memoization_is_single_shuffle(spark, transcripts_parquet):
+    from ocr_spark.operators.extract import extract_deduped
+
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan(extract_deduped(t))
+    # groupBy(sha) is the only exchange; fan-back is an explode, never a
+    # second shuffle or a wide sort-merge join of the nested results
+    assert n_ops(p, "Exchange") == 1
+    assert "SortMergeJoin" not in p and "Generate" in p
+
+
 def test_lsh_candidates_never_cross_join(spark):
     for fn in (Q.q_minhash_lsh_pairs, Q.q_simhash_near_dup, Q.q_embedding_near_dup):
         p = plan(fn(spark, SF_DIR))

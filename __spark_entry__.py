@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": Q.q_quality_score,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "minhash_signature": Q.q_minhash_signature,
+        "token_count_bpe": Q.q_token_count_bpe,
+        "lang_id_script": Q.q_lang_id_script,
+        "rolling_hash_fingerprint": Q.q_rolling_hash_fingerprint,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
         "simhash_fingerprint": Q.q_simhash_fingerprint,
         "simhash_near_dup": Q.q_simhash_near_dup,

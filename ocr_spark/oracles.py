@@ -606,3 +606,36 @@ ORACLES["median_value_per_type"] = """
 SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# text analysis, part 2
+# ---------------------------------------------------------------------------
+
+ORACLES["token_count_bpe"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["lang_id_script"] = """
+SELECT doc_id,
+       round(CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS cjk_ratio,
+       CASE WHEN round(CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) > 0.05
+            THEN 'cjk' ELSE 'latin-ish' END AS script_guess
+FROM documents
+"""
+
+ORACLES["rolling_hash_fingerprint"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT)),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+FROM toks
+"""

@@ -917,3 +917,50 @@ def q_median_value_per_type(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis, part 2 (BPE-ish tokens / script lang-id / rolling hash)
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"  # \\s: SQL literal unescaping
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword-boundary token count: letter runs, digit runs, and
+    punctuation runs each count separately (vs whitespace token_count)."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_PATTERN}', 0))")
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def q_lang_id_script(spark, sf_dir):
+    """Unicode-script language ID: CJK codepoint density routes cjk vs
+    latin-ish (complements the stopword-density heuristic)."""
+    doc = _t(spark, sf_dir, "documents")
+    n_cjk = F.expr("size(regexp_extract_all(text, '[一-鿿]', 0))")
+    ratio = F.round(n_cjk / F.greatest(F.length("text"), F.lit(1)), 6)
+    return doc.select(
+        "doc_id",
+        ratio.alias("cjk_ratio"),
+        F.when(ratio > 0.05, "cjk").otherwise("latin-ish").alias("script_guess"),
+    )
+
+
+def q_rolling_hash_fingerprint(spark, sf_dir):
+    """Order-sensitive polynomial rolling hash over word tokens
+    (h = fold(h*31 + md5_64(token) mod p)) — reordering-sensitive
+    fingerprint, unlike the bag-of-words md5 in doc_fingerprint."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(toks, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)),"
+            " cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 1000000007)"
+        ).alias("rolling_hash"),
+    )

@@ -1,0 +1,141 @@
+"""Property-based checks over the frozen oracle (hypothesis, seeded by
+its deterministic default profile; stdlib-only oracle = fast, no Spark).
+
+These are the SURVEY §5.4 invariants: cleanup idempotence, span
+correspondence, confidence-filter monotonicity, extractor totality
+(never raises, any input), and aggregation count consistency.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_spark.oracle import (
+    aggregate_conversation,
+    clean_text,
+    clean_text_with_spans,
+    extract_turn,
+    parse_ocr_lines,
+    strip_html,
+)
+from ocr_spark.oracle.payloads import filter_by_confidence
+
+text_like = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=400
+)
+wsp_heavy = st.text(alphabet=" \t\nabc<>/.", max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_like)
+def test_cleanup_idempotent(s):
+    once = clean_text(s)
+    assert clean_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(wsp_heavy)
+def test_cleanup_spans_reconstruct_output(s):
+    cleaned, spans = clean_text_with_spans(s)
+    # every span indexes the raw input, in order, non-overlapping
+    prev_end = 0
+    for start, end in spans:
+        assert 0 <= start < end <= len(s)
+        assert start >= prev_end
+        prev_end = end
+    # the characters the spans keep are exactly the cleaned text's
+    # non-synthesized characters: cleaned must be reconstructable from the
+    # raw slices modulo the whitespace the cleaner itself rewrites
+    kept = "".join(s[a:b] for a, b in spans)
+    assert clean_text(kept) == cleaned
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=8), st.floats(0, 1), st.booleans()), max_size=20
+    )
+)
+def test_confidence_filter_monotone(items):
+    lines = [
+        {"text": t, "confidence": c, "bbox": [0.0] * 8} for (t, c, _b) in items
+    ]
+    kept_50 = filter_by_confidence(lines, 0.5)
+    kept_80 = filter_by_confidence(lines, 0.8)
+    assert len(kept_80) <= len(kept_50) <= len(lines)
+    assert all(l["confidence"] >= 0.8 for l in kept_80)
+    # raising the threshold keeps a subset, preserving order
+    ids_50 = [id(l) for l in kept_50]
+    assert [i for i in ids_50 if i in {id(l) for l in kept_80}] == [id(l) for l in kept_80]
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_like, text_like)
+def test_extract_turn_total_and_deterministic(text, tool):
+    row1 = extract_turn(text, tool)
+    row2 = extract_turn(text, tool)
+    assert row1 == row2
+    assert row1["kind"] in {"text", "html", "pdf_blocks", "ocr_lines", "error", "short"}
+    assert isinstance(row1["parse_ok"], bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>abp/ \n\"=href", max_size=200))
+def test_strip_html_never_emits_tags(s):
+    text, _spans = strip_html(s)
+    assert not re.search(r"</?[a-zA-Z][^>]*>", text)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["text", "html", "ocr_lines", "error"]), st.text(max_size=30)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_aggregate_counts_consistent(turns):
+    rows = [(i, k, t) for i, (k, t) in enumerate(turns)]
+    agg = aggregate_conversation(rows)
+    assert agg["n_turns"] == len(rows)
+    assert agg["n_text"] + agg["n_ocr"] <= agg["n_turns"]
+    # full_text contains every non-blank turn text in order; input order
+    # must not matter (stable sort by turn_idx)
+    non_blank = [t for (_i, _k, t) in rows if t and t.strip()]
+    assert agg["full_text"] == "\n\n".join(non_blank)
+    assert aggregate_conversation(list(reversed(rows))) == agg
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=100))
+def test_malformed_payload_never_raises(payload):
+    # any tool payload: worst case is parse_ok=False, never an exception
+    row = extract_turn("caption", payload)
+    assert isinstance(row["parse_ok"], bool)
+    lines, _text, ok, error = parse_ocr_lines(payload)
+    assert isinstance(lines, list) and isinstance(ok, bool)
+    assert ok or error
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.floats(0, 1), min_size=1, max_size=8),
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=8),
+)
+def test_ocr_lines_confidence_threshold_exact(scores, texts):
+    n = min(len(scores), len(texts))
+    payload = json.dumps(
+        {
+            "rec_texts": texts[:n],
+            "rec_scores": scores[:n],
+            "dt_polys": [[[0, 0], [1, 0], [1, 1], [0, 1]]] * n,
+        }
+    )
+    lines, _text, ok, _err = parse_ocr_lines(payload, min_confidence=0.5)
+    assert ok
+    assert all(l["confidence"] >= 0.5 for l in lines)
+    expect = sum(1 for s in scores[:n] if s >= 0.5)
+    assert len(lines) == expect

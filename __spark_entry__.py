@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": Q.q_cosine_topk,
         "lsh_sign_buckets": Q.q_lsh_sign_buckets,
         "ann_bucketed_topk": Q.q_ann_bucketed_topk,
+        "ivf_cluster_sizes": Q.q_ivf_cluster_sizes,
+        "ivf_search_topk": Q.q_ivf_search_topk,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "conv_rollup": _q_conv_rollup,

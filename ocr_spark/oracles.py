@@ -639,3 +639,51 @@ SELECT doc_id,
          (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
 FROM toks
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+_IVF_ASSIGN = """
+emb AS (
+  SELECT vec_id, embedding, CAST(vec_id % 8 AS INT) AS c0 FROM embeddings
+), dims AS (
+  SELECT c0, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM emb
+), cmeans AS (
+  SELECT c0, pos, avg(x) AS m FROM dims GROUP BY c0, pos
+), centroids AS (
+  SELECT c0, list(m ORDER BY pos) AS centroid FROM cmeans GROUP BY c0
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.c0,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> (e.embedding[i]::DOUBLE - c.centroid[i])
+              * (e.embedding[i]::DOUBLE - c.centroid[i]))) AS dist
+  FROM emb e, centroids c
+), assigned AS (
+  SELECT vec_id, embedding, c0 AS cluster
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c0 ASC) = 1
+)
+"""
+
+ORACLES["ivf_cluster_sizes"] = f"""
+WITH {_IVF_ASSIGN}
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM assigned GROUP BY cluster
+"""
+
+ORACLES["ivf_search_topk"] = f"""
+WITH {_IVF_ASSIGN}, q AS (
+  SELECT embedding AS qe, cluster AS qc FROM assigned WHERE vec_id = 0
+)
+SELECT vec_id,
+       round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
+FROM assigned, q
+WHERE vec_id <> 0 AND cluster = qc
+QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
+"""

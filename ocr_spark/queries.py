@@ -964,3 +964,82 @@ def q_rolling_hash_fingerprint(spark, sf_dir):
             " cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 1000000007)"
         ).alias("rolling_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor (the coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+
+
+def _ivf_assignments(spark, sf_dir):
+    """Deterministic simplified IVF train: init clusters by vec_id % k,
+    centroids = element-wise means, one Lloyd reassignment by L2.
+
+    Scale shape: centroids are k tiny rows -> broadcast join against the
+    vector table (never a shuffle of the vectors); the element-wise mean
+    is a posexplode + (cluster, dim) aggregation — fully distributed.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % _IVF_K).cast("int").alias("c0")
+    )
+    dims = emb.select(
+        "c0", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    centroids = (
+        dims.groupBy("c0", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("c0")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias(
+                "centroid"
+            )
+        )
+    )
+    dist = (
+        "aggregate(zip_with(embedding, centroid, (x, c) -> (cast(x as double) - c) *"
+        " (cast(x as double) - c)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    centroids = centroids.withColumnRenamed("c0", "cc")
+    scored = emb.drop("c0").join(F.broadcast(centroids)).withColumn("dist", F.expr(dist))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cc").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cc").alias("cluster"))
+    )
+
+
+def q_ivf_cluster_sizes(spark, sf_dir):
+    """IVF index structure: vectors per cluster after one Lloyd step."""
+    return (
+        _ivf_assignments(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        )
+    )
+
+
+def q_ivf_search_topk(spark, sf_dir):
+    """IVF probe: search only the query's cluster (nprobe=1), exact cosine
+    within it — the ANN scale path vs the brute-force cosine_topk."""
+    assigned = _ivf_assignments(spark, sf_dir)
+    query = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("cluster").alias("q_cluster")
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(query), F.col("cluster") == F.col("q_cluster"))
+        .withColumn(
+            "cosine", F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4)
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("vec_id", "cosine")
+    )

@@ -78,7 +78,7 @@ def test_salted_rollup_is_two_phase(spark, transcripts_parquet):
     p = plan(conv_text_salted(extract(salt_repartition(t, 8))))
     # exchanges: salt repartition + bucket-agg shuffle + conv-agg shuffle
     assert n_ops(p, "Exchange") == 3
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p or "MapInPandas" in p
 
 
 def test_whole_stage_codegen_covers_relational_ops(spark):

@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_batch_summary": Q.q_a4_batch_summary,
         "f5_validation_predicates": Q.q_f5_validation_predicates,
         "sessionize": Q.q_sessionize,
+        "session_window_agg": Q.q_session_window_agg,
         "event_type_rollup": Q.q_event_type_rollup,
         # relational coverage
         "tpch_q1": Q.q_tpch_q1,

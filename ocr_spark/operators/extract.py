@@ -322,3 +322,37 @@ def extract_arrow(transcripts: DataFrame) -> DataFrame:
     return transcripts.select("conv_id", "turn_idx", "text", "tool").mapInArrow(
         _extract_arrow_batches, EXTRACTED_SCHEMA
     )
+
+
+def maybe_salt(
+    transcripts: DataFrame,
+    num_partitions: int,
+    skew_ratio: float = 8.0,
+    sample_fraction: float = 0.05,
+    bucket_turns: int = 256,
+) -> tuple[DataFrame, bool]:
+    """Adaptive P5: decide salting from a sampled skew probe.
+
+    One cheap sampled aggregation estimates per-conversation turn counts;
+    if the largest conversation exceeds ``skew_ratio`` x the mean, the
+    shuffle key is salted (``salt_repartition``), else a plain
+    conversation-keyed repartition keeps conversations whole (cheaper
+    rollups downstream). Returns (df, salted) so callers can log the
+    decision into lineage. The probe reads only conv_id (column-pruned)
+    from a fraction of the data — at 100 TB that is one narrow sampled
+    scan, not a full pass.
+    """
+    probe = (
+        transcripts.select("conv_id")
+        .sample(fraction=sample_fraction, seed=42)
+        .groupBy("conv_id")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+        .first()
+    )
+    skewed = bool(
+        probe and probe["mx"] and probe["avg"] and probe["mx"] / probe["avg"] >= skew_ratio
+    )
+    if skewed:
+        return salt_repartition(transcripts, num_partitions, bucket_turns), True
+    return transcripts.repartition(num_partitions, "conv_id"), False

@@ -1043,3 +1043,24 @@ def q_ivf_search_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("vec_id", "cosine")
     )
+
+
+def q_session_window_agg(spark, sf_dir):
+    """Native session windows (gap-based, the streaming-capable operator —
+    vs the manual lag/cumsum in q_sessionize): 30-minute inactivity gap
+    per user; window end = last event + gap."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(to_utc_timestamp(sw.start, 'UTC'))").alias("session_start_us"),
+            F.expr("unix_micros(to_utc_timestamp(sw.end, 'UTC'))").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

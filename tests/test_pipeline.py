@@ -89,3 +89,24 @@ def test_skew_spread_across_partitions(spark):
     counts = [r["count"] for r in per_part]
     assert len(counts) > 4  # spread, not hot-spotted
     assert max(counts) <= 128 * 3  # no partition holds the whole conversation
+
+
+def test_maybe_salt_detects_skew(spark):
+    from ocr_spark.operators.extract import maybe_salt
+
+    uniform = [
+        (f"c{c}", i, "user", "text", "", fixtures.EPOCH)
+        for c in range(50)
+        for i in range(20)
+    ]
+    udf_ = spark.createDataFrame(uniform, fixtures.TRANSCRIPT_COLUMNS)
+    _, salted = maybe_salt(udf_, 8, sample_fraction=1.0)
+    assert salted is False
+
+    skewed = uniform + [
+        ("giant", i, "user", "text", "", fixtures.EPOCH) for i in range(5000)
+    ]
+    sdf = spark.createDataFrame(skewed, fixtures.TRANSCRIPT_COLUMNS)
+    out, salted = maybe_salt(sdf, 8, sample_fraction=1.0)
+    assert salted is True
+    assert out.count() == len(skewed)

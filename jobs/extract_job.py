@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output root (snapshots+rollup)")
     ap.add_argument("--salt-partitions", type=int, default=0,
                     help="salted repartition width (0 = scan partitioning)")
+    ap.add_argument("--auto-salt", type=int, default=0, metavar="N",
+                    help="probe for skew and salt to N partitions only if "
+                         "a conversation dominates (maybe_salt)")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -47,13 +50,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from ocr_spark.operators.aggregate import conv_text_salted
-    from ocr_spark.operators.extract import salt_repartition
+    from ocr_spark.operators.extract import maybe_salt, salt_repartition
     from ocr_spark.pipeline import read_metrics, run_resumable
 
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
-    if args.salt_partitions:
+    salted = False
+    if args.auto_salt:
+        transcripts, salted = maybe_salt(transcripts, args.auto_salt)
+    elif args.salt_partitions:
         transcripts = salt_repartition(transcripts, args.salt_partitions)
+        salted = True
     snap_root = os.path.join(args.output, "extracted")
     committed = run_resumable(spark, transcripts, snap_root, run_id=args.run_id)
     rollup_dir = os.path.join(args.output, "conv_text")
@@ -67,6 +74,7 @@ def main() -> None:
             metrics.groupBy().sum("parse_failures").collect()[0][0] if metrics else None
         ),
         "wall_s": round(time.time() - t0, 1),
+        "salted": salted,
         "output": args.output,
     }
     print(json.dumps(summary))

@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": Q.q_mm_frame_sample,
         # streaming twin (batch form; streaming path covered in pytest)
         "tumbling_window_counts": Q.q_tumbling_window_counts,
+        "mm_feature_extract": Q.q_mm_feature_extract,
+        "corpus_filter_pipeline": Q.q_corpus_filter_pipeline,
+        "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,
         "a4_batch_summary": Q.q_a4_batch_summary,

@@ -710,3 +710,41 @@ SELECT user_id,
        round(sum(value), 4) AS total_value
 FROM sess GROUP BY user_id, session_id
 """
+
+
+ORACLES["mm_feature_extract"] = """
+SELECT doc_id AS media_id,
+       list_transform(range(0, 8), j ->
+         (CAST(('0x' || substr(md5(md5(text) || '|' || j), 1, 4))::BIGINT AS DOUBLE) % 2000 - 1000) / 1000.0
+       ) AS feature
+FROM documents
+"""
+
+ORACLES["corpus_filter_pipeline"] = r"""
+WITH deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+               * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text)), 6) AS quality
+  FROM deduped WHERE rn = 1
+)
+SELECT doc_id, n_tokens, quality
+FROM scored
+WHERE lang = 'en' AND quality >= 0.3 AND n_tokens <= 200
+"""
+
+ORACLES["tpch_q5ish"] = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""

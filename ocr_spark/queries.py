@@ -1064,3 +1064,61 @@ def q_session_window_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Multimodal feature extraction slot: deterministic fake 8-dim feature
+    vector per media payload via the Arrow-batched decode UDF path (real
+    deployment swaps the md5 arithmetic for a model forward pass in the
+    same mapInArrow slot). Feeds the ANN operators downstream."""
+    from ocr_spark.operators.multimodal import decode_media_meta, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    meta = decode_media_meta(media).select("media_id", "sha")
+    feat = F.expr(
+        "transform(sequence(0, 7), j ->"
+        " (cast(conv(substr(md5(concat(sha, '|', j)), 1, 4), 16, 10) as double) % 2000 - 1000) / 1000.0)"
+    )
+    return meta.select("media_id", feat.alias("feature"))
+
+
+def q_corpus_filter_pipeline(spark, sf_dir):
+    """End-to-end training-corpus filter chain: exact dedupe (keep lowest
+    doc_id per content hash) -> language gate -> quality threshold ->
+    length cap. The composite every data pipeline runs before training."""
+    doc = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.col("doc_id").asc())
+    deduped = doc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    length = F.length("text")
+    punct_ratio = (length - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))) / length
+    quality = F.round(F.least(length, F.lit(400)).cast("double") / 400.0 * (1.0 - punct_ratio), 6)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        deduped.filter(F.col("lang") == "en")
+        .withColumn("quality", quality)
+        .withColumn("n_tokens", n_tokens.cast("bigint"))
+        .filter((F.col("quality") >= 0.3) & (F.col("n_tokens") <= 200))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Regional revenue: 5-way join chain (region->nation->customer->
+    orders->lineitem); Catalyst orders the joins and broadcasts the small
+    dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )

@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_content_hash": Q.q_s3_content_hash,
         "a6_dedup_exact": Q.q_a6_dedup_exact,
         "t9_stats_projection": Q.q_t9_stats_projection,
+        "t11_merge_lines": Q.q_t11_merge_lines,
+        "line_stats_agg": Q.q_line_stats_agg,
+        "value_histogram": Q.q_value_histogram,
         "a3_ordered_concat": Q.q_a3_ordered_concat,
         "a2_ordered_gather": Q.q_a2_ordered_gather,
         "a8_top_k": Q.q_a8_top_k,

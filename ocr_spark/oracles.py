@@ -748,3 +748,55 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """
+
+
+ORACLES["t11_merge_lines"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks
+), yw AS (
+  SELECT doc_id, pos, w,
+         CAST(('0x' || substr(md5(w || '|' || doc_id), 1, 2))::BIGINT AS INT) % 4 AS y
+  FROM words
+), rows_ AS (
+  SELECT doc_id, y,
+         string_agg(w, ' ' ORDER BY pos) AS row_text,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM yw GROUP BY doc_id, y
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_merged_lines,
+       string_agg(row_text, chr(10) ORDER BY y) AS merged_text
+FROM rows_ GROUP BY doc_id
+"""
+
+ORACLES["line_stats_agg"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), lines_ AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), scored AS (
+  SELECT doc_id, w,
+         CAST(('0x' || substr(md5(w), 1, 4))::BIGINT AS DOUBLE) / 65535.0 AS confidence
+  FROM lines_
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total_lines,
+       CAST(sum(length(w)) AS BIGINT) AS total_characters,
+       round(avg(confidence), 6) AS average_confidence,
+       round(min(confidence), 6) AS min_confidence,
+       round(max(confidence), 6) AS max_confidence,
+       CAST(count(*) FILTER (WHERE confidence < 0.5) AS BIGINT) AS low_confidence_lines
+FROM scored GROUP BY doc_id
+"""
+
+ORACLES["value_histogram"] = """
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 100.0 THEN 11
+                 ELSE floor(value / 10.0) + 1 END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events GROUP BY 1
+"""

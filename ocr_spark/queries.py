@@ -1122,3 +1122,66 @@ def q_tpch_q5ish(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
+
+
+def q_t11_merge_lines(spark, sf_dir):
+    """T11 made real (the reference declares merge_similar_lines but ships
+    identity, `text_extractor.py:242-256`): merge OCR lines that share a
+    row (same synthetic y) into one line, reading order preserved."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    words = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos", "w"),
+    ).withColumn(
+        "y",
+        F.expr("cast(conv(substr(md5(concat(w, '|', doc_id)), 1, 2), 16, 10) as int) % 4"),
+    )
+    rows = words.groupBy("doc_id", "y").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))), s -> s.w), ' ')"
+        ).alias("row_text"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+    return rows.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_merged_lines"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(y, row_text))), s -> s.row_text), '\\n')"
+        ).alias("merged_text"),
+    )
+
+
+def q_line_stats_agg(spark, sf_dir):
+    """T9 line_stats over synthesized confidence lines: total/avg/min/max/
+    low-confidence counts (`text_extractor.py:219-240`)."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    lines = toks.select(
+        "doc_id",
+        F.explode("toks").alias("w"),
+    ).withColumn(
+        "confidence",
+        F.expr("cast(conv(substr(md5(w), 1, 4), 16, 10) as double) / 65535.0"),
+    )
+    return lines.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("total_lines"),
+        F.sum(F.length("w")).cast("bigint").alias("total_characters"),
+        F.round(F.avg("confidence"), 6).alias("average_confidence"),
+        F.round(F.min("confidence"), 6).alias("min_confidence"),
+        F.round(F.max("confidence"), 6).alias("max_confidence"),
+        F.expr("count_if(confidence < 0.5)").cast("bigint").alias("low_confidence_lines"),
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event values (width_bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.expr("width_bucket(value, 0.0, 100.0, 10)").cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

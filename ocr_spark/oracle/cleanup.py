@@ -72,17 +72,10 @@ def _merge_intervals(intervals):
     return [(lo, hi) for lo, hi in merged]
 
 
-def clean_text_with_spans(text: str, base_srcs=None):
-    """Cleanup with provenance.
-
-    Returns ``(cleaned, spans)`` where ``cleaned == clean_text(text)`` and
-    ``spans`` is a list of merged ``(start, end)`` half-open offsets into
-    the *raw* input whose characters contributed to the output.
-
-    ``base_srcs`` optionally supplies a pre-existing source interval per
-    input character (used by the HTML stripper, whose input text is
-    already an extraction of a larger raw string).
-    """
+def _clean_text_with_spans_ref(text: str, base_srcs=None):
+    """Reference (per-char) implementation — kept as the parity check for
+    the segment-run fast path below and for the unused ``base_srcs``
+    extension point."""
     if not text:
         return "", []
     chars = list(text)
@@ -104,3 +97,97 @@ def clean_text_with_spans(text: str, base_srcs=None):
     chars = chars[start:end]
     srcs = srcs[start:end]
     return "".join(chars), _merge_intervals(srcs)
+
+
+# ---------------------------------------------------------------------------
+# Segment-run fast path: identical output/spans, O(#matches) python work
+# instead of O(#chars). A segment is (olen, slo, shi, stride): stride=1
+# means char j of the segment sources from raw (slo+j, slo+j+1) (an
+# identity run); stride=0 means every char sources from (slo, shi) (a
+# replacement inheriting the union interval of its matched run).
+# ---------------------------------------------------------------------------
+
+def _consume(segs, idx, off, n, emit):
+    """Advance the (idx, off) cursor n output chars; optionally emit the
+    consumed pieces; returns (idx, off, union_lo, union_hi)."""
+    lo = hi = None
+    while n > 0:
+        olen, slo, shi, stride = segs[idx]
+        take = min(olen - off, n)
+        if stride:
+            a = slo + off
+            piece = (take, a, a + take, 1)
+            plo, phi = a, a + take
+        else:
+            piece = (take, slo, shi, 0)
+            plo, phi = slo, shi
+        if emit is not None:
+            emit.append(piece)
+        if lo is None or plo < lo:
+            lo = plo
+        if hi is None or phi > hi:
+            hi = phi
+        off += take
+        n -= take
+        if off == olen:
+            idx += 1
+            off = 0
+    return idx, off, lo, hi
+
+
+def _sub_segmented(pattern: re.Pattern, repl: str, s: str, segs):
+    out_parts = []
+    new_segs = []
+    pos = idx = off = 0
+    for m in pattern.finditer(s):
+        a, b = m.span()
+        if a > pos:
+            idx, off, _, _ = _consume(segs, idx, off, a - pos, new_segs)
+            out_parts.append(s[pos:a])
+        idx, off, lo, hi = _consume(segs, idx, off, b - a, None)
+        if repl:
+            new_segs.append((len(repl), lo, hi, 0))
+            out_parts.append(repl)
+        pos = b
+    if pos < len(s):
+        idx, off, _, _ = _consume(segs, idx, off, len(s) - pos, new_segs)
+        out_parts.append(s[pos:])
+    return "".join(out_parts), new_segs
+
+
+def clean_text_with_spans(text: str, base_srcs=None):
+    """Cleanup with provenance.
+
+    Returns ``(cleaned, spans)`` where ``cleaned == clean_text(text)`` and
+    ``spans`` is a list of merged ``(start, end)`` half-open offsets into
+    the *raw* input whose characters contributed to the output.
+
+    ``base_srcs`` optionally supplies a pre-existing source interval per
+    input character (falls back to the per-char reference path).
+    """
+    if not text:
+        return "", []
+    if base_srcs is not None:
+        return _clean_text_with_spans_ref(text, base_srcs)
+    segs = [(len(text), 0, len(text), 1)]
+    s, segs = _sub_segmented(_RE_BLANKLINES, "\n\n", text, segs)
+    s, segs = _sub_segmented(_RE_SPACERUNS, " ", s, segs)
+    # strip(): drop leading/trailing whitespace (and its provenance)
+    stripped = s.strip()
+    if not stripped:
+        return "", []
+    start = len(s) - len(s.lstrip())
+    idx = off = 0
+    if start:
+        idx, off, _, _ = _consume(segs, idx, off, start, None)
+    kept: list = []
+    _consume(segs, idx, off, len(stripped), kept)
+    # merge in order (sources are monotonic along the string)
+    spans: list = []
+    for _olen, lo, hi, _stride in kept:
+        if spans and lo <= spans[-1][1]:
+            if hi > spans[-1][1]:
+                spans[-1] = (spans[-1][0], hi)
+        else:
+            spans.append((lo, hi))
+    return stripped, spans

@@ -53,6 +53,14 @@ def test_cleanup_spans_reconstruct_output(s):
     assert clean_text(kept) == cleaned
 
 
+@settings(max_examples=300, deadline=None)
+@given(wsp_heavy)
+def test_cleanup_span_fastpath_matches_reference(s):
+    from ocr_spark.oracle.cleanup import _clean_text_with_spans_ref
+
+    assert clean_text_with_spans(s) == _clean_text_with_spans_ref(s)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(

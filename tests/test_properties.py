@@ -61,6 +61,32 @@ def test_cleanup_span_fastpath_matches_reference(s):
     assert clean_text_with_spans(s) == _clean_text_with_spans_ref(s)
 
 
+html_chars = st.text(alphabet="<>&;/!-?=\"' \n\tabspdivh1scriptyle#x0239", max_size=80)
+html_frags = st.lists(
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div class='x'>", "</div>", '<a href="y">', "</a>",
+            "<br/>", "<script>", "</script>", "var x=1;", "&amp;", "&#65;",
+            "&amp", "&#", "plain prose long enough to keep around here",
+            "<h1>", "</h1>", "<!-- c -->", "<!doctype html>", "<?pi?>",
+            "&y-r-t", "< ", "&", "<", "<style>", "</style>", "<ul>", "<li>",
+            "</li>", "</ul>", "text & more", "\n\n",
+        ]
+    ),
+    max_size=20,
+).map("".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.one_of(html_chars, html_frags))
+def test_html_fast_tokenizer_matches_stdlib(s):
+    from ocr_spark.oracle.html_strip import _fast_parse, _strip_html_stdlib
+
+    if _fast_parse(s) is None:
+        return  # fallback path IS the stdlib parser
+    assert strip_html(s) == _strip_html_stdlib(s)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(

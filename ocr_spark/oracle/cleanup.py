@@ -21,14 +21,21 @@ import re
 
 _RE_BLANKLINES = re.compile(r"\n\s*\n\s*\n+")
 _RE_SPACERUNS = re.compile(r"[ \t]+")
+# Output-equivalent refinement of [ \t]+: only runs whose replacement by
+# " " actually changes the string (contains a tab, or >=2 spaces). A
+# single " " matched by [ \t]+ is replaced by itself — same char, same
+# per-char provenance — so skipping it changes neither output nor spans,
+# and cuts the match count by ~the word count of typical prose.
+_RE_SPACERUNS_EFFECTIVE = re.compile(r"[ \t]*\t[ \t]*| {2,}")
 
 
 def clean_text(text: str) -> str:
-    """Cleanup normalization, exactly the reference's regex chain."""
+    """Cleanup normalization, exactly the reference's regex chain
+    (_RE_SPACERUNS_EFFECTIVE is output-identical to [ \t]+ -> ' ')."""
     if not text:
         return ""
     text = _RE_BLANKLINES.sub("\n\n", text)
-    text = _RE_SPACERUNS.sub(" ", text)
+    text = _RE_SPACERUNS_EFFECTIVE.sub(" ", text)
     return text.strip()
 
 
@@ -171,7 +178,7 @@ def clean_text_with_spans(text: str, base_srcs=None):
         return _clean_text_with_spans_ref(text, base_srcs)
     segs = [(len(text), 0, len(text), 1)]
     s, segs = _sub_segmented(_RE_BLANKLINES, "\n\n", text, segs)
-    s, segs = _sub_segmented(_RE_SPACERUNS, " ", s, segs)
+    s, segs = _sub_segmented(_RE_SPACERUNS_EFFECTIVE, " ", s, segs)
     # strip(): drop leading/trailing whitespace (and its provenance)
     stripped = s.strip()
     if not stripped:

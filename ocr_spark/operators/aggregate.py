@@ -36,6 +36,9 @@ _JOIN_TURNS = (
 
 def conv_text(extracted: DataFrame) -> DataFrame:
     """extracted -> conv_text(conv_id, full_text, n_turns, n_text, n_ocr)."""
+    # explicit projection: only these four columns may reach the scan
+    # (the snapshot's nested lines/blocks/spans stay unread)
+    extracted = extracted.select("conv_id", "turn_idx", "kind", "extracted_text")
     return extracted.groupBy("conv_id").agg(
         F.expr(_JOIN_TURNS).alias("full_text"),
         F.count("*").cast("int").alias("n_turns"),
@@ -46,6 +49,7 @@ def conv_text(extracted: DataFrame) -> DataFrame:
 
 def conv_text_salted(extracted: DataFrame, bucket_turns: int = 256) -> DataFrame:
     """Two-phase skew-safe variant of ``conv_text`` (P5, SURVEY §2.4)."""
+    extracted = extracted.select("conv_id", "turn_idx", "kind", "extracted_text")
     bucketed = extracted.withColumn(
         "turn_bucket", (F.col("turn_idx") / F.lit(bucket_turns)).cast("int")
     )
@@ -73,7 +77,8 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
     the physical partitioning that actually executed.
     """
     return (
-        extracted.withColumn("partition_id", F.spark_partition_id())
+        extracted.select("parse_ok", "bytes_in", "extracted_text")
+        .withColumn("partition_id", F.spark_partition_id())
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("turns_in"),

@@ -335,9 +335,13 @@ def maybe_salt(
 
     One cheap sampled aggregation estimates per-conversation turn counts;
     if the largest conversation exceeds ``skew_ratio`` x the mean, the
-    shuffle key is salted (``salt_repartition``), else a plain
-    conversation-keyed repartition keeps conversations whole (cheaper
-    rollups downstream). Returns (df, salted) so callers can log the
+    shuffle key is salted (``salt_repartition``). Otherwise the input is
+    left on its scan partitioning: extraction is a narrow map and
+    ``maxPartitionBytes``-bounded splits already balance the work, so a
+    repartition would add a full shuffle of the raw payloads (and its
+    heap churn) for nothing — unless the source arrives in fewer splits
+    than the target parallelism, in which case one conversation-keyed
+    repartition restores it. Returns (df, salted) so callers can log the
     decision into lineage. The probe reads only conv_id (column-pruned)
     from a fraction of the data — at 100 TB that is one narrow sampled
     scan, not a full pass.
@@ -355,4 +359,6 @@ def maybe_salt(
     )
     if skewed:
         return salt_repartition(transcripts, num_partitions, bucket_turns), True
-    return transcripts.repartition(num_partitions, "conv_id"), False
+    if transcripts.rdd.getNumPartitions() < max(num_partitions // 2, 2):
+        return transcripts.repartition(num_partitions, "conv_id"), False
+    return transcripts, False

@@ -53,7 +53,10 @@ def build_session(
         .config("spark.sql.files.openCostInBytes", str(max(max_partition_bytes // 8, 262144)))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
+        # heap sized so a post-UDF aggregation isn't GC-bound by the
+        # extraction stage's shuffle/write garbage (local mode puts the
+        # driver and all 32 executor threads in one JVM)
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "48g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.q_sessionize,
         "session_window_agg": Q.q_session_window_agg,
         "event_type_rollup": Q.q_event_type_rollup,
+        "asof_join_view_value": Q.q_asof_join_view_value,
+        "range_join_click_burst": Q.q_range_join_click_burst,
         # relational coverage
         "tpch_q1": Q.q_tpch_q1,
         "tpch_q6": Q.q_tpch_q6,

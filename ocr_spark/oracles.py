@@ -800,3 +800,31 @@ SELECT CAST(CASE WHEN value < 0.0 THEN 0
        round(max(value), 4) AS hi
 FROM events GROUP BY 1
 """
+
+# independent formulation: correlated latest-row lookup (the Spark side
+# uses a union + carry-forward window instead)
+ORACLES["asof_join_view_value"] = """
+SELECT c.event_id, c.user_id, c.ts,
+       round((SELECT v.value FROM events v
+              WHERE v.event_type = 'view'
+                AND v.user_id = c.user_id
+                AND v.ts <= c.ts
+              ORDER BY v.ts DESC, v.event_id DESC
+              LIMIT 1), 4) AS asof_view_value
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+# independent formulation: direct interval join (the Spark side uses a
+# bucket-quantized equi-join)
+ORACLES["range_join_click_burst"] = """
+SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS clicks_5m
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 5 MINUTE
+ AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""

@@ -1185,3 +1185,81 @@ def q_value_histogram(spark, sf_dir):
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+def q_asof_join_view_value(spark, sf_dir):
+    """As-of join: each 'click' event takes the value of the latest 'view'
+    event by the same user at-or-before its timestamp.
+
+    Spark-first shape: instead of a per-row correlated lookup or a
+    quadratic range join, tag both streams, union them, and carry the
+    last view value forward with ONE window over (user_id, ts) — a
+    single shuffle on the join key, skew-handled by AQE. Ties resolve
+    views-before-clicks, then highest event_id (deterministic).
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("side"), F.col("value").alias("v")
+    )
+    u = clicks.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_view_value", F.round(F.last("v", ignorenulls=True).over(w), 4))
+        .filter("side = 1")
+        .select("event_id", "user_id", "ts", "asof_view_value")
+    )
+
+
+def q_range_join_click_burst(spark, sf_dir):
+    """Range join: per 'error' event, the number of same-user 'click'
+    events in the preceding 5 minutes.
+
+    Spark-first shape: quantize time into 5-minute buckets so the range
+    predicate becomes an equi-join on (user_id, bucket) — each error
+    probes its own and the previous bucket — then the exact range filter
+    prunes the bucket edges. A shuffle-partitioned hash join instead of
+    the broadcast-nested-loop plan a raw BETWEEN join would pick.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win_us = 300 * 1_000_000  # 5 minutes in epoch micros
+    epoch = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+    errors = ev.filter("event_type = 'error'").select(
+        "event_id", "user_id", epoch.alias("t_err")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), epoch.alias("t_click")
+    )
+    bucket = (F.col("t_err") / win_us).cast("long")
+    probe = errors.select(
+        "event_id",
+        "user_id",
+        "t_err",
+        F.explode(F.array(bucket, bucket - 1)).alias("bucket"),
+    )
+    hashed = clicks.withColumn("bucket", (F.col("t_click") / win_us).cast("long"))
+    joined = probe.join(
+        hashed,
+        (probe.user_id == hashed.c_user)
+        & (probe.bucket == hashed.bucket)
+        & (hashed.t_click >= probe.t_err - win_us)
+        & (hashed.t_click < probe.t_err),
+        "inner",
+    )
+    counts = joined.groupBy("event_id").agg(
+        F.count("*").cast("bigint").alias("clicks_5m")
+    )
+    return errors.select("event_id").join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce("clicks_5m", F.lit(0).cast("bigint")).alias("clicks_5m"),
+    )

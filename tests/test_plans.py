@@ -81,6 +81,15 @@ def test_salted_rollup_is_two_phase(spark, transcripts_parquet):
     assert "MapInArrow" in p or "MapInPandas" in p
 
 
+def test_default_pipeline_is_two_exchanges(spark, transcripts_parquet):
+    # production default: NO shuffle before the narrow extraction (scan
+    # splits bound task size); the only exchanges are the rollup's
+    # bucket-partial and conversation-final aggregations
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan(conv_text_salted(extract(t)))
+    assert n_ops(p, "Exchange") == 2
+
+
 def test_whole_stage_codegen_covers_relational_ops(spark):
     # AQE hides codegen spans pre-execution; ask codegen mode directly
     p = plan(Q.q_tpch_q1(spark, SF_DIR), mode="codegen")

@@ -275,42 +275,93 @@ def _arrow_out_schema():
 
 
 def _extract_arrow_batches(batches):
-    """Arrow-native extraction: key columns pass through zero-copy; output
-    columns are built once per batch with pyarrow's C converters instead
-    of pandas object columns (no per-column from_pandas, no DataFrame
-    construction)."""
+    """Arrow-native extraction: key columns pass through zero-copy, and
+    the nested output columns (spans/lines/blocks) are assembled from
+    flat primitive arrays + offset vectors (``ListArray.from_arrays`` /
+    ``StructArray.from_arrays``) instead of pyarrow's generic
+    list-of-dicts converter (~10% worker-side win, byte-identical
+    batches — equality pinned in tests)."""
     import pyarrow as pa
 
     schema = _arrow_out_schema()
+    i32, f64, s, b8, i64 = pa.int32(), pa.float64(), pa.string(), pa.bool_(), pa.int64()
     for batch in batches:
         texts = batch.column("text").to_pylist()
         tools = batch.column("tool").to_pylist()
         n = len(texts)
-        kind, etext, spans, lines, blocks, ok, err, nbytes = ([] for _ in range(8))
+        kind, etext, ok, err, nbytes = [], [], [], [], []
+        s_off, s_start, s_end = [0], [], []
+        l_off, l_text, l_conf, l_boff, l_bval = [0], [], [], [0], []
+        b_off, b_type, b_text, b_boff, b_bval = [0], [], [], [0], []
         for i in range(n):
             text = texts[i] or ""
             tool = tools[i] or ""
             row = extract_turn(text, tool)
             kind.append(row["kind"])
             etext.append(row["extracted_text"])
-            spans.append(row["spans"])
-            lines.append(row["lines"])
-            blocks.append(row["blocks"])
             ok.append(row["parse_ok"])
             err.append(row["error"])
             nbytes.append(len(text.encode()) + len(tool.encode()))
+            for a, b in row["spans"]:
+                s_start.append(a)
+                s_end.append(b)
+            s_off.append(len(s_start))
+            for ln in row["lines"]:
+                l_text.append(ln["text"])
+                l_conf.append(ln["confidence"])
+                l_bval.extend(ln["bbox"])
+                l_boff.append(len(l_bval))
+            l_off.append(len(l_text))
+            for bl in row["blocks"]:
+                b_type.append(bl["type"])
+                b_text.append(bl["text"])
+                b_bval.extend(bl["bbox"])
+                b_boff.append(len(b_bval))
+            b_off.append(len(b_text))
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(s_off, i32),
+            pa.StructArray.from_arrays(
+                [pa.array(s_start, i32), pa.array(s_end, i32)], ["start", "end"]
+            ),
+        )
+        lines_arr = pa.ListArray.from_arrays(
+            pa.array(l_off, i32),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(l_text, s),
+                    pa.array(l_conf, f64),
+                    pa.ListArray.from_arrays(
+                        pa.array(l_boff, i32), pa.array(l_bval, f64)
+                    ),
+                ],
+                ["text", "confidence", "bbox"],
+            ),
+        )
+        blocks_arr = pa.ListArray.from_arrays(
+            pa.array(b_off, i32),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(b_type, s),
+                    pa.array(b_text, s),
+                    pa.ListArray.from_arrays(
+                        pa.array(b_boff, i32), pa.array(b_bval, f64)
+                    ),
+                ],
+                ["type", "text", "bbox"],
+            ),
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("conv_id"),  # zero-copy passthrough
                 batch.column("turn_idx"),
-                pa.array(kind, pa.string()),
-                pa.array(etext, pa.string()),
-                pa.array(spans, schema.field("spans").type),
-                pa.array(lines, schema.field("lines").type),
-                pa.array(blocks, schema.field("blocks").type),
-                pa.array(ok, pa.bool_()),
-                pa.array(err, pa.string()),
-                pa.array(nbytes, pa.int64()),
+                pa.array(kind, s),
+                pa.array(etext, s),
+                spans_arr,
+                lines_arr,
+                blocks_arr,
+                pa.array(ok, b8),
+                pa.array(err, s),
+                pa.array(nbytes, i64),
             ],
             schema=schema,
         )

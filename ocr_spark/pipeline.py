@@ -112,6 +112,73 @@ def run_resumable(
     return read_snapshots(spark, out_root)
 
 
+def compact_snapshots(
+    spark: SparkSession, out_root: str, target_partitions: int | None = None
+) -> int:
+    """Maintenance: rewrite all committed snapshots into one.
+
+    Incremental runs accumulate `snapshot=N` directories whose file
+    counts grow without bound — the classic small-files problem that
+    degrades scan planning and shuffle fan-in at 100 TB (Iceberg's
+    `rewrite_data_files` compaction; here the marker-store equivalent).
+    The compacted snapshot is written and committed FIRST, then the old
+    directories are dropped, so a crash at any point leaves a readable
+    table (worst case: duplicate snapshots, resolved by the next
+    compaction — readers of `read_snapshots` would double-count, so the
+    old dirs are unpublished by deleting their markers before removal).
+    Returns the number of snapshots compacted away.
+    """
+    import shutil
+
+    paths = _committed_snapshots(out_root)
+    if len(paths) <= 1:
+        return 0
+    df = spark.read.parquet(*paths)
+    if target_partitions:
+        df = df.repartition(target_partitions, "conv_id")
+    tmp_dir = os.path.join(out_root, "_compact_tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp_dir)
+    # unpublish old snapshots before the new one becomes visible so no
+    # reader ever sees rows twice
+    for p in paths:
+        os.remove(os.path.join(p, _MARKER))
+    next_idx = 1 + max(
+        int(os.path.basename(p).split("=", 1)[1]) for p in paths
+    )
+    final_dir = os.path.join(out_root, f"snapshot={next_idx}")
+    os.rename(tmp_dir, final_dir)
+    with open(os.path.join(final_dir, _MARKER), "w") as fh:
+        fh.write("ok\n")
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(paths)
+
+
+def vacuum_uncommitted(out_root: str) -> list[str]:
+    """Maintenance: drop snapshot directories a crashed run left behind
+    (no ``_COMMITTED`` marker — invisible to readers, but they hold disk
+    and slow directory listings). Returns the removed paths."""
+    import shutil
+
+    removed = []
+    if not os.path.isdir(out_root):
+        return removed
+    for name in sorted(os.listdir(out_root)):
+        path = os.path.join(out_root, name)
+        if (
+            name.startswith("snapshot=")
+            and os.path.isdir(path)
+            and not os.path.exists(os.path.join(path, _MARKER))
+        ):
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    if os.path.isdir(os.path.join(out_root, "_compact_tmp")):
+        shutil.rmtree(os.path.join(out_root, "_compact_tmp"), ignore_errors=True)
+        removed.append(os.path.join(out_root, "_compact_tmp"))
+    return removed
+
+
 def read_metrics(spark: SparkSession, out_root: str) -> DataFrame | None:
     """All lineage/metrics rows for committed snapshots under out_root."""
     paths = [

@@ -110,3 +110,29 @@ def test_maybe_salt_detects_skew(spark):
     out, salted = maybe_salt(sdf, 8, sample_fraction=1.0)
     assert salted is True
     assert out.count() == len(skewed)
+
+
+def test_compaction_preserves_table_and_resume(spark, tmp_path):
+    from ocr_spark.pipeline import compact_snapshots, vacuum_uncommitted
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 12)
+    half = full.filter("turn_idx % 2 = 0")
+    run_resumable(spark, half, root)
+    run_resumable(spark, full, root)
+    before = read_snapshots(spark, root).orderBy("conv_id", "turn_idx").collect()
+    assert compact_snapshots(spark, root, target_partitions=2) == 2
+    import os
+
+    snaps = [n for n in os.listdir(root) if n.startswith("snapshot=")]
+    assert snaps == ["snapshot=2"]
+    after = read_snapshots(spark, root).orderBy("conv_id", "turn_idx").collect()
+    assert after == before
+    # resume over the compacted table is still a no-op
+    n_before = len(after)
+    run_resumable(spark, full, root)
+    assert read_snapshots(spark, root).count() == n_before
+    # crashed-run leftovers are vacuumable and invisible either way
+    os.makedirs(os.path.join(root, "snapshot=99"))
+    removed = vacuum_uncommitted(root)
+    assert any(p.endswith("snapshot=99") for p in removed)

@@ -122,3 +122,11 @@ def test_lsh_candidates_never_cross_join(spark):
     for fn in (Q.q_minhash_lsh_pairs, Q.q_simhash_near_dup, Q.q_embedding_near_dup):
         p = plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, fn
+
+
+def test_temporal_joins_are_hash_joins(spark):
+    # the bucket-quantized range join and union-window as-of join must
+    # never degrade to a nested-loop or cartesian plan
+    for q in (Q.q_asof_join_view_value, Q.q_range_join_click_burst):
+        p = plan(q(spark, SF_DIR))
+        assert "BroadcastNestedLoop" not in p and "Cartesian" not in p

@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_rollup": Q.q_event_type_rollup,
         "asof_join_view_value": Q.q_asof_join_view_value,
         "range_join_click_burst": Q.q_range_join_click_burst,
+        "json_extract_props": Q.q_json_extract_props,
+        "pivot_event_values": Q.q_pivot_event_values,
+        "unpivot_stats": Q.q_unpivot_stats,
         # relational coverage
         "tpch_q1": Q.q_tpch_q1,
         "tpch_q6": Q.q_tpch_q6,

@@ -828,3 +828,34 @@ LEFT JOIN events c
 WHERE e.event_type = 'error'
 GROUP BY e.event_id
 """
+
+ORACLES["json_extract_props"] = """
+SELECT event_type,
+       CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+"""
+
+ORACLES["pivot_event_values"] = """
+SELECT user_id,
+       round(sum(value) FILTER (WHERE event_type = 'click'), 4) AS click_value,
+       round(sum(value) FILTER (WHERE event_type = 'view'), 4) AS view_value,
+       round(sum(value) FILTER (WHERE event_type = 'error'), 4) AS error_value
+FROM events GROUP BY user_id
+"""
+
+ORACLES["unpivot_stats"] = """
+WITH wide AS (
+  SELECT user_id, round(sum(value), 4) AS total,
+         round(avg(value), 4) AS mean,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, metric_value FROM (
+  SELECT user_id, 'total' AS metric, total AS metric_value FROM wide
+  UNION ALL SELECT user_id, 'mean', mean FROM wide
+  UNION ALL SELECT user_id, 'n', n FROM wide
+)
+"""

@@ -1263,3 +1263,56 @@ def q_range_join_click_burst(spark, sf_dir):
         "event_id",
         F.coalesce("clicks_5m", F.lit(0).cast("bigint")).alias("clicks_5m"),
     )
+
+
+def q_json_extract_props(spark, sf_dir):
+    """Semi-structured access: parse the JSON props column with a typed
+    from_json (JVM-side, codegen) and aggregate the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    return (
+        ev.withColumn("k", F.from_json("props", schema)["k"])
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+def q_pivot_event_values(spark, sf_dir):
+    """Pivot: per user, total value by event type as columns (explicit
+    pivot value list so the plan is a single pass, no distinct probe)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.round(F.sum("value"), 4))
+        .select(
+            "user_id",
+            F.col("click").alias("click_value"),
+            F.col("view").alias("view_value"),
+            F.col("error").alias("error_value"),
+        )
+    )
+
+
+def q_unpivot_stats(spark, sf_dir):
+    """Unpivot (melt): wide per-user aggregates back to long (metric,
+    value) rows via the stack expression — one pass, no union of scans."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.avg("value"), 4).alias("mean"),
+        F.count("*").cast("double").alias("n"),
+    )
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'total', total, 'mean', mean, 'n', n) as (metric, metric_value)"
+        ),
+    )

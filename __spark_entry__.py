@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_view_value": Q.q_asof_join_view_value,
         "range_join_click_burst": Q.q_range_join_click_burst,
         "json_extract_props": Q.q_json_extract_props,
+        "dedup_clusters": Q.q_dedup_clusters,
         "pivot_event_values": Q.q_pivot_event_values,
         "unpivot_stats": Q.q_unpivot_stats,
         # relational coverage

@@ -859,3 +859,25 @@ SELECT user_id, metric, metric_value FROM (
   UNION ALL SELECT user_id, 'n', n FROM wide
 )
 """
+
+# connected components over the SAME pair graph, independently computed
+# with a recursive reachability CTE (the Spark side iterates min-label
+# propagation instead)
+_LSH_BASE = ORACLES["minhash_lsh_pairs"].strip()
+_CUT = _LSH_BASE.index("\nSELECT doc_a, doc_b,")
+ORACLES["dedup_clusters"] = (
+    "WITH RECURSIVE "
+    + _LSH_BASE[len("WITH ") : _CUT]
+    + ", pairsq AS ("
+    + _LSH_BASE[_CUT:]
+    + "\n), edges AS (\n"
+    "  SELECT doc_a AS src, doc_b AS dst FROM pairsq\n"
+    "  UNION\n"
+    "  SELECT doc_b, doc_a FROM pairsq\n"
+    "), reach AS (\n"
+    "  SELECT src AS node, src AS lab FROM edges\n"
+    "  UNION\n"
+    "  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node\n"
+    ")\n"
+    "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node\n"
+)

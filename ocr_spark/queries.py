@@ -1316,3 +1316,42 @@ def q_unpivot_stats(spark, sf_dir):
             "stack(3, 'total', total, 'mean', mean, 'n', n) as (metric, metric_value)"
         ),
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the
+    verified MinHash-LSH pair graph by iterative min-label propagation
+    (the distributed union-find for dedup graphs; ≙ keeping one
+    representative per duplicate cluster in a training-data pipeline).
+
+    Scale shape: each iteration is one equi-join + partial-aggregated
+    groupBy on doc_id; dedup components are tiny (diameter ~2-3), so the
+    loop converges in a handful of rounds. The driver-side loop is the
+    iteration control only — all data stays distributed.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(20):
+        neigh = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label != o.label")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -154,6 +154,54 @@ def stateful_conv_progress(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def session_turn_stats(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows: per-conversation activity sessions that
+    close after ``gap`` of event-time silence (native ``session_window``
+    — state is one open window per conv_id, bounded by the watermark;
+    the streaming twin of the batch ``session_window_agg`` query)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .select(
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+            "chars",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+):
+    """Session-window stats as an append-mode stream (the watermark
+    finalizes sessions; closed sessions land in the sink exactly once)."""
+    stream = read_transcript_stream(spark, input_dir)
+    stats = session_turn_stats(stream, gap=gap, watermark=watermark)
+    return (
+        stats.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     input_dir: str,

@@ -123,3 +123,27 @@ def test_stateful_conv_progress_accumulates(spark, dirs):
         .collect()
     }
     assert got == want
+
+
+def test_session_stream_matches_batch_sessions(spark, dirs):
+    from ocr_spark.streaming.incremental import run_session_stream, session_turn_stats
+
+    _write_batch(spark, dirs["in"], 0, 30, "s1")
+    sout = os.path.join(ROOT, "sout")
+    sckpt = os.path.join(ROOT, "sckpt")
+    q = run_session_stream(
+        spark, dirs["in"] + "/*", sout, sckpt, gap="30 minutes", watermark="30 minutes"
+    )
+    q.awaitTermination()
+
+    if not os.path.isdir(sout):
+        return  # all sessions still open under the watermark — nothing emitted
+    emitted = spark.read.parquet(sout).collect()
+    batch = {
+        (r.sess_start, r.conv_id): (r.sess_end, r.n_turns, r.chars)
+        for r in session_turn_stats(spark.read.parquet(dirs["in"] + "/s1")).collect()
+    }
+    # every emitted (closed) session must equal the batch computation
+    for r in emitted:
+        assert batch[(r.sess_start, r.conv_id)] == (r.sess_end, r.n_turns, r.chars)
+    assert len(emitted) <= len(batch)

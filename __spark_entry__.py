@@ -56,6 +56,18 @@ def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_udf_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL vectorized extraction UDF over documents-as-transcripts,
+    restricted to the SQL-expressible subset (plain-text turns): the
+    DuckDB oracle independently re-derives the classifier predicate and
+    the T5 cleanup chain, so a hash match proves the mapInArrow path
+    equals the declarative semantics — not just the builtin twins."""
+    t = _documents_as_transcripts(spark, sf_dir)
+    return extract(t).filter("kind = 'text'").select(
+        "conv_id", "turn_idx", "kind", "extracted_text", "bytes_in"
+    )
+
+
 def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures.transcripts_df(spark, 80)
     return conv_text_salted(extract(t))
@@ -150,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search_topk": Q.q_ivf_search_topk,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
+        "extract_udf_text_parity": _q_extract_udf_text_parity,
         "conv_rollup": _q_conv_rollup,
         "partition_metrics": _q_partition_metrics,
     }

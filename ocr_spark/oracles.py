@@ -881,3 +881,22 @@ ORACLES["dedup_clusters"] = (
     ")\n"
     "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node\n"
 )
+
+# independent re-derivation of classifier + cleanup for the plain-text
+# subset; compared against the REAL mapInArrow extraction UDF
+ORACLES["extract_udf_text_parity"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+)
+SELECT conv_id, turn_idx, 'text' AS kind,
+       trim(regexp_replace(regexp_replace(text, '\n\s*\n\s*\n+', chr(10) || chr(10), 'g'),
+                           '[ \t]+', ' ', 'g'),
+            ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS extracted_text,
+       CAST(strlen(text) AS BIGINT) AS bytes_in
+FROM t
+WHERE NOT regexp_matches(text,
+  '<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b', 'i')
+"""

@@ -68,6 +68,23 @@ def _q_extract_udf_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL two-phase ordered rollup (extract -> conv_text_salted)
+    over documents-as-transcripts, restricted to all-plain-text
+    conversations so the DuckDB oracle can re-derive it with an ordered
+    string_agg — value-checks the A2/A3 ordered-concat semantics through
+    the production path."""
+    t = _documents_as_transcripts(spark, sf_dir)
+    ext = extract(t)
+    keep = (
+        ext.groupBy("conv_id")
+        .agg(F.expr("bool_and(kind = 'text')").alias("all_text"))
+        .filter("all_text")
+        .select("conv_id")
+    )
+    return conv_text_salted(ext.join(keep, "conv_id"))
+
+
 def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures.transcripts_df(spark, 80)
     return conv_text_salted(extract(t))
@@ -163,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,
+        "rollup_text_parity": _q_rollup_text_parity,
         "conv_rollup": _q_conv_rollup,
         "partition_metrics": _q_partition_metrics,
     }

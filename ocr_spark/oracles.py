@@ -900,3 +900,32 @@ FROM t
 WHERE NOT regexp_matches(text,
   '<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b', 'i')
 """
+
+# ordered-rollup re-derivation for all-plain-text conversations; compared
+# against the REAL extract -> two-phase salted rollup path
+ORACLES["rollup_text_parity"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text,
+         regexp_matches(text,
+           '<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b',
+           'i') AS is_html
+  FROM documents
+), ok AS (
+  SELECT conv_id FROM t GROUP BY conv_id HAVING bool_and(NOT is_html)
+), cleaned AS (
+  SELECT t.conv_id, turn_idx,
+         trim(regexp_replace(regexp_replace(text, '\n\s*\n\s*\n+', chr(10) || chr(10), 'g'),
+                             '[ \t]+', ' ', 'g'),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS ct
+  FROM t JOIN ok USING (conv_id)
+)
+SELECT conv_id,
+       coalesce(string_agg(ct, chr(10) || chr(10) ORDER BY turn_idx)
+                  FILTER (WHERE trim(ct) <> ''), '') AS full_text,
+       CAST(count(*) AS INTEGER) AS n_turns,
+       CAST(count(*) AS INTEGER) AS n_text,
+       CAST(0 AS INTEGER) AS n_ocr
+FROM cleaned GROUP BY conv_id
+"""

@@ -190,18 +190,22 @@ _SIMPLE_ATTR = (
     r"[a-zA-Z_:][-.a-zA-Z0-9_:]*"
     r"(?:\s*=\s*(?:'[^'<]*'|\"[^\"<]*\"|[^\s'\">][^\s>]*))?"
 )
-_FAST_START = re.compile(
-    r"<([a-zA-Z][-.a-zA-Z0-9_:]*)"  # tag name (subset of tagfind_tolerant)
-    r"((?:\s+" + _SIMPLE_ATTR + r")*?)\s*(/?)>"
-)
 _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # == endtagfind
+# fused scanner: one search finds the next construct AND classifies it
+# (the `other` arm guarantees a match at every [<&], so positions equal
+# the scan-then-dispatch formulation)
+_MASTER = re.compile(
+    r"<(?P<sname>[a-zA-Z][-.a-zA-Z0-9_:]*)(?:\s+" + _SIMPLE_ATTR + r")*?\s*(?P<sclose>/?)>"
+    r"|</\s*(?P<ename>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    r"|&(?P<ername>[a-zA-Z][-.a-zA-Z0-9]*)[^a-zA-Z0-9]"
+    r"|(?P<other>[<&])"
+)
 # exact stdlib entityref pattern: the required non-alnum trailing char
 # overlaps the -/. name charset, so the name backtracks to the last
 # position followed by a non-alnum ("&y-r-t" -> name "y-r")
 _ENTITYREF = re.compile(r"&([a-zA-Z][-.a-zA-Z0-9]*)[^a-zA-Z0-9]")
 _FAST_ENTITY = re.compile(r"&([a-zA-Z][-.a-zA-Z0-9]*)")
 _FAST_CHARREF = re.compile(r"&#([0-9]+|[xX][0-9a-fA-F]+)")
-_SCAN = re.compile(r"[&<]")
 _COMMENT_CLOSE = re.compile(r"--\s*>")
 _HEXDIGITS = set("0123456789abcdefABCDEF")
 
@@ -234,37 +238,46 @@ def _fast_parse(raw: str):
             cdata_close = None
             i = m.end()
             continue
-        m = _SCAN.search(raw, i)
-        j = m.start() if m else n
+        m = _MASTER.search(raw, i)
+        if m is None:
+            b.add_text(raw[i:], i, n)
+            break
+        j = m.start()
         if i < j:
             b.add_text(raw[i:j], i, j)
             i = j
-        if i == n:
-            break
-        c = raw[i]
+        sname = m.group("sname")
+        if sname is not None:
+            tag = sname.lower()
+            if m.group("sclose"):
+                b.startendtag(tag)
+            else:
+                b.starttag(tag)
+                if tag in ("script", "style"):
+                    cdata_close = (
+                        tag,
+                        re.compile(r"</\s*%s\s*>" % tag, re.IGNORECASE),
+                    )
+            i = m.end()
+            continue
+        ename = m.group("ename")
+        if ename is not None:
+            b.endtag(ename.lower())
+            i = m.end()
+            continue
+        ername = m.group("ername")
+        if ername is not None:
+            b.entityref(ername, i)
+            k = m.end()  # includes the trailing non-alnum char
+            i = k if raw[k - 1] == ";" else k - 1
+            continue
+        c = m.group("other")
         if c == "<":
             nxt = raw[i + 1 : i + 2]
             if nxt.isascii() and nxt.isalpha():
-                sm = _FAST_START.match(raw, i)
-                if sm is None:
-                    return None  # weird tag shape -> authoritative parser
-                tag = sm.group(1).lower()
-                if sm.group(3):
-                    b.startendtag(tag)
-                else:
-                    b.starttag(tag)
-                    if tag in ("script", "style"):
-                        cdata_close = (
-                            tag,
-                            re.compile(r"</\s*%s\s*>" % tag, re.IGNORECASE),
-                        )
-                i = sm.end()
+                return None  # weird tag shape -> authoritative parser
             elif nxt == "/":
-                em = _FAST_END.match(raw, i)
-                if em is None:
-                    return None  # bogus end tag -> authoritative parser
-                b.endtag(em.group(1).lower())
-                i = em.end()
+                return None  # bogus end tag -> authoritative parser
             elif raw.startswith("<!--", i):
                 cm = _COMMENT_CLOSE.search(raw, i + 4)
                 if cm is None:
@@ -306,23 +319,17 @@ def _fast_parse(raw: str):
                 # epilogue flushes the rest (including it) as data
                 b.add_text(raw[i:], i, n)
                 break
-        else:  # '&'
-            em = _ENTITYREF.match(raw, i)
-            if em:
-                b.entityref(em.group(1), i)
-                k = em.end()  # includes the trailing non-alnum char
-                i = k if raw[k - 1] == ";" else k - 1
-            else:
-                im = _FAST_ENTITY.match(raw, i)
-                if im:  # name runs to end of input with no trailing char
-                    if im.end() - i == 2:
-                        # incomplete-ref quirk: the '&' itself is dropped
-                        b.add_text(raw[i + 1 :], i + 1, n)
-                    else:
-                        b.add_text(raw[i:], i, n)
-                    break
-                b.add_text("&", i, i + 1)
-                i += 1
+        else:  # '&' with no full entityref at this position
+            im = _FAST_ENTITY.match(raw, i)
+            if im:  # name runs to end of input with no trailing char
+                if im.end() - i == 2:
+                    # incomplete-ref quirk: the '&' itself is dropped
+                    b.add_text(raw[i + 1 :], i + 1, n)
+                else:
+                    b.add_text(raw[i:], i, n)
+                break
+            b.add_text("&", i, i + 1)
+            i += 1
     b.flush(b.current.tag)
     return b
 

@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": Q.q_tumbling_window_counts,
         "mm_feature_extract": Q.q_mm_feature_extract,
         "corpus_filter_pipeline": Q.q_corpus_filter_pipeline,
+        "stratified_sample": Q.q_stratified_sample,
+        "mixture_rebalance": Q.q_mixture_rebalance,
         "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,

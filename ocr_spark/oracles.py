@@ -929,3 +929,20 @@ SELECT conv_id,
        CAST(0 AS INTEGER) AS n_ocr
 FROM cleaned GROUP BY conv_id
 """
+
+ORACLES["stratified_sample"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 100 WHEN 'es' THEN 80
+                WHEN 'zh' THEN 60 WHEN 'de' THEN 100 ELSE 0 END
+GROUP BY lang
+"""
+
+ORACLES["mixture_rebalance"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents, unnest(range(1, 1 + CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END))
+GROUP BY lang
+"""

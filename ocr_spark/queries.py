@@ -1355,3 +1355,47 @@ def q_dedup_clusters(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+_SAMPLE_RATES = {"en": 30, "fr": 100, "es": 80, "zh": 60, "de": 100}  # percent
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixtures:
+    per-language keep rates applied via a content-keyed hash predicate
+    (md5(doc_id) mod 100 < rate), so the sample is reproducible across
+    runs, partitionings, and engines — unlike rng-based sampleBy. One
+    narrow filter; the rate map rides along as a literal expression."""
+    doc = _t(spark, sf_dir, "documents")
+    bucket = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_RATES.items()],
+        F.lit(0),
+    )
+    return (
+        doc.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+
+
+def q_mixture_rebalance(spark, sf_dir):
+    """Mixture rebalancing by integer upsampling: low-resource languages
+    are replicated k times via explode(sequence(1, k)) — a narrow
+    generate, no shuffle, no rng. Returns the rebalanced per-language
+    row and byte counts a mixture report needs."""
+    doc = _t(spark, sf_dir, "documents")
+    mult = (
+        F.when(F.col("lang") == "en", 1)
+        .when(F.col("lang") == "zh", 2)
+        .otherwise(3)
+    )
+    return (
+        doc.withColumn("copy", F.explode(F.sequence(F.lit(1), mult)))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

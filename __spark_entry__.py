@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": Q.q_set_ops,
         "distinct_agg": Q.q_distinct_agg,
         "cube_totals": Q.q_cube_totals,
+        "grouping_sets_value": Q.q_grouping_sets_value,
         "median_value_per_type": Q.q_median_value_per_type,
         # similarity search over embeddings
         "embedding_norms": Q.q_embedding_norms,

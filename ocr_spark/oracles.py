@@ -946,3 +946,11 @@ SELECT lang,
 FROM documents, unnest(range(1, 1 + CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END))
 GROUP BY lang
 """
+
+ORACLES["grouping_sets_value"] = """
+SELECT event_type, user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""

@@ -1399,3 +1399,19 @@ def q_mixture_rebalance(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+def q_grouping_sets_value(spark, sf_dir):
+    """Explicit GROUPING SETS: totals by (type), by (user), and grand
+    total in ONE aggregation pass (vs three scans unioned)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )

@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": Q.q_tpch_q1,
         "tpch_q6": Q.q_tpch_q6,
         "tpch_q3": Q.q_tpch_q3,
+        "tpch_q12ish": Q.q_tpch_q12ish,
+        "tpch_q14ish": Q.q_tpch_q14ish,
         "dim_broadcast_join": Q.q_dim_broadcast_join,
         "semi_join_exists": Q.q_semi_join_exists,
         "set_ops": Q.q_set_ops,

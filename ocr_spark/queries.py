@@ -1415,3 +1415,42 @@ def q_grouping_sets_value(spark, sf_dir):
         GROUP BY GROUPING SETS ((event_type), (user_id), ())
         """
     )
+
+
+def q_tpch_q12ish(spark, sf_dir):
+    """TPC-H Q12 shape: lineitem joined to orders, counting urgent vs
+    non-urgent order lines per linestatus inside a ship-date window.
+    The join shuffles on orderkey; both predicates push to the scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr(
+                "count_if(o_orderpriority in ('1-URGENT', '2-HIGH'))"
+            ).cast("bigint").alias("high_line_count"),
+            F.expr(
+                "count_if(o_orderpriority not in ('1-URGENT', '2-HIGH'))"
+            ).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14ish(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional sum over a
+    lineitem x part join (part side broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue_pct")
+    )

@@ -142,21 +142,52 @@ JOIN sizes sb ON sb.doc_id = doc_b
 QUALIFY row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) <= 20
 """
 
-ORACLES["minhash_signature"] = r"""
-WITH toks AS (
+# --- MinHash (K=128, one md5 per shingle, Carter-Wegman permutations) -----
+# constants mirror ocr_spark.queries._minhash_ab / _MINHASH_P exactly
+_MH_K = 128
+_MH_P = 999999999999999989
+_MH_BANDS = 16
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+def _mh_ab(j: int) -> tuple[int, int]:
+    return (
+        1 + 2 * ((j * 2654435761) % 134217728),
+        1 + 2 * ((j * 2246822519) % 134217728),
+    )
+
+
+# per-doc signature as a 128-element list over once-hashed shingles
+_MH_SIG_LIST = "[" + ",\n    ".join(
+    f"list_min(list_transform(hp, x -> ({a} * x.h1 + {b} * x.h2) % {_MH_P}))"
+    for a, b in (_mh_ab(j) for j in range(_MH_K))
+) + "]"
+
+_MH_BASE = r"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
            i -> array_to_string(t[i:i+2], ' '))) AS shingles
   FROM toks
-)
-SELECT doc_id,
-       list_min(list_transform(shingles, s -> ('0x' || substr(md5('0' || '|' || s), 1, 15))::BIGINT)) AS h0,
-       list_min(list_transform(shingles, s -> ('0x' || substr(md5('1' || '|' || s), 1, 15))::BIGINT)) AS h1,
-       list_min(list_transform(shingles, s -> ('0x' || substr(md5('2' || '|' || s), 1, 15))::BIGINT)) AS h2,
-       list_min(list_transform(shingles, s -> ('0x' || substr(md5('3' || '|' || s), 1, 15))::BIGINT)) AS h3
-FROM sh
+), hx AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> md5(s)) AS ds
+  FROM sh WHERE len(shingles) > 0
+), hpt AS (
+  SELECT doc_id, shingles,
+         list_transform(ds, d -> {'h1': ('0x' || substr(d, 1, 8))::BIGINT,
+                                  'h2': ('0x' || substr(d, 9, 8))::BIGINT}) AS hp
+  FROM hx
+), sig AS (
+  SELECT doc_id, shingles, """ + _MH_SIG_LIST + """ AS sig
+  FROM hpt
+)"""
+
+ORACLES["minhash_signature"] = f"""
+WITH {_MH_BASE}
+SELECT doc_id, CAST(j AS INT) AS j, sig[CAST(j AS INT) + 1] AS minh
+FROM sig, unnest(range(0, {_MH_K})) AS tt(j)
 """
 
 ORACLES["w1_running_count"] = """
@@ -323,25 +354,11 @@ QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
 # dedup & fingerprinting, part 2
 # ---------------------------------------------------------------------------
 
-ORACLES["minhash_lsh_pairs"] = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-), sh AS (
-  SELECT doc_id, list_distinct(list_transform(
-           range(1, greatest(len(t) - 2, 0) + 1),
-           i -> array_to_string(t[i:i+2], ' '))) AS shingles
-  FROM toks
-), sig AS (
-  SELECT doc_id,
-         list_min(list_transform(shingles, s -> ('0x' || substr(md5('0' || '|' || s), 1, 15))::BIGINT)) AS h0,
-         list_min(list_transform(shingles, s -> ('0x' || substr(md5('1' || '|' || s), 1, 15))::BIGINT)) AS h1,
-         list_min(list_transform(shingles, s -> ('0x' || substr(md5('2' || '|' || s), 1, 15))::BIGINT)) AS h2,
-         list_min(list_transform(shingles, s -> ('0x' || substr(md5('3' || '|' || s), 1, 15))::BIGINT)) AS h3
-  FROM sh
-), banded AS (
-  SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS band_key FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, h2::VARCHAR || '_' || h3::VARCHAR AS band_key FROM sig
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH {_MH_BASE}, banded AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+         array_to_string(sig[CAST(b AS INT) * {_MH_ROWS} + 1 : CAST(b AS INT) * {_MH_ROWS} + {_MH_ROWS}], '_') AS band_key
+  FROM sig, unnest(range(0, {_MH_BANDS})) AS bt(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b USING (band, band_key)
@@ -365,37 +382,57 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.25
 """
 
-_SIMHASH_SQL = "|| ".join(
-    "(CASE WHEN 2 * list_sum(list_transform(t, tok -> ('0x' || substr(md5(tok), %d, 1))::BIGINT %% 2)) >= len(t)"
-    " THEN '1' ELSE '0' END) " % (b + 1)
-    for b in range(16)
+# --- SimHash (64-bit, one md5 per token; bit b = bit (b%4) of hex digit
+# (b//4); per-bit majority over (doc, token) rows) -----------------------
+_SH_BITS = 64
+_SH_BANDS = 4
+_SH_WIDTH = _SH_BITS // _SH_BANDS
+
+_SH_DIGITS = ",\n         ".join(
+    f"('0x' || substr(d, {g + 1}, 1))::BIGINT AS g{g}" for g in range(_SH_BITS // 4)
+)
+_SH_SUMS = ",\n         ".join(
+    f"sum((g{b // 4} >> {b % 4}) % 2) AS c{b}" for b in range(_SH_BITS)
+)
+_SH_CONCAT = " || ".join(
+    f"(CASE WHEN 2 * c{b} >= n THEN '1' ELSE '0' END)" for b in range(_SH_BITS)
 )
 
-ORACLES["simhash_fingerprint"] = r"""
-WITH toks AS (
+_SH_BASE = r"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-)
-SELECT doc_id, {sim} AS simhash FROM toks
-""".format(sim=_SIMHASH_SQL)
-
-ORACLES["simhash_near_dup"] = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, md5(unnest(t)) AS d FROM toks
+), dig AS (
+  SELECT doc_id,
+         """ + _SH_DIGITS + """
+  FROM tok
+), cnt AS (
+  SELECT doc_id, count(*) AS n,
+         """ + _SH_SUMS + """
+  FROM dig GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id, {sim} AS simhash FROM toks
-), banded AS (
-  SELECT doc_id, simhash, 0 AS band, substr(simhash, 1, 8) AS half FROM sig
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS band, substr(simhash, 9, 8) AS half FROM sig
+  SELECT doc_id, """ + _SH_CONCAT + """ AS simhash FROM cnt
+)"""
+
+ORACLES["simhash_fingerprint"] = f"""
+WITH {_SH_BASE}
+SELECT doc_id, simhash FROM sig
+"""
+
+ORACLES["simhash_near_dup"] = f"""
+WITH {_SH_BASE}, banded AS (
+  SELECT doc_id, simhash, CAST(b AS INT) AS band,
+         substr(simhash, CAST(b AS INT) * {_SH_WIDTH} + 1, {_SH_WIDTH}) AS half
+  FROM sig, unnest(range(0, {_SH_BANDS})) AS bt(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_filter(range(1, 17),
+       CAST(len(list_filter(range(1, {_SH_BITS} + 1),
             i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INT) AS hamming
 FROM banded a JOIN banded b USING (band, half)
 WHERE a.doc_id < b.doc_id
-  AND len(list_filter(range(1, 17),
-        i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 2
-""".format(sim=_SIMHASH_SQL)
+  AND len(list_filter(range(1, {_SH_BITS} + 1),
+        i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
+"""
 
 ORACLES["embedding_near_dup"] = f"""
 WITH wb AS (
@@ -714,10 +751,9 @@ FROM sess GROUP BY user_id, session_id
 
 ORACLES["mm_feature_extract"] = """
 SELECT doc_id AS media_id,
-       list_transform(range(0, 8), j ->
-         (CAST(('0x' || substr(md5(md5(text) || '|' || j), 1, 4))::BIGINT AS DOUBLE) % 2000 - 1000) / 1000.0
-       ) AS feature
-FROM documents
+       CAST(j AS INT) AS j,
+       (CAST(('0x' || substr(md5(md5(text) || '|' || j), 1, 4))::BIGINT AS DOUBLE) % 2000 - 1000) / 1000.0 AS feature
+FROM documents, unnest(range(0, 8)) AS t(j)
 """
 
 ORACLES["corpus_filter_pipeline"] = r"""

@@ -113,11 +113,13 @@ def q_a2_ordered_gather(spark, sf_dir):
 
 
 def q_a8_top_k(spark, sf_dir):
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: distributed
+    # per-partition partial top-k, driver merges k rows per partition — no
+    # single-task global Window at any scale.
     doc = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (
-        doc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        doc.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
         .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
 
@@ -212,42 +214,74 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
         )
     )
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        joined.orderBy(
+            F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        )
+        .limit(20)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-_MINHASH_K = 4
+_MINHASH_K = 128  # permutations (production-scale; 16 bands x 8 rows in LSH)
+_MINHASH_P = 999999999999999989  # largest prime < 10^18; sums stay < 2^62
+
+
+def _minhash_ab(j: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman coefficients for permutation j, kept
+    < 2^28 so a*h1 + b*h2 with 32-bit h never overflows a signed 64-bit
+    int on either engine (DuckDB raises on BIGINT overflow)."""
+    return (
+        1 + 2 * ((j * 2654435761) % 134217728),
+        1 + 2 * ((j * 2246822519) % 134217728),
+    )
+
+
+def _minhash_wide(spark, sf_dir) -> DataFrame:
+    """(doc_id, m0..m127): each shingle is md5-hashed ONCE into two 32-bit
+    halves; the K permutations are derived via Carter-Wegman
+    (a_j*h1 + b_j*h2) mod p — cheap codegen'd integer arithmetic, not K
+    separate digest passes. Shape: explode shingles (narrow; shingles of
+    one doc stay in one scan split) -> 128 partial-aggregated min()s, so
+    the shuffle carries one 128-column row per doc per partition."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
+    )
+    hashed = shingles.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(shingle), 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    aggs = []
+    for j in range(_MINHASH_K):
+        a, b = _minhash_ab(j)
+        aggs.append(
+            F.min(
+                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(_MINHASH_P)
+            ).alias(f"m{j}")
+        )
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def q_minhash_signature(spark, sf_dir):
-    """MinHash signatures over 3-word shingles (portable md5-based hashes)."""
-    doc = _t(spark, sf_dir, "documents")
-    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    shingled = toks.select(
-        "doc_id",
-        F.expr(
-            "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
-            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-            " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
-        ).alias("shingles"),
+    """MinHash signatures over 3-word shingles, K=128 permutations from a
+    single md5 per shingle (Carter-Wegman). Long output (doc_id, j, minh)
+    keeps the driver-compared schema scalar; docs with <3 tokens have no
+    shingles and are dropped on both engines."""
+    wide = _minhash_wide(spark, sf_dir)
+    sig = F.array(*[F.col(f"m{j}") for j in range(_MINHASH_K)])
+    return wide.select("doc_id", F.posexplode(sig).alias("j", "minh")).select(
+        "doc_id", F.col("j").cast("int").alias("j"), "minh"
     )
-    cols = ["doc_id"]
-    out = shingled
-    for j in range(_MINHASH_K):
-        # portable 60-bit hash: first 15 hex chars of md5("<j>|<shingle>")
-        out = out.withColumn(
-            f"h{j}",
-            F.expr(
-                f"array_min(transform(shingles, s ->"
-                f" cast(conv(substr(md5(concat('{j}', '|', s)), 1, 15), 16, 10) as bigint)))"
-            ),
-        )
-        cols.append(f"h{j}")
-    return out.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -407,10 +441,9 @@ def q_tpch_q3(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
         .select(
             "o_orderkey",
             "revenue",
@@ -485,10 +518,9 @@ def q_cosine_topk(spark, sf_dir):
             "cosine", F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4)
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
         .select("vec_id", "cosine")
     )
 
@@ -525,10 +557,9 @@ def q_ann_bucketed_topk(spark, sf_dir):
             "cosine", F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4)
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
         .select("vec_id", "cosine")
     )
 
@@ -552,24 +583,33 @@ def _shingles_df(spark, sf_dir):
     )
 
 
+_LSH_BANDS = 16
+_LSH_ROWS = _MINHASH_K // _LSH_BANDS  # 8 rows per band
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup dedup: band signatures (2 bands x 2 rows),
-    bucket-join for candidate pairs, then verify exact Jaccard >= 0.25.
+    """MinHash+LSH near-dup dedup: 16 bands x 8 rows over the K=128
+    signature, bucket-join for candidate pairs, then verify exact
+    Jaccard >= 0.25.
 
     Scale shape: candidates come from equi-joining band buckets (shuffle
     on band_key, never a cross join); exact verification is
     candidate-first — shingles are joined onto the candidate pairs, so
-    verification cost scales with |candidates|, not |docs|^2.
+    verification cost scales with |candidates|, not |docs|^2. The band
+    explosion is a stack over the wide signature row (narrow, 16x row
+    count of |docs|, tiny).
     """
-    sig = q_minhash_signature(spark, sf_dir)
-    banded = None
-    for b in range(2):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("band_key"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    sig = _minhash_wide(spark, sf_dir)
+    stack_args = []
+    for b in range(_LSH_BANDS):
+        key = "concat_ws('_', " + ", ".join(
+            f"m{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)
+        ) + ")"
+        stack_args.append(f"{b}, {key}")
+    banded = sig.selectExpr(
+        "doc_id",
+        f"stack({_LSH_BANDS}, " + ", ".join(stack_args) + ") as (band, band_key)",
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "band_key"])
@@ -599,50 +639,75 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return joined.select("doc_a", "doc_b", "jaccard")
 
 
-_SIMHASH_BITS = 16
-
-
-def _simhash_expr() -> str:
-    """16-bit SimHash over word tokens: bit b is the majority vote of the
-    b-th md5 hex digit's parity across tokens (portable to DuckDB)."""
-    bits = []
-    for b in range(_SIMHASH_BITS):
-        cnt = (
-            f"aggregate(transform(toks, t -> cast(conv(substr(md5(t), {b + 1}, 1), 16, 10) as int) % 2),"
-            f" 0, (acc, v) -> acc + v)"
-        )
-        bits.append(f"case when 2 * ({cnt}) >= size(toks) then '1' else '0' end")
-    return "concat(" + ", ".join(bits) + ")"
+_SIMHASH_BITS = 64  # production width; 4 bands x 16 bits, hamming <= 3
 
 
 def q_simhash_fingerprint(spark, sf_dir):
-    """SimHash document fingerprint (near-dup detection by hamming distance)."""
+    """64-bit SimHash document fingerprint (near-dup by hamming distance).
+
+    One md5 per token (bit b is bit (b%4) of hex digit (b//4) of the
+    digest); per-bit majority votes are 64 codegen'd partial-aggregated
+    sums over exploded (doc_id, token) rows — no K-digest blowup, no
+    higher-order-function interpretation in the hot path. The shuffle
+    carries one 65-column row per doc per partition (map-side combine)."""
     doc = _t(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    return toks.select("doc_id", F.expr(_simhash_expr()).alias("simhash"))
+    tok = toks.select("doc_id", F.explode("toks").alias("w"))
+    digits = tok.select(
+        "doc_id",
+        *[
+            F.expr(f"cast(conv(substr(md5(w), {d + 1}, 1), 16, 10) as int)").alias(
+                f"g{d}"
+            )
+            for d in range(_SIMHASH_BITS // 4)
+        ],
+    )
+    aggs = [F.count("*").alias("n")]
+    for b in range(_SIMHASH_BITS):
+        aggs.append(
+            F.sum(F.expr(f"shiftright(g{b // 4}, {b % 4}) % 2")).alias(f"c{b}")
+        )
+    cnt = digits.groupBy("doc_id").agg(*aggs)
+    simhash = F.concat(
+        *[
+            F.when(2 * F.col(f"c{b}") >= F.col("n"), "1").otherwise("0")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    return cnt.select("doc_id", simhash.alias("simhash"))
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs: candidates share one 8-bit half (pigeonhole
-    for hamming <= 2 over 16 bits needs 2 bands), verified hamming <= 2.
+    """SimHash near-dup pairs: candidates share one 16-bit quarter
+    (pigeonhole: hamming <= 3 over 64 bits guarantees one of 4 bands is
+    identical), verified exact hamming <= 3.
 
-    Bucket-join on the half, never a cross join; exact hamming only on
+    Bucket-join on the quarter, never a cross join; exact hamming only on
     candidates.
     """
     sig = q_simhash_fingerprint(spark, sf_dir)
-    banded = None
-    for b in range(2):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * 8 + 1, 8).alias("half"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    n_bands = 4
+    width = _SIMHASH_BITS // n_bands
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * width + 1, width).alias("half"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.half")
     a = banded.alias("a")
     b_ = banded.alias("b")
     hamming = F.expr(
-        "size(filter(sequence(1, 16), i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1)))"
+        f"size(filter(sequence(1, {_SIMHASH_BITS}),"
+        " i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1)))"
     )
     return (
         a.join(b_, ["band", "half"])
@@ -653,7 +718,7 @@ def q_simhash_near_dup(spark, sf_dir):
             hamming.cast("int").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= 3)
     )
 
 
@@ -677,10 +742,11 @@ def q_embedding_near_dup(spark, sf_dir):
             F.round(F.expr(_cosine_expr("a.embedding", "b.embedding")), 4).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        pairs.orderBy(
+            F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+        )
+        .limit(20)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -1037,10 +1103,9 @@ def q_ivf_search_topk(spark, sf_dir):
             "cosine", F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4)
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
         .select("vec_id", "cosine")
     )
 
@@ -1070,7 +1135,12 @@ def q_mm_feature_extract(spark, sf_dir):
     """Multimodal feature extraction slot: deterministic fake 8-dim feature
     vector per media payload via the Arrow-batched decode UDF path (real
     deployment swaps the md5 arithmetic for a model forward pass in the
-    same mapInArrow slot). Feeds the ANN operators downstream."""
+    same mapInArrow slot). Feeds the ANN operators downstream.
+
+    Emitted exploded as (media_id, j, feature) rows — scalar cells hash
+    cleanly through the driver's canonicalizer (array cells do not), and
+    the long shape is what a feature store ingests anyway; zip back with
+    collect_list over j when an array is needed."""
     from ocr_spark.operators.multimodal import decode_media_meta, media_from_documents
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
@@ -1079,7 +1149,9 @@ def q_mm_feature_extract(spark, sf_dir):
         "transform(sequence(0, 7), j ->"
         " (cast(conv(substr(md5(concat(sha, '|', j)), 1, 4), 16, 10) as double) % 2000 - 1000) / 1000.0)"
     )
-    return meta.select("media_id", feat.alias("feature"))
+    return meta.select(
+        "media_id", F.posexplode(feat).alias("j", "feature")
+    ).select("media_id", F.col("j").cast("int").alias("j"), "feature")
 
 
 def q_corpus_filter_pipeline(spark, sf_dir):
@@ -1334,27 +1406,39 @@ def q_dedup_clusters(spark, sf_dir):
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
+        .cache()
     )
-    for _ in range(20):
-        neigh = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
+    try:
+        for it in range(20):
+            neigh = edges.join(labels, edges.dst == labels.node).select(
+                F.col("src").alias("node"), "label"
+            )
+            new_labels = (
+                labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+            )
+            # truncate lineage every few rounds so plan depth stays bounded
+            # (20 stacked joins would bloat optimization + task binaries at
+            # scale); localCheckpoint materializes, so it doubles as cache
+            if (it + 1) % 5 == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.cache()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter("n.label != o.label")
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()  # superseded this round; new_labels is live
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
-        new_labels = (
-            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
-        ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label != o.label")
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    finally:
+        edges.unpersist()
 
 
 _SAMPLE_RATES = {"en": 30, "fr": 100, "es": 80, "zh": 60, "de": 100}  # percent

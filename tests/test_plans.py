@@ -124,6 +124,38 @@ def test_lsh_candidates_never_cross_join(spark):
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, fn
 
 
+def test_topk_is_take_ordered(spark):
+    # top-k must compile to TakeOrderedAndProject (distributed partial
+    # top-k per partition + driver merge of k rows each), never a global
+    # single-partition Window that funnels every row through one task
+    topk_queries = (
+        Q.q_a8_top_k,
+        Q.q_tpch_q3,
+        Q.q_cosine_topk,
+        Q.q_ngram_jaccard_pairs,
+        Q.q_embedding_near_dup,
+        Q.q_ann_bucketed_topk,
+        Q.q_ivf_search_topk,
+    )
+    for fn in topk_queries:
+        p = plan(fn(spark, SF_DIR), mode="simple")
+        assert "TakeOrderedAndProject" in p, fn
+        # a global (non-partitioned) row_number window would print as a
+        # Window node over windowspecdefinition() with no partition keys;
+        # per-partition windows (ivf argmin per vec_id) are allowed, but
+        # none of these queries should need any Window at all
+        if fn is not Q.q_ivf_search_topk:
+            assert n_ops(plan(fn(spark, SF_DIR)), "Window") == 0, fn
+
+
+def test_minhash_is_partial_aggregated(spark):
+    # the K=128 signature must partial-aggregate map-side (one row per
+    # doc per partition crosses the shuffle), and explode, not K digests
+    p = plan(Q._minhash_wide(spark, SF_DIR), mode="simple")
+    assert "partial_min" in p
+    assert n_ops(plan(Q._minhash_wide(spark, SF_DIR)), "Exchange") == 1
+
+
 def test_temporal_joins_are_hash_joins(spark):
     # the bucket-quantized range join and union-window as-of join must
     # never degrade to a nested-loop or cartesian plan

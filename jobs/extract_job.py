@@ -31,8 +31,10 @@ def main() -> None:
     ap.add_argument("--salt-partitions", type=int, default=0,
                     help="salted repartition width (0 = scan partitioning)")
     ap.add_argument("--auto-salt", type=int, default=0, metavar="N",
-                    help="probe for skew and salt to N partitions only if "
-                         "a conversation dominates (maybe_salt)")
+                    help="probe for conversation skew (logged in summary) and "
+                         "repartition to N only if the source is "
+                         "under-parallelized; skew itself is handled at the "
+                         "salted rollup, never by shuffling raw payloads")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -57,7 +59,8 @@ def main() -> None:
     transcripts = spark.read.parquet(args.input)
     salted = False
     if args.auto_salt:
-        transcripts, salted = maybe_salt(transcripts, args.auto_salt)
+        transcripts, skew_detected = maybe_salt(transcripts, args.auto_salt)
+        salted = skew_detected  # reported for lineage; rollup handles it
     elif args.salt_partitions:
         transcripts = salt_repartition(transcripts, args.salt_partitions)
         salted = True

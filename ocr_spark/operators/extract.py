@@ -382,20 +382,27 @@ def maybe_salt(
     sample_fraction: float = 0.05,
     bucket_turns: int = 256,
 ) -> tuple[DataFrame, bool]:
-    """Adaptive P5: decide salting from a sampled skew probe.
+    """Adaptive P5: probe for conversation skew; repartition only an
+    under-parallelized source.
 
     One cheap sampled aggregation estimates per-conversation turn counts;
     if the largest conversation exceeds ``skew_ratio`` x the mean, the
-    shuffle key is salted (``salt_repartition``). Otherwise the input is
-    left on its scan partitioning: extraction is a narrow map and
-    ``maxPartitionBytes``-bounded splits already balance the work, so a
-    repartition would add a full shuffle of the raw payloads (and its
-    heap churn) for nothing — unless the source arrives in fewer splits
-    than the target parallelism, in which case one conversation-keyed
-    repartition restores it. Returns (df, salted) so callers can log the
-    decision into lineage. The probe reads only conv_id (column-pruned)
-    from a fraction of the data — at 100 TB that is one narrow sampled
-    scan, not a full pass.
+    returned flag is True so callers can log it into lineage. The data
+    itself is NOT repartitioned on skew: extraction is a narrow map whose
+    tasks are bounded by ``maxPartitionBytes`` scan splits, so
+    per-conversation skew cannot create a straggler there — a
+    pre-extraction salt shuffle of the raw payloads would be the dominant
+    cost at scale for zero benefit. Skew only matters where rows of one
+    conversation must meet, i.e. the keyed rollup, and
+    ``conv_text_salted``'s turn-bucket two-phase aggregation already
+    neutralizes it. ``salt_repartition`` remains available for the one
+    genuine use: extraction fed by an upstream keyed shuffle.
+
+    The only rewrite applied here: when the source arrives in fewer
+    splits than the target parallelism (a few huge files), one
+    conversation-keyed repartition restores parallelism. The probe reads
+    only conv_id (column-pruned) from a fraction of the data — at 100 TB
+    that is one narrow sampled scan, not a full pass.
     """
     probe = (
         transcripts.select("conv_id")
@@ -408,8 +415,6 @@ def maybe_salt(
     skewed = bool(
         probe and probe["mx"] and probe["avg"] and probe["mx"] / probe["avg"] >= skew_ratio
     )
-    if skewed:
-        return salt_repartition(transcripts, num_partitions, bucket_turns), True
     if transcripts.rdd.getNumPartitions() < max(num_partitions // 2, 2):
-        return transcripts.repartition(num_partitions, "conv_id"), False
-    return transcripts, False
+        return transcripts.repartition(num_partitions, "conv_id"), skewed
+    return transcripts, skewed

@@ -119,18 +119,97 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_media_real(media: DataFrame) -> DataFrame:  # pragma: no cover - codec stub
-    """REAL decode slot: PIL image open + EXIF transpose + RGB matte
-    (≙ image_processor.py:64-109). The codec libs are not in this
-    container, so this raises unless PIL is importable."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
+try:  # codec availability gate: activates the real S4 path when present
+    from PIL import Image as _PILImage, ImageOps as _PILImageOps
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - this container has no codecs
+    _PILImage = _PILImageOps = None
+    HAS_PIL = False
+
+_REAL_MAX_SIDE = 4096  # ≙ image_processor.py:26-27 MAX_WIDTH/MAX_HEIGHT
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),  # raw RGB, row-major
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _normalize_image_bytes(data: bytes):  # pragma: no cover - needs PIL
+    """The reference normalize rule (`image_processor.py:64-109`), exactly:
+    alpha->white matte for RGBA/LA/P (P upgraded to RGBA first), plain
+    RGB convert otherwise, EXIF auto-rotate, then LANCZOS downscale with
+    scale = min(4096/w, 4096/h) only when a side exceeds 4096."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(data))
+    if img.mode in ("RGBA", "LA", "P"):
+        if img.mode == "P":
+            img = img.convert("RGBA")
+        background = _PILImage.new("RGB", img.size, (255, 255, 255))
+        if img.mode == "RGBA":
+            background.paste(img, mask=img.split()[-1])
+        else:
+            background.paste(img)
+        img = background
+    else:
+        img = img.convert("RGB")
+    img = _PILImageOps.exif_transpose(img)
+    width, height = img.size
+    if width > _REAL_MAX_SIDE or height > _REAL_MAX_SIDE:
+        scale = min(_REAL_MAX_SIDE / width, _REAL_MAX_SIDE / height)
+        img = img.resize(
+            (int(width * scale), int(height * scale)),
+            _PILImage.Resampling.LANCZOS,
+        )
+    return img
+
+
+def _real_decode_batches(batches):  # pragma: no cover - needs PIL
+    for pdf in batches:
+        ids = pdf["media_id"].to_numpy()
+        payloads = pdf["payload"].to_numpy()
+        rows = {k: [] for k in ("media_id", "width", "height", "pixels", "decode_ok", "error")}
+        for i in range(len(pdf)):
+            rows["media_id"].append(int(ids[i]))
+            try:
+                img = _normalize_image_bytes(bytes(payloads[i]))
+                rows["width"].append(img.size[0])
+                rows["height"].append(img.size[1])
+                rows["pixels"].append(img.tobytes())
+                rows["decode_ok"].append(True)
+                rows["error"].append(None)
+            except Exception as exc:  # bad bytes: row-level failure, not job
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["pixels"].append(None)
+                rows["decode_ok"].append(False)
+                rows["error"].append(str(exc)[:200])
+        yield pd.DataFrame(rows)
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """REAL decode path (S4): PIL open -> alpha->white matte -> EXIF
+    transpose -> LANCZOS downscale <= 4096^2, per
+    `image_processor.py:64-109` — Arrow-batched mapInPandas, narrow,
+    per-row error capture (a corrupt payload fails its row, never the
+    task). Activates automatically when PIL is importable; raises
+    NotImplementedError in codec-free containers (use decode_media_meta,
+    the deterministic fake with identical plumbing, instead)."""
+    if not HAS_PIL:
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg; use decode_media_meta "
+            "real media decode requires PIL; use decode_media_meta "
             "(deterministic fake) in this environment"
-        ) from exc
-    raise NotImplementedError("wire PIL decode here when codecs are available")
+        )
+    return media.select("media_id", "payload").mapInPandas(
+        _real_decode_batches, DECODED_IMAGE_SCHEMA
+    )
 
 
 def resize_plan(meta: DataFrame, max_side: int = 4096) -> DataFrame:

@@ -248,6 +248,14 @@ def _fast_parse(raw: str):
             i = j
         sname = m.group("sname")
         if sname is not None:
+            # stdlib tagfind_tolerant's NAME is [a-zA-Z][^\t\n\r\f />\x00]*:
+            # it folds every other char (\v, \x1c-\x1f, \xa0, ...) INTO the
+            # name, while the master regex's \s separators would accept
+            # some of them as attribute whitespace. If the char that ended
+            # our narrower name match is not a stdlib name terminator the
+            # two tokenizers disagree on the tag name -> authoritative.
+            if raw[m.end("sname")] not in "\t\n\r\f />":
+                return None
             tag = sname.lower()
             if m.group("sclose"):
                 b.startendtag(tag)

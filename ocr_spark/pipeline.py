@@ -51,18 +51,54 @@ def run_pipeline(transcripts: DataFrame, dedupe: bool = True):
 # ---------------------------------------------------------------------------
 
 _MARKER = "_COMMITTED"
+_SUPERSEDES = "_SUPERSEDES"  # written by compaction: names of replaced dirs
+
+
+def _snapshot_dirs(root: str) -> list[str]:
+    """All snapshot=N directories, committed or not."""
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, name)
+        for name in sorted(os.listdir(root))
+        if name.startswith("snapshot=")
+        and os.path.isdir(os.path.join(root, name))
+    ]
+
+
+def _next_snapshot_idx(root: str) -> int:
+    """1 + max index over ALL snapshot dirs (committed, uncommitted, or
+    retired) — indices are allocate-only, never reused, so an incremental
+    run can never target a directory another reader is consuming (the
+    count-based scheme collided after compaction made indices sparse)."""
+    indices = [
+        int(os.path.basename(p).split("=", 1)[1]) for p in _snapshot_dirs(root)
+    ]
+    return 1 + max(indices, default=-1)
+
+
+def _superseded_names(root: str) -> set[str]:
+    """Dir names replaced by a committed compacted snapshot. Reading the
+    lists only from COMMITTED snapshots makes compaction atomic at the
+    marker write: before it, old dirs are visible; after it, they are
+    ignored even though their own markers still exist."""
+    out: set[str] = set()
+    for p in _snapshot_dirs(root):
+        sup = os.path.join(p, _SUPERSEDES)
+        if os.path.exists(os.path.join(p, _MARKER)) and os.path.exists(sup):
+            with open(sup) as fh:
+                out.update(ln.strip() for ln in fh if ln.strip())
+    return out
 
 
 def _committed_snapshots(root: str) -> list[str]:
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for name in sorted(os.listdir(root)):
-        if name.startswith("snapshot=") and os.path.exists(
-            os.path.join(root, name, _MARKER)
-        ):
-            out.append(os.path.join(root, name))
-    return out
+    dead = _superseded_names(root)
+    return [
+        p
+        for p in _snapshot_dirs(root)
+        if os.path.exists(os.path.join(p, _MARKER))
+        and os.path.basename(p) not in dead
+    ]
 
 
 def read_snapshots(spark: SparkSession, root: str) -> DataFrame | None:
@@ -90,19 +126,27 @@ def run_resumable(
     reference's stats + progress rows, SURVEY §1.3), computed from the
     committed parquet so the numbers describe exactly what readers see.
     """
+    import shutil
+
     run_id = run_id or uuid.uuid4().hex[:12]
     existing = read_snapshots(spark, out_root)
     todo = transcripts
     if existing is not None:
         done_keys = existing.select("conv_id", "turn_idx")
         todo = transcripts.join(done_keys, ["conv_id", "turn_idx"], "left_anti")
-    snap_idx = len(_committed_snapshots(out_root))
+    snap_idx = _next_snapshot_idx(out_root)
     snap_dir = os.path.join(out_root, f"snapshot={snap_idx}")
     extracted = run_extraction(todo)
     extracted.write.mode("overwrite").parquet(snap_dir)
-    metrics = partition_metrics(
-        spark.read.parquet(snap_dir), run_id=run_id
-    ).withColumn("snapshot", F.lit(snap_idx))
+    committed = spark.read.parquet(snap_dir)
+    if existing is not None and committed.isEmpty():
+        # fully-caught-up rerun: don't publish (or keep) an empty snapshot —
+        # no-op reruns must not grow the table's directory count
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        return existing
+    metrics = partition_metrics(committed, run_id=run_id).withColumn(
+        "snapshot", F.lit(snap_idx)
+    )
     metrics.write.mode("overwrite").parquet(
         os.path.join(out_root, "metrics", f"snapshot={snap_idx}")
     )
@@ -121,12 +165,17 @@ def compact_snapshots(
     counts grow without bound — the classic small-files problem that
     degrades scan planning and shuffle fan-in at 100 TB (Iceberg's
     `rewrite_data_files` compaction; here the marker-store equivalent).
-    The compacted snapshot is written and committed FIRST, then the old
-    directories are dropped, so a crash at any point leaves a readable
-    table (worst case: duplicate snapshots, resolved by the next
-    compaction — readers of `read_snapshots` would double-count, so the
-    old dirs are unpublished by deleting their markers before removal).
-    Returns the number of snapshots compacted away.
+
+    Crash-safe publish-first protocol: the compacted data is fully
+    written, renamed into place, and stamped with a ``_SUPERSEDES`` list
+    BEFORE its ``_COMMITTED`` marker is created. The marker write is the
+    atomic switch — readers either see the old snapshots (marker absent)
+    or the new one with the old ones tombstoned (marker present, so
+    their names are in `_superseded_names`). Committed data is never
+    unpublished before its replacement is durable; a crash at any point
+    leaves a complete, readable, non-duplicated table, and leftovers are
+    vacuumable. Old lineage/metrics rows are carried into the compacted
+    snapshot's metrics table. Returns the number of snapshots compacted.
     """
     import shutil
 
@@ -139,38 +188,83 @@ def compact_snapshots(
     tmp_dir = os.path.join(out_root, "_compact_tmp")
     shutil.rmtree(tmp_dir, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp_dir)
-    # unpublish old snapshots before the new one becomes visible so no
-    # reader ever sees rows twice
-    for p in paths:
-        os.remove(os.path.join(p, _MARKER))
-    next_idx = 1 + max(
-        int(os.path.basename(p).split("=", 1)[1]) for p in paths
-    )
+    next_idx = _next_snapshot_idx(out_root)
     final_dir = os.path.join(out_root, f"snapshot={next_idx}")
     os.rename(tmp_dir, final_dir)
+    # carry lineage/metrics history into the compacted snapshot
+    old_metric_dirs = [
+        os.path.join(out_root, "metrics", os.path.basename(p))
+        for p in paths
+        if os.path.isdir(os.path.join(out_root, "metrics", os.path.basename(p)))
+    ]
+    if old_metric_dirs:
+        spark.read.parquet(*old_metric_dirs).write.mode("overwrite").parquet(
+            os.path.join(out_root, "metrics", f"snapshot={next_idx}")
+        )
+    with open(os.path.join(final_dir, _SUPERSEDES), "w") as fh:
+        fh.write("\n".join(os.path.basename(p) for p in paths) + "\n")
+    # the commit point: from here on readers ignore the old dirs
     with open(os.path.join(final_dir, _MARKER), "w") as fh:
         fh.write("ok\n")
+    # lazy cleanup (also vacuum's job if we crash mid-loop)
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(out_root, "metrics", os.path.basename(p)),
+            ignore_errors=True,
+        )
     return len(paths)
 
 
+def expire_snapshots(out_root: str, keep_last: int = 1) -> list[str]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    snapshots (and their metrics) — the store's analog of the reference's
+    result TTL (`celery_app.py:58` result_expires=3600; Redis cleanup
+    `services/redis_service.py:434-477`), by count/recency rather than
+    wall-clock since snapshot indices are allocate-only and monotonic.
+    Expired turns simply re-extract on the next resumable run.
+
+    Crash-safe: each victim is unpublished (marker removed) before its
+    data is deleted, so a crash mid-expiry leaves unpublished dirs that
+    `vacuum_uncommitted` removes — never a half-visible snapshot.
+    Returns the removed snapshot paths."""
+    import shutil
+
+    keep_last = max(keep_last, 0)
+    # physically drop tombstoned dirs first: expiring a compacted
+    # snapshot must not resurrect old dirs whose markers it tombstones
+    vacuum_uncommitted(out_root)
+    paths = sorted(
+        _committed_snapshots(out_root),
+        key=lambda p: int(os.path.basename(p).split("=", 1)[1]),
+    )
+    victims = paths[: len(paths) - keep_last] if keep_last else paths
+    removed = []
+    for p in victims:
+        os.remove(os.path.join(p, _MARKER))  # unpublish first
+        shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(out_root, "metrics", os.path.basename(p)),
+            ignore_errors=True,
+        )
+        removed.append(p)
+    return removed
+
+
 def vacuum_uncommitted(out_root: str) -> list[str]:
-    """Maintenance: drop snapshot directories a crashed run left behind
-    (no ``_COMMITTED`` marker — invisible to readers, but they hold disk
-    and slow directory listings). Returns the removed paths."""
+    """Maintenance: drop snapshot directories that are invisible to
+    readers — crashed runs (no ``_COMMITTED`` marker) and compacted-away
+    dirs whose names appear in a committed ``_SUPERSEDES`` list — plus a
+    leftover ``_compact_tmp``. Returns the removed paths."""
     import shutil
 
     removed = []
     if not os.path.isdir(out_root):
         return removed
-    for name in sorted(os.listdir(out_root)):
-        path = os.path.join(out_root, name)
-        if (
-            name.startswith("snapshot=")
-            and os.path.isdir(path)
-            and not os.path.exists(os.path.join(path, _MARKER))
-        ):
+    dead = _superseded_names(out_root)
+    for path in _snapshot_dirs(out_root):
+        name = os.path.basename(path)
+        if not os.path.exists(os.path.join(path, _MARKER)) or name in dead:
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
     if os.path.isdir(os.path.join(out_root, "_compact_tmp")):

@@ -54,9 +54,31 @@ def test_decode_meta_matches_schema_and_is_deterministic(media):
             assert r.n_frames >= 1 and r.channels == 3
 
 
-def test_decode_real_is_clearly_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_media_real(media)
+def test_decode_real_gated_on_codec_availability(media):
+    """The real S4 path activates iff PIL is importable. Without codecs it
+    must raise (never silently fake); with codecs it must decode a
+    generated PNG to the normalized RGB raster and fail corrupt payloads
+    row-level, not task-level."""
+    from ocr_spark.operators import multimodal as mm
+
+    if not mm.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_media_real(media)
+        pytest.skip("PIL not installed: real codec path validated gate-only")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGBA", (8, 4), (10, 20, 30, 0)).save(buf, format="PNG")
+    rows = [(1, buf.getvalue()), (2, b"not an image")]
+    df = media.sparkSession.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in decode_media_real(df).collect()}
+    ok = got[1]
+    assert ok.decode_ok and (ok.width, ok.height) == (8, 4)
+    # fully-transparent RGBA over the white matte -> pure white raster
+    assert ok.pixels == b"\xff\xff\xff" * (8 * 4)
+    assert got[2].decode_ok is False and got[2].error
 
 
 def test_resize_plan_never_upscales(media):

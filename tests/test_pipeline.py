@@ -91,7 +91,10 @@ def test_skew_spread_across_partitions(spark):
     assert max(counts) <= 128 * 3  # no partition holds the whole conversation
 
 
-def test_maybe_salt_detects_skew(spark):
+def test_maybe_salt_detects_skew_without_repartitioning(spark):
+    """The probe reports skew (for lineage) but must NOT shuffle the raw
+    payloads before the narrow extraction — scan splits bound task size,
+    and the salted rollup is where skew is actually neutralized."""
     from ocr_spark.operators.extract import maybe_salt
 
     uniform = [
@@ -100,16 +103,140 @@ def test_maybe_salt_detects_skew(spark):
         for i in range(20)
     ]
     udf_ = spark.createDataFrame(uniform, fixtures.TRANSCRIPT_COLUMNS)
-    _, salted = maybe_salt(udf_, 8, sample_fraction=1.0)
-    assert salted is False
+    _, skew_flag = maybe_salt(udf_, 2, sample_fraction=1.0)
+    assert skew_flag is False
 
     skewed = uniform + [
         ("giant", i, "user", "text", "", fixtures.EPOCH) for i in range(5000)
     ]
     sdf = spark.createDataFrame(skewed, fixtures.TRANSCRIPT_COLUMNS)
-    out, salted = maybe_salt(sdf, 8, sample_fraction=1.0)
-    assert salted is True
+    out, skew_flag = maybe_salt(sdf, 2, sample_fraction=1.0)
+    assert skew_flag is True
     assert out.count() == len(skewed)
+    # adequately-parallel source: the returned plan is the input, unshuffled
+    assert out is sdf
+
+
+def test_incremental_runs_after_compaction_never_collide(spark, tmp_path):
+    """Indices are allocate-only: repeated incremental runs after a
+    compaction (which makes indices sparse) must neither overwrite a
+    directory being read nor duplicate rows. Empty catch-up reruns are
+    no-ops that add no snapshot dirs."""
+    import os
+
+    from ocr_spark.pipeline import compact_snapshots
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 10).cache()
+    third = full.filter("turn_idx % 3 = 0")
+    two_thirds = full.filter("turn_idx % 3 <= 1")
+    run_resumable(spark, third, root)
+    run_resumable(spark, two_thirds, root)
+    assert compact_snapshots(spark, root) == 2
+    n_dirs_after_compact = len(
+        [n for n in os.listdir(root) if n.startswith("snapshot=")]
+    )
+    # several catch-up reruns: all no-ops, no new dirs, no errors
+    for _ in range(3):
+        out = run_resumable(spark, two_thirds, root)
+        assert out.count() == two_thirds.count()
+    assert (
+        len([n for n in os.listdir(root) if n.startswith("snapshot=")])
+        == n_dirs_after_compact
+    )
+    # genuinely new data still lands in a fresh snapshot
+    final = run_resumable(spark, full, root)
+    assert final.count() == full.count()
+    assert final.select("conv_id", "turn_idx").distinct().count() == full.count()
+
+
+def test_compaction_crash_before_commit_leaves_table_intact(spark, tmp_path):
+    """Simulated crash between data publish and marker write: the new dir
+    exists with a _SUPERSEDES list but no _COMMITTED marker — readers must
+    still see the old snapshots exactly once; vacuum removes the debris."""
+    import os
+
+    from ocr_spark.pipeline import vacuum_uncommitted
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 8)
+    half = full.filter("turn_idx % 2 = 0")
+    run_resumable(spark, half, root)
+    run_resumable(spark, full, root)
+    before = read_snapshots(spark, root).orderBy("conv_id", "turn_idx").collect()
+    # fake the crash: compacted data + supersede list, NO marker
+    crash_dir = os.path.join(root, "snapshot=7")
+    read_snapshots(spark, root).write.parquet(crash_dir)
+    with open(os.path.join(crash_dir, "_SUPERSEDES"), "w") as fh:
+        fh.write("snapshot=0\nsnapshot=1\n")
+    after = read_snapshots(spark, root).orderBy("conv_id", "turn_idx").collect()
+    assert after == before  # old table fully visible, nothing doubled
+    removed = vacuum_uncommitted(root)
+    assert any(p.endswith("snapshot=7") for p in removed)
+    assert read_snapshots(spark, root).count() == len(before)
+
+
+def test_compaction_crash_after_commit_shows_no_duplicates(spark, tmp_path):
+    """Simulated crash right after the marker write (old dirs not yet
+    deleted): readers must see only the compacted snapshot; vacuum
+    removes the tombstoned old dirs."""
+    import os
+    import shutil
+
+    from ocr_spark.pipeline import _MARKER, _SUPERSEDES, vacuum_uncommitted
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 8)
+    half = full.filter("turn_idx % 2 = 0")
+    run_resumable(spark, half, root)
+    run_resumable(spark, full, root)
+    before = read_snapshots(spark, root).orderBy("conv_id", "turn_idx").collect()
+    # committed compacted snapshot, old dirs still on disk
+    new_dir = os.path.join(root, "snapshot=2")
+    read_snapshots(spark, root).write.parquet(new_dir)
+    with open(os.path.join(new_dir, _SUPERSEDES), "w") as fh:
+        fh.write("snapshot=0\nsnapshot=1\n")
+    with open(os.path.join(new_dir, _MARKER), "w") as fh:
+        fh.write("ok\n")
+    after = read_snapshots(spark, root).orderBy("conv_id", "turn_idx").collect()
+    assert after == before  # exactly once, not doubled
+    removed = vacuum_uncommitted(root)
+    assert {os.path.basename(p) for p in removed} >= {"snapshot=0", "snapshot=1"}
+    assert read_snapshots(spark, root).count() == len(before)
+    shutil.rmtree(root)
+
+
+def test_expire_snapshots_retention_and_crash_safety(spark, tmp_path):
+    """Count-based retention (≙ reference result TTL): only the newest
+    keep_last snapshots stay; expired turns re-extract on resume. A crash
+    mid-expiry (marker gone, dir present) stays invisible and vacuums."""
+    import os
+
+    from ocr_spark.pipeline import _MARKER, expire_snapshots, vacuum_uncommitted
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 9).cache()
+    run_resumable(spark, full.filter("turn_idx % 3 = 0"), root)
+    run_resumable(spark, full.filter("turn_idx % 3 <= 1"), root)
+    run_resumable(spark, full, root)
+    removed = expire_snapshots(root, keep_last=1)
+    assert {os.path.basename(p) for p in removed} == {"snapshot=0", "snapshot=1"}
+    kept = read_snapshots(spark, root)
+    assert kept.count() == full.filter("turn_idx % 3 = 2").count()
+    # resume re-extracts the expired turns
+    assert run_resumable(spark, full, root).count() == full.count()
+    # crash-mid-expiry: marker removed but data not yet deleted
+    victim = next(
+        p
+        for p in sorted(os.listdir(root))
+        if p.startswith("snapshot=")
+        and os.path.exists(os.path.join(root, p, _MARKER))
+    )
+    os.remove(os.path.join(root, victim, _MARKER))
+    survivors = read_snapshots(spark, root)
+    n_surv = survivors.count() if survivors is not None else 0
+    assert n_surv < full.count()  # half-expired dir invisible, not half-read
+    assert any(p.endswith(victim) for p in vacuum_uncommitted(root))
 
 
 def test_compaction_preserves_table_and_resume(spark, tmp_path):

@@ -61,7 +61,11 @@ def test_cleanup_span_fastpath_matches_reference(s):
     assert clean_text_with_spans(s) == _clean_text_with_spans_ref(s)
 
 
-html_chars = st.text(alphabet="<>&;/!-?=\"' \n\tabspdivh1scriptyle#x0239", max_size=80)
+# \x0b and \xa0: Python-\s chars that stdlib tagfind_tolerant folds into
+# tag NAMES — must route to the authoritative-parser fallback (ADVICE r1)
+html_chars = st.text(
+    alphabet="<>&;/!-?=\"' \n\t\x0b\xa0abspdivh1scriptyle#x0239", max_size=80
+)
 html_frags = st.lists(
     st.sampled_from(
         [

@@ -54,8 +54,13 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     metrics = spark.read.parquet(os.path.join(out_dir, "extracted", "metrics"))
     assert metrics.groupBy().sum("turns_in").collect()[0][0] == n_turns
 
-    # resume in a fresh JVM: nothing new to do, output unchanged
+    # resume in a fresh JVM: nothing new to do, output unchanged, and the
+    # fully-caught-up rerun leaves NO extra snapshot directory behind
     summary2 = _submit(zip_path, input_dir, out_dir)
     assert summary2["turns_committed"] == n_turns
-    snap1 = spark.read.parquet(os.path.join(out_dir, "extracted", "snapshot=1"))
-    assert snap1.count() == 0
+    snaps = [
+        n
+        for n in os.listdir(os.path.join(out_dir, "extracted"))
+        if n.startswith("snapshot=")
+    ]
+    assert snaps == ["snapshot=0"]

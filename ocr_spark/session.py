@@ -55,11 +55,19 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
         .config("spark.sql.files.openCostInBytes", str(max(max_partition_bytes // 8, 262144)))
         .config("spark.python.worker.reuse", "true")
+        # the K=128 MinHash (129-col agg) and 64-bit SimHash (66-col agg)
+        # exceed the default 100-field whole-stage-codegen cutoff, which
+        # silently drops their hot HashAggregate to interpreted mode
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.ui.enabled", "false")
-        # heap sized so a post-UDF aggregation isn't GC-bound by the
-        # extraction stage's shuffle/write garbage (local mode puts the
-        # driver and all 32 executor threads in one JVM)
-        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "48g"))
+        # 16g, deliberately NOT bigger: with a huge single-JVM heap G1
+        # defers collection through the extraction+write stage, and the
+        # NEXT stage's aggregation then runs against tens of GB of
+        # uncollected garbage (measured: the post-write rollup at
+        # local[32] is 12s with 48g vs 2-4s with 12-16g; whole job 81k ->
+        # 188k turns/s). Real clusters run one modest heap per executor
+        # process, so the small heap is also the representative shape.
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -156,6 +156,22 @@ def test_minhash_is_partial_aggregated(spark):
     assert n_ops(plan(Q._minhash_wide(spark, SF_DIR)), "Exchange") == 1
 
 
+def test_wide_aggregates_stay_in_codegen(spark):
+    # 129-col minhash agg exceeds the default 100-field codegen cutoff;
+    # the session must raise spark.sql.codegen.maxFields so the hot
+    # HashAggregate keeps whole-stage codegen (interpreted agg is a
+    # silent multi-x regression at scale). AQE hides the stars, so
+    # toggle it off for the check.
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(Q._minhash_wide(spark, SF_DIR), mode="simple")
+        agg_lines = [ln for ln in p.splitlines() if "HashAggregate" in ln]
+        assert agg_lines and all("*(" in ln for ln in agg_lines), p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def test_temporal_joins_are_hash_joins(spark):
     # the bucket-quantized range join and union-window as-of join must
     # never degrade to a nested-loop or cartesian plan

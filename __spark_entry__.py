@@ -146,6 +146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_counts": Q.q_tumbling_window_counts,
         "mm_feature_extract": Q.q_mm_feature_extract,
         "corpus_filter_pipeline": Q.q_corpus_filter_pipeline,
+        # corpus hygiene battery (C4/Gopher-style gates + fingerprinting)
+        "pii_scrub": Q.q_pii_scrub,
+        "gopher_quality_filter": Q.q_gopher_quality_filter,
+        "repetition_filter": Q.q_repetition_filter,
+        "chunk_dedup_keep_first": Q.q_chunk_dedup_keep_first,
+        "winnowing_fingerprint": Q.q_winnowing_fingerprint,
+        "url_domain_histogram": Q.q_url_domain_histogram,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "bigram_lm_score": Q.q_bigram_lm_score,
         "stratified_sample": Q.q_stratified_sample,
         "mixture_rebalance": Q.q_mixture_rebalance,
         "tpch_q5ish": Q.q_tpch_q5ish,

@@ -983,6 +983,164 @@ FROM documents, unnest(range(1, 1 + CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 
 GROUP BY lang
 """
 
+# ---------------------------------------------------------------------------
+# training-corpus hygiene operators
+# ---------------------------------------------------------------------------
+
+_NOISY_PII = (
+    "replace(replace(text, ' value ', ' bob.smith@example.com '),"
+    " ' data ', ' call 555-0147 ')"
+)
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+ORACLES["pii_scrub"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({_NOISY_PII}, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all({_NOISY_PII}, '{_PHONE_RE}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace({_NOISY_PII}, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+ORACLES["gopher_quality_filter"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n,
+         list_sum(list_transform(t, w -> length(w))) / CAST(len(t) AS DOUBLE) AS mean_len,
+         len(list_filter(t, w -> regexp_matches(w, '^[a-zA-Z]+$'))) / CAST(len(t) AS DOUBLE) AS alpha_frac
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(mean_len, 4) AS mean_word_len,
+       round(alpha_frac, 4) AS alpha_frac,
+       (n >= 50 AND n <= 100000 AND mean_len >= 3 AND mean_len <= 10
+        AND alpha_frac >= 0.8) AS keep
+FROM m
+"""
+
+ORACLES["repetition_filter"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+           i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_2grams,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_2gram_frac,
+       CAST(max(cnt) AS DOUBLE) / sum(cnt) > 0.2 AS repetitive
+FROM per_gram GROUP BY doc_id
+"""
+
+ORACLES["chunk_dedup_keep_first"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(t[CAST(i AS INT) * 10 + 1 : CAST(i AS INT) * 10 + 10], ' ') AS chunk,
+         doc_id * 1000000 + i AS occ_key
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS r(i)
+), first_occ AS (
+  SELECT chunk, min(occ_key) AS first_key FROM chunks GROUP BY chunk
+), tagged AS (
+  SELECT c.doc_id, c.occ_key = f.first_key AS kept
+  FROM chunks c JOIN first_occ f USING (chunk)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE kept) AS DOUBLE) / count(*), 6) AS kept_frac
+FROM tagged GROUP BY doc_id
+"""
+
+ORACLES["winnowing_fingerprint"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+           i -> ('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8))::BIGINT)
+         ELSE [] END AS h
+  FROM toks
+)
+SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(h) - 4 + 2),
+         p -> list_min(h[CAST(p AS INT) : CAST(p AS INT) + 3])))) AS fingerprint
+FROM hs WHERE len(h) >= 4
+"""
+
+ORACLES["url_domain_histogram"] = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         replace(replace(text, ' spark ', ' see https://docs.example.org/guide '),
+                 ' join ', ' http://data.example.net/x?y=1 ') AS txt
+  FROM documents
+), urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://[^ ]+')) AS url FROM noisy
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls GROUP BY 1
+"""
+
+ORACLES["tfidf_top_terms"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+  GROUP BY term
+), scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 4) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rn AS INT) AS rank, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+ORACLES["bigram_lm_score"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i + 1])) AS w2
+  FROM toks
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2
+), c1 AS (
+  SELECT w AS w1, count(*) AS c1 FROM words GROUP BY w
+), v AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vocab FROM words
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c12.c12 + 1) / (c1.c1 + v.vocab))), 4) AS avg_logprob
+FROM grams g
+JOIN c12 USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN v
+GROUP BY g.doc_id
+"""
+
+
 ORACLES["grouping_sets_value"] = """
 SELECT event_type, user_id,
        CAST(count(*) AS BIGINT) AS n,

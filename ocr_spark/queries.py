@@ -1485,6 +1485,256 @@ def q_mixture_rebalance(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-corpus hygiene operators (the C4/Gopher-style filter batteries a
+# web-scale LLM data pipeline runs; all distributed, all oracle-checked)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: emails/phones replaced with typed placeholders, with
+    per-doc match counts for audit lineage. PII is injected
+    deterministically first (the fixture corpus is clean), mirroring the
+    t5 inject-then-operate pattern. One narrow projection — regex stays
+    JVM-side at any scale."""
+    doc = _t(spark, sf_dir, "documents")
+    noisy = F.expr(
+        "replace(replace(text, ' value ', ' bob.smith@example.com '),"
+        " ' data ', ' call 555-0147 ')"
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(noisy, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return doc.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all({_noisy_sql()}, '{_EMAIL_RE}', 0))")
+        .cast("int")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all({_noisy_sql()}, '{_PHONE_RE}', 0))")
+        .cast("int")
+        .alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def _noisy_sql() -> str:
+    return (
+        "replace(replace(text, ' value ', ' bob.smith@example.com '),"
+        " ' data ', ' call 555-0147 ')"
+    )
+
+
+def q_gopher_quality_filter(spark, sf_dir):
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1):
+    token-count bounds, mean-word-length band, alphabetic-word fraction.
+    Narrow arithmetic over the token array; `keep` is the gate a corpus
+    pipeline filters on."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    n = F.size("toks")
+    mean_len = F.expr(
+        "aggregate(toks, 0L, (acc, w) -> acc + length(w)) / cast(size(toks) as double)"
+    )
+    alpha_frac = F.expr(
+        "size(filter(toks, w -> w rlike '^[a-zA-Z]+$')) / cast(size(toks) as double)"
+    )
+    return toks.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        (
+            (n >= 50)
+            & (n <= 100000)
+            & (mean_len >= 3)
+            & (mean_len <= 10)
+            & (alpha_frac >= 0.8)
+        ).alias("keep"),
+    )
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher repetition gate: fraction of a doc's word bigrams taken by
+    its single most frequent bigram; docs above 0.2 are flagged as
+    repetitive boilerplate. Distributed shape: explode bigrams ->
+    two partial-aggregated groupBys (never per-doc python)."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_2grams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_2gram_frac"),
+        (F.max("cnt") / F.sum("cnt") > 0.2).alias("repetitive"),
+    )
+
+
+def q_chunk_dedup_keep_first(spark, sf_dir):
+    """C4-style corpus-level exact chunk dedup: split every doc into
+    10-token chunks, keep only the FIRST occurrence of each distinct
+    chunk across the whole corpus (by lowest (doc_id, chunk_idx)), and
+    report each doc's survival fraction.
+
+    Distributed shape: explode chunks -> one groupBy(chunk) computing the
+    first-occurrence key -> equi-join back -> per-doc aggregate. The
+    chunk text itself is the join key (content-addressed); at 100 TB the
+    groupBy key would be sha2(chunk) to bound shuffle width."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),"
+                " i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("chunk_idx"))
+    first = chunks.groupBy("chunk").agg(F.min("occ_key").alias("first_key"))
+    tagged = chunks.join(first, "chunk").withColumn(
+        "kept", F.col("occ_key") == F.col("first_key")
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.expr("count_if(kept)").cast("bigint").alias("n_kept"),
+        F.round(F.expr("count_if(kept)") / F.count("*"), 6).alias("kept_frac"),
+    )
+
+
+_WINNOW_K = 3  # tokens per k-gram
+_WINNOW_W = 4  # hashes per window
+
+
+def q_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    positional 3-token k-gram hashes, minimum of each sliding window of
+    4, distinct selected hashes per doc — the guarantee-bearing local
+    fingerprinting used for plagiarism/overlap detection. Per-doc array
+    math (narrow); output exploded for the driver's scalar hash."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    hs = toks.select(
+        "doc_id",
+        F.expr(
+            "case when size(toks) >= 3 then transform(sequence(1, size(toks) - 2),"
+            " i -> cast(conv(substr(md5(concat_ws(' ', element_at(toks, i),"
+            " element_at(toks, i + 1), element_at(toks, i + 2))), 1, 8), 16, 10) as bigint))"
+            " else cast(array() as array<bigint>) end"
+        ).alias("hs"),
+    )
+    fps = (
+        f"case when size(hs) >= {_WINNOW_W} then"
+        f" array_distinct(transform(sequence(1, size(hs) - {_WINNOW_W} + 1),"
+        f" p -> array_min(slice(hs, p, {_WINNOW_W}))))"
+        f" else cast(array() as array<bigint>) end"
+    )
+    return hs.select("doc_id", F.explode(F.expr(fps)).alias("fingerprint"))
+
+
+def q_url_domain_histogram(spark, sf_dir):
+    """URL extraction + per-domain rollup (link graph / source-mix audit).
+    URLs are injected deterministically (clean fixture); extraction is a
+    JVM-side regex, the rollup a partial-aggregated groupBy."""
+    doc = _t(spark, sf_dir, "documents")
+    noisy = (
+        "replace(replace(text, ' spark ', ' see https://docs.example.org/guide '),"
+        " ' join ', ' http://data.example.net/x?y=1 ')"
+    )
+    urls = doc.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all({noisy}, 'https?://[^ ]+', 0)")).alias(
+            "url"
+        ),
+    )
+    return (
+        urls.withColumn("domain", F.regexp_extract("url", r"^https?://([^/]+)", 1))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (feature extraction / keyword
+    tagging). Corpus DF via explode-distinct + groupBy; per-doc TF via
+    explode + groupBy; rank on the ROUNDED score (cross-engine double
+    determinism) with term as tiebreak. The per-doc window partitions on
+    doc_id — never a global window."""
+    doc = _t(spark, sf_dir, "documents")
+    n_docs = doc.count()  # scalar: one job over parquet row-group metadata
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    terms = toks.select("doc_id", F.explode("toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(df, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").cast("int").alias("rank"), "term", "tfidf")
+    )
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram language-model scoring with add-one
+    smoothing: score(doc) = mean over its bigrams of
+    ln((c(w1,w2)+1) / (c(w1)+V)) — the perplexity-style fluency gate of
+    a data pipeline, self-trained on the corpus. Three partial-aggregated
+    groupBys + two equi-joins; counts tables are corpus-vocabulary-sized
+    and shuffle on their keys."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    words = toks.select("doc_id", F.explode("toks").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"
+                " else cast(array() as array<struct<w1:string,w2:string>>) end"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = words.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    vocab = words.select("w").distinct().count()
+    scored = (
+        grams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn(
+            "logp",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.lit(float(vocab)))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
 def q_grouping_sets_value(spark, sf_dir):
     """Explicit GROUPING SETS: totals by (type), by (user), and grand
     total in ONE aggregation pass (vs three scans unioned)."""

@@ -1,6 +1,7 @@
 from ocr_spark.streaming.incremental import (  # noqa: F401
     TRANSCRIPT_SCHEMA,
     stateful_conv_progress,
+    stream_dedup_exact,
     stream_extract,
     windowed_turn_counts,
 )

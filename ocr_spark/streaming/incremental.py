@@ -154,6 +154,23 @@ def stateful_conv_progress(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_exact(
+    transcripts: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup (the A6 memoization under continuous
+    ingestion): drop re-delivered/duplicate turns by content key within
+    the watermark horizon. ``dropDuplicatesWithinWatermark`` keys state
+    on (conv_id, turn_idx, sha) and EVICTS each key once the watermark
+    passes it — state stays bounded by the late-data horizon instead of
+    growing with the corpus (the unbounded-state failure mode of a plain
+    dropDuplicates at 10^12 turns)."""
+    keyed = transcripts.withWatermark("ts", watermark).withColumn(
+        "sha", F.sha2(F.col("text").cast("binary"), 256)
+    )
+    return keyed.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "sha"])
+
+
 def session_turn_stats(
     transcripts: DataFrame,
     gap: str = "30 minutes",

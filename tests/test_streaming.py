@@ -71,6 +71,39 @@ def test_stream_extract_is_incremental_and_exactly_once(spark, dirs):
     assert _sorted_extract(spark.read.parquet(dirs["out"])) == want2
 
 
+def test_stream_dedup_drops_redelivered_turns(spark, dirs):
+    """Duplicate/re-delivered turns (the at-least-once queue archetype)
+    are dropped by content key, within a batch and across restarts via
+    checkpointed state."""
+    from ocr_spark.streaming.incremental import stream_dedup_exact
+
+    def run():
+        stream = read_transcript_stream(spark, dirs["in"] + "/*")
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(spark, dirs["in"], 0, 6, "b1")
+    _write_batch(spark, dirs["in"], 0, 6, "b1_dup")  # same rows, second file
+    run()
+    got = spark.read.parquet(dirs["out"])
+    n_unique = spark.read.parquet(dirs["in"] + "/b1").count()
+    assert got.count() == n_unique
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+    # re-delivery in a later run: checkpointed dedup state still drops it
+    _write_batch(spark, dirs["in"], 0, 6, "b1_redeliver")
+    run()
+    assert spark.read.parquet(dirs["out"]).count() == n_unique
+
+
 def test_windowed_counts_append_emits_closed_windows(spark, dirs):
     _write_batch(spark, dirs["in"], 0, 30, "b1")
     q = run_windowed_stream(

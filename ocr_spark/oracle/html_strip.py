@@ -223,6 +223,14 @@ def _fast_parse(raw: str):
     # suspends and resumes, but from the 2nd one on, close()'s epilogue
     # flushes the entire remainder as literal data. Replicated below.
     charref_breaks = 0
+    # hot-loop locals: the master regex fires a few hundred times per
+    # document, so attribute lookups and redundant group() probes are
+    # measurable; lastindex identifies the matched alternation branch
+    # (2=start tag incl. sclose, 3=end tag, 4=entityref, 5=other)
+    master_search = _MASTER.search
+    add_text = b.add_text
+    starttag = b.starttag
+    endtag = b.endtag
     while i < n:
         if cdata_close is not None:
             elem, pattern = cdata_close
@@ -233,34 +241,34 @@ def _fast_parse(raw: str):
                 b.flush(b.current.tag)
                 return b
             # dropped content; emit for parity completeness (builder drops it)
-            b.add_text(raw[i : m.start()], i, m.start())
-            b.endtag(elem)
+            add_text(raw[i : m.start()], i, m.start())
+            endtag(elem)
             cdata_close = None
             i = m.end()
             continue
-        m = _MASTER.search(raw, i)
+        m = master_search(raw, i)
         if m is None:
-            b.add_text(raw[i:], i, n)
+            add_text(raw[i:], i, n)
             break
         j = m.start()
         if i < j:
-            b.add_text(raw[i:j], i, j)
+            add_text(raw[i:j], i, j)
             i = j
-        sname = m.group("sname")
-        if sname is not None:
+        branch = m.lastindex
+        if branch == 2:  # start tag: group 1 = name, group 2 = sclose
             # stdlib tagfind_tolerant's NAME is [a-zA-Z][^\t\n\r\f />\x00]*:
             # it folds every other char (\v, \x1c-\x1f, \xa0, ...) INTO the
             # name, while the master regex's \s separators would accept
             # some of them as attribute whitespace. If the char that ended
             # our narrower name match is not a stdlib name terminator the
             # two tokenizers disagree on the tag name -> authoritative.
-            if raw[m.end("sname")] not in "\t\n\r\f />":
+            if raw[m.end(1)] not in "\t\n\r\f />":
                 return None
-            tag = sname.lower()
-            if m.group("sclose"):
+            tag = m.group(1).lower()
+            if m.group(2):
                 b.startendtag(tag)
             else:
-                b.starttag(tag)
+                starttag(tag)
                 if tag in ("script", "style"):
                     cdata_close = (
                         tag,
@@ -268,18 +276,16 @@ def _fast_parse(raw: str):
                     )
             i = m.end()
             continue
-        ename = m.group("ename")
-        if ename is not None:
-            b.endtag(ename.lower())
+        if branch == 3:  # end tag
+            endtag(m.group(3).lower())
             i = m.end()
             continue
-        ername = m.group("ername")
-        if ername is not None:
-            b.entityref(ername, i)
+        if branch == 4:  # entityref with trailing terminator
+            b.entityref(m.group(4), i)
             k = m.end()  # includes the trailing non-alnum char
             i = k if raw[k - 1] == ";" else k - 1
             continue
-        c = m.group("other")
+        c = m.group(5)
         if c == "<":
             nxt = raw[i + 1 : i + 2]
             if nxt.isascii() and nxt.isalpha():

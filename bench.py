@@ -55,6 +55,10 @@ RELATIONAL_QUERIES = [
     "minhash_signature",
     "sessionize",
     "cosine_topk",
+    # round 2: corpus-hygiene battery representatives
+    "simhash_fingerprint",
+    "chunk_dedup_keep_first",
+    "bigram_lm_score",
 ]
 
 # Bench working set (fixture input, snapshots, shuffle dirs) lives on

@@ -90,6 +90,23 @@ def main() -> None:
             plan(Q.q_minhash_lsh_pairs(spark, SF_DIR), mode="simple"),
         ),
         (
+            "MinHash signature: one digest, partial-aggregated, codegen'd",
+            "K=128 permutations derive from a single md5 per shingle via "
+            "Carter-Wegman integer hashing; the 128 min() aggregates "
+            "partial-aggregate map-side (one 129-column row per doc per "
+            "partition crosses the one Exchange) and stay inside "
+            "whole-stage codegen (session raises codegen.maxFields).",
+            plan(Q._minhash_wide(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Top-k: TakeOrderedAndProject, never a global Window",
+            "orderBy().limit(k) compiles to a distributed partial top-k "
+            "per partition with a k-rows-per-partition driver merge; a "
+            "row_number() over a non-partitioned Window would funnel every "
+            "surviving row through ONE task.",
+            plan(Q.q_a8_top_k(spark, SF_DIR), mode="simple"),
+        ),
+        (
             "T5 cleanup: pure builtins, JVM-side",
             "The whitespace-normalization chain is regexp_replace/trim "
             "builtins only — no python evaluation node; it stays inside "

@@ -58,9 +58,14 @@ def main() -> None:
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
     salted = False
+    skew_detected = False
     if args.auto_salt:
-        transcripts, skew_detected = maybe_salt(transcripts, args.auto_salt)
-        salted = skew_detected  # reported for lineage; rollup handles it
+        raw = transcripts
+        transcripts, skew_detected = maybe_salt(raw, args.auto_salt)
+        # 'salted' reports whether a repartition was actually applied
+        # (under-parallelized source); 'skew_detected' is the probe flag —
+        # skew itself is neutralized at the salted rollup, not here
+        salted = transcripts is not raw
     elif args.salt_partitions:
         transcripts = salt_repartition(transcripts, args.salt_partitions)
         salted = True
@@ -78,6 +83,7 @@ def main() -> None:
         ),
         "wall_s": round(time.time() - t0, 1),
         "salted": salted,
+        "skew_detected": skew_detected,
         "output": args.output,
     }
     print(json.dumps(summary))

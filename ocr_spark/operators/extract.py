@@ -400,9 +400,12 @@ def maybe_salt(
 
     The only rewrite applied here: when the source arrives in fewer
     splits than the target parallelism (a few huge files), one
-    conversation-keyed repartition restores parallelism. The probe reads
-    only conv_id (column-pruned) from a fraction of the data — at 100 TB
-    that is one narrow sampled scan, not a full pass.
+    turn-bucketed (salted-key) repartition restores parallelism —
+    bucketed rather than conv_id-keyed, because an under-parallelized
+    source is exactly where a dominant conversation exists and a plain
+    conv_id hash would concentrate it back into one task. The probe
+    reads only conv_id (column-pruned) from a fraction of the data — at
+    100 TB that is one narrow sampled scan, not a full pass.
     """
     probe = (
         transcripts.select("conv_id")
@@ -416,5 +419,5 @@ def maybe_salt(
         probe and probe["mx"] and probe["avg"] and probe["mx"] / probe["avg"] >= skew_ratio
     )
     if transcripts.rdd.getNumPartitions() < max(num_partitions // 2, 2):
-        return transcripts.repartition(num_partitions, "conv_id"), skewed
+        return salt_repartition(transcripts, num_partitions, bucket_turns), skewed
     return transcripts, skewed

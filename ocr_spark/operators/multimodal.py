@@ -143,7 +143,11 @@ DECODED_IMAGE_SCHEMA = T.StructType(
 
 def _normalize_image_bytes(data: bytes):  # pragma: no cover - needs PIL
     """The reference normalize rule (`image_processor.py:64-109`), exactly:
-    alpha->white matte for RGBA/LA/P (P upgraded to RGBA first), plain
+    RGBA (and P, upgraded to RGBA first) pastes onto a white background
+    with its alpha as mask; LA pastes WITHOUT a mask — dropping its alpha
+    — because that is literally what the reference does
+    (`image_processor.py:88-90`, the else-branch paste has no mask) and
+    byte-parity with the reference beats prettier semantics here. Plain
     RGB convert otherwise, EXIF auto-rotate, then LANCZOS downscale with
     scale = min(4096/w, 4096/h) only when a side exceeds 4096."""
     import io

@@ -255,7 +255,9 @@ def vacuum_uncommitted(out_root: str) -> list[str]:
     """Maintenance: drop snapshot directories that are invisible to
     readers — crashed runs (no ``_COMMITTED`` marker) and compacted-away
     dirs whose names appear in a committed ``_SUPERSEDES`` list — plus a
-    leftover ``_compact_tmp``. Returns the removed paths."""
+    leftover ``_compact_tmp`` and any ``metrics/snapshot=N`` directory
+    orphaned by a crashed compaction/expiry (no committed snapshot of
+    that name). Returns the removed paths."""
     import shutil
 
     removed = []
@@ -270,6 +272,14 @@ def vacuum_uncommitted(out_root: str) -> list[str]:
     if os.path.isdir(os.path.join(out_root, "_compact_tmp")):
         shutil.rmtree(os.path.join(out_root, "_compact_tmp"), ignore_errors=True)
         removed.append(os.path.join(out_root, "_compact_tmp"))
+    live = {os.path.basename(p) for p in _committed_snapshots(out_root)}
+    metrics_root = os.path.join(out_root, "metrics")
+    if os.path.isdir(metrics_root):
+        for name in sorted(os.listdir(metrics_root)):
+            path = os.path.join(metrics_root, name)
+            if name.startswith("snapshot=") and name not in live:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
     return removed
 
 

@@ -1494,36 +1494,38 @@ _EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 _PHONE_RE = r"555-[0-9]{4}"
 
 
+def _noisy_sql() -> str:
+    return (
+        "replace(replace(text, ' value ', ' bob.smith@example.com '),"
+        " ' data ', ' call 555-0147 ')"
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction: emails/phones replaced with typed placeholders, with
     per-doc match counts for audit lineage. PII is injected
     deterministically first (the fixture corpus is clean), mirroring the
     t5 inject-then-operate pattern. One narrow projection — regex stays
-    JVM-side at any scale."""
+    JVM-side at any scale.
+
+    The count patterns are passed as Column literals (F.lit), NOT
+    interpolated into F.expr SQL text: SQL string-literal parsing eats
+    the backslash in ``\\.``, silently counting with a different pattern
+    than the one the scrub applies."""
     doc = _t(spark, sf_dir, "documents")
-    noisy = F.expr(
-        "replace(replace(text, ' value ', ' bob.smith@example.com '),"
-        " ' data ', ' call 555-0147 ')"
-    )
+    noisy = F.expr(_noisy_sql())
     scrubbed = F.regexp_replace(
         F.regexp_replace(noisy, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
     return doc.select(
         "doc_id",
-        F.expr(f"size(regexp_extract_all({_noisy_sql()}, '{_EMAIL_RE}', 0))")
+        F.size(F.regexp_extract_all(noisy, F.lit(_EMAIL_RE), F.lit(0)))
         .cast("int")
         .alias("n_emails"),
-        F.expr(f"size(regexp_extract_all({_noisy_sql()}, '{_PHONE_RE}', 0))")
+        F.size(F.regexp_extract_all(noisy, F.lit(_PHONE_RE), F.lit(0)))
         .cast("int")
         .alias("n_phones"),
         scrubbed.alias("scrubbed"),
-    )
-
-
-def _noisy_sql() -> str:
-    return (
-        "replace(replace(text, ' value ', ' bob.smith@example.com '),"
-        " ' data ', ' call 555-0147 ')"
     )
 
 

@@ -1,0 +1,68 @@
+"""Edge tests pinning the PII-scrub regex semantics.
+
+The email pattern contains ``\\.`` before the TLD. Passing it through
+``F.expr`` string interpolation lets Spark's SQL literal parser eat the
+backslash, silently turning ``\\.`` into ``.`` (match-any) for the COUNT
+columns only — so counts and scrubbed text disagree on inputs like
+``a@b_cd``. q_pii_scrub now passes the pattern as a Column literal
+(F.lit); these tests pin that the counts use the same pattern as the
+scrub, and that Spark agrees with the DuckDB oracle on the edge corpus.
+"""
+
+import re
+
+import duckdb
+import pytest
+
+from ocr_spark import queries as Q
+from ocr_spark.oracles import ORACLES
+
+# text crafted so the broken (backslash-eaten) pattern diverges:
+#  - "a@b_cd" matches [a-zA-Z0-9.-]+ . [a-zA-Z]{2,} with `.` = any char,
+#    but NOT with a literal dot -> broken counted 1, correct counts 0
+#  - "x@y.com" is a real email either way
+DOCS = [
+    (1, "reach me at x@y.com or not at a@b_cd today", "en", "web", 44),
+    (2, "no addresses here, just value and data words", "en", "web", 45),
+    (3, "double hit p.q-r@s.t.co and u@v_wx trailing", "en", "web", 43),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pii_docs")
+    df = spark.createDataFrame(
+        DOCS, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_email_count_uses_literal_dot(spark, docs_dir):
+    rows = {r["doc_id"]: r for r in Q.q_pii_scrub(spark, docs_dir).collect()}
+    # doc 1: only x@y.com counts; a@b_cd must NOT (literal-dot pattern)
+    assert rows[1]["n_emails"] == 1
+    # doc 3: only the dotted address counts, not u@v_wx
+    assert rows[3]["n_emails"] == 1
+
+
+def test_counts_match_scrub_replacements(spark, docs_dir):
+    for r in Q.q_pii_scrub(spark, docs_dir).collect():
+        assert r["n_emails"] == r["scrubbed"].count("<EMAIL>"), r["doc_id"]
+        assert r["n_phones"] == r["scrubbed"].count("<PHONE>"), r["doc_id"]
+        # nothing the scrub left behind should still look like PII
+        assert not re.search(Q._EMAIL_RE, r["scrubbed"]), r["doc_id"]
+
+
+def test_matches_duckdb_oracle_on_edge_corpus(spark, docs_dir):
+    spark_rows = sorted(
+        (r["doc_id"], r["n_emails"], r["n_phones"], r["scrubbed"])
+        for r in Q.q_pii_scrub(spark, docs_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{docs_dir}/documents.parquet/*.parquet')"
+    )
+    oracle_rows = sorted(tuple(t) for t in con.execute(ORACLES["pii_scrub"]).fetchall())
+    assert spark_rows == oracle_rows

@@ -1076,6 +1076,27 @@ SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(h) - 4 + 2),
 FROM hs WHERE len(h) >= 4
 """
 
+ORACLES["benchmark_decontam"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks
+  )
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT grams.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(ev.g) AS BIGINT) AS n_hits,
+       count(ev.g) > 0 AS contaminated
+FROM grams LEFT JOIN ev ON grams.g = ev.g
+WHERE grams.doc_id % 97 <> 0
+GROUP BY grams.doc_id
+"""
+
 ORACLES["url_domain_histogram"] = r"""
 WITH noisy AS (
   SELECT doc_id,

@@ -1645,6 +1645,51 @@ def q_winnowing_fingerprint(spark, sf_dir):
     return hs.select("doc_id", F.explode(F.expr(fps)).alias("fingerprint"))
 
 
+_DECON_EVAL_MOD = 97  # eval set = doc_id % 97 == 0 (~1% held-out benchmark)
+
+
+def q_benchmark_decontam(spark, sf_dir):
+    """Benchmark decontamination: flag training docs that share any word
+    n-gram with a held-out eval set (the GPT-3 appendix-C rule; Gopher
+    §A.3 uses the same shape). Width 3 here so the synthetic corpus
+    produces non-trivial overlap; production uses 13-grams — the plan is
+    width-independent.
+
+    Distributed shape: the eval set's distinct grams are BROADCAST (eval
+    benchmarks are KBs-MBs even when the corpus is 100 TB), so the scan
+    of training grams joins map-side with no shuffle of the big side;
+    per-doc hit counts partial-aggregate. Docs with <3 tokens have no
+    grams and are absent on both engines (minhash convention)."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
+            )
+        ).alias("g"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit") > 0).alias("contaminated"),
+        )
+    )
+
+
 def q_url_domain_histogram(spark, sf_dir):
     """URL extraction + per-domain rollup (link graph / source-mix audit).
     URLs are injected deterministically (clean fixture); extraction is a

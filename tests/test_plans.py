@@ -148,6 +148,15 @@ def test_topk_is_take_ordered(spark):
             assert n_ops(plan(fn(spark, SF_DIR)), "Window") == 0, fn
 
 
+def test_decontam_broadcasts_eval_grams(spark):
+    # the eval benchmark's gram set is tiny regardless of corpus size, so
+    # the contamination join must broadcast it — a shuffle join here would
+    # re-shuffle the full training-gram stream (the 100 TB side)
+    p = plan(Q.q_benchmark_decontam(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
 def test_minhash_is_partial_aggregated(spark):
     # the K=128 signature must partial-aggregate map-side (one row per
     # doc per partition crosses the shuffle), and explode, not K digests

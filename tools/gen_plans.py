@@ -107,6 +107,15 @@ def main() -> None:
             plan(Q.q_a8_top_k(spark, SF_DIR), mode="simple"),
         ),
         (
+            "Benchmark decontamination: broadcast eval grams",
+            "The held-out eval set's distinct n-grams are tiny regardless "
+            "of corpus size, so the contamination join must be a "
+            "BroadcastHashJoin — the 100 TB training-gram stream joins "
+            "map-side and only the per-doc hit counts shuffle "
+            "(partial-aggregated).",
+            plan(Q.q_benchmark_decontam(spark, SF_DIR), mode="simple"),
+        ),
+        (
             "T5 cleanup: pure builtins, JVM-side",
             "The whitespace-normalization chain is regexp_replace/trim "
             "builtins only — no python evaluation node; it stays inside "

@@ -1097,6 +1097,25 @@ WHERE grams.doc_id % 97 <> 0
 GROUP BY grams.doc_id
 """
 
+ORACLES["sequence_packing"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 64 AS INT) AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       tok_end - n_tokens AS tok_start, tok_end,
+       CAST(floor((tok_end - n_tokens) / 2048.0) AS BIGINT) AS first_seq,
+       CAST(floor((tok_end - 1) / 2048.0) AS BIGINT) AS last_seq
+FROM c
+"""
+
 ORACLES["url_domain_histogram"] = r"""
 WITH noisy AS (
   SELECT doc_id,

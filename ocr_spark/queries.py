@@ -1690,6 +1690,46 @@ def q_benchmark_decontam(spark, sf_dir):
     )
 
 
+_PACK_SEQ_LEN = 2048  # training sequence length (tokens)
+_PACK_SHARDS = 64  # packing shards; each packs independently
+
+
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-slice sequence packing plan: documents are
+    concatenated per shard in doc_id order and sliced into fixed
+    2048-token training sequences; emits each doc's token span and the
+    first/last sequence it lands in (docs straddle boundaries, as in
+    pretraining concat+chunk).
+
+    Distributed shape: the running-offset window is keyed by a 64-way
+    shard — each shard packs independently, so there is never a global
+    single-partition sort; at 100 TB shards map to writer tasks."""
+    doc = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = doc.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (end - F.col("n_tokens")).alias("tok_start"),
+        end.alias("tok_end"),
+        F.floor((end - F.col("n_tokens")) / _PACK_SEQ_LEN)
+        .cast("bigint")
+        .alias("first_seq"),
+        F.floor((end - 1) / _PACK_SEQ_LEN).cast("bigint").alias("last_seq"),
+    )
+
+
 def q_url_domain_histogram(spark, sf_dir):
     """URL extraction + per-domain rollup (link graph / source-mix audit).
     URLs are injected deterministically (clean fixture); extraction is a

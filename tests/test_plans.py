@@ -157,6 +157,16 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
+def test_sequence_packing_window_is_sharded(spark):
+    # the running-offset window must be keyed by the packing shard —
+    # a non-partitioned window would sort the entire corpus in ONE task
+    p = plan(Q.q_sequence_packing(spark, SF_DIR))
+    assert n_ops(p, "Window") == 1
+    # the exchange feeding the window hashes on the shard key, not a
+    # SinglePartition gather
+    assert "SinglePartition" not in p
+
+
 def test_minhash_is_partial_aggregated(spark):
     # the K=128 signature must partial-aggregate map-side (one row per
     # doc per partition crosses the shuffle), and explode, not K digests

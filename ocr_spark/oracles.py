@@ -1116,6 +1116,19 @@ SELECT doc_id, shard, n_tokens,
 FROM c
 """
 
+ORACLES["bpe_top_merges"] = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 50
+"""
+
 ORACLES["url_domain_histogram"] = r"""
 WITH noisy AS (
   SELECT doc_id,

@@ -1730,6 +1730,33 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+def q_bpe_top_merges(spark, sf_dir):
+    """The inner statistic of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide frequencies of adjacent character pairs inside
+    words, top 50 — the candidates for the next merge rule.
+
+    Distributed shape: explode words -> explode in-word pairs (narrow,
+    array math in codegen) -> partial-aggregated count -> top-k via
+    TakeOrderedAndProject (k rows per partition to the driver, never a
+    global sort). At 100 TB tokenizer training runs exactly this plan
+    per merge round over a sampled corpus."""
+    doc = _t(spark, sf_dir, "documents")
+    words = doc.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
 def q_url_domain_histogram(spark, sf_dir):
     """URL extraction + per-domain rollup (link graph / source-mix audit).
     URLs are injected deterministically (clean fixture); extraction is a

@@ -136,6 +136,7 @@ def test_topk_is_take_ordered(spark):
         Q.q_embedding_near_dup,
         Q.q_ann_bucketed_topk,
         Q.q_ivf_search_topk,
+        Q.q_bpe_top_merges,
     )
     for fn in topk_queries:
         p = plan(fn(spark, SF_DIR), mode="simple")

@@ -54,6 +54,42 @@ def test_counts_match_scrub_replacements(spark, docs_dir):
         assert not re.search(Q._EMAIL_RE, r["scrubbed"]), r["doc_id"]
 
 
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_decontam_eval_docs_excluded_and_flag_consistent(spark):
+    rows = Q.q_benchmark_decontam(spark, SF_DIR).collect()
+    assert rows, "decontam returned nothing"
+    for r in rows:
+        assert r["doc_id"] % Q._DECON_EVAL_MOD != 0, "eval doc leaked into output"
+        assert 0 <= r["n_hits"] <= r["n_grams"], r
+        assert r["contaminated"] == (r["n_hits"] > 0), r
+
+
+def test_sequence_packing_spans_are_contiguous_per_shard(spark):
+    rows = Q.q_sequence_packing(spark, SF_DIR).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rs:
+            assert r["tok_start"] == offset, (shard, r)
+            assert r["tok_end"] == offset + r["n_tokens"], (shard, r)
+            assert r["first_seq"] == r["tok_start"] // Q._PACK_SEQ_LEN
+            assert r["last_seq"] == (r["tok_end"] - 1) // Q._PACK_SEQ_LEN
+            offset = r["tok_end"]
+
+
+def test_bpe_top_merges_ordering_and_shape(spark):
+    rows = Q.q_bpe_top_merges(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    keys = [(-r["n"], r["pair"]) for r in rows]
+    assert keys == sorted(keys), "top-k not in (count desc, pair asc) order"
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
 def test_matches_duckdb_oracle_on_edge_corpus(spark, docs_dir):
     spark_rows = sorted(
         (r["doc_id"], r["n_emails"], r["n_phones"], r["scrubbed"])

@@ -1655,23 +1655,15 @@ def q_benchmark_decontam(spark, sf_dir):
     produces non-trivial overlap; production uses 13-grams — the plan is
     width-independent.
 
-    Distributed shape: the eval set's distinct grams are BROADCAST (eval
-    benchmarks are KBs-MBs even when the corpus is 100 TB), so the scan
-    of training grams joins map-side with no shuffle of the big side;
-    per-doc hit counts partial-aggregate. Docs with <3 tokens have no
+    Distributed shape: the eval set's distinct grams are BROADCAST, so
+    the scan of training grams joins map-side with no shuffle of the big
+    side; per-doc hit counts partial-aggregate. In production ev is an
+    external, fixed-size benchmark table (KBs-MBs at any corpus scale),
+    which is why the hint is forced; this fixture's doc_id%97 stand-in
+    grows with sf, so a large-sf run would swap in the real eval table
+    rather than raise the broadcast limit. Docs with <3 tokens have no
     grams and are absent on both engines (minhash convention)."""
-    doc = _t(spark, sf_dir, "documents")
-    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
-            )
-        ).alias("g"),
-    )
+    grams = _shingles_df(spark, sf_dir).withColumnRenamed("shingle", "g")
     ev = (
         grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
         .select("g")

@@ -1,6 +1,12 @@
-"""Edge tests pinning the PII-scrub regex semantics.
+"""Edge and invariant tests for the corpus-hygiene operators.
 
-The email pattern contains ``\\.`` before the TLD. Passing it through
+PII-scrub regex edges run against a crafted adversarial corpus
+(``docs_dir``); the decontam/packing/BPE invariant tests run against the
+sf0.001 parquet tables (they pin cross-row structural invariants, which
+need a realistic corpus rather than a 3-row edge fixture).
+
+On the PII edge: the email pattern contains ``\\.`` before the TLD.
+Passing it through
 ``F.expr`` string interpolation lets Spark's SQL literal parser eat the
 backslash, silently turning ``\\.`` into ``.`` (match-any) for the COUNT
 columns only — so counts and scrubbed text disagree on inputs like

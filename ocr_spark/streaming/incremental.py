@@ -17,6 +17,9 @@ same extraction plan as an incremental Structured Streaming job:
   ``applyInPandasWithState`` — a running per-conversation progress row
   (≙ the reference's progress beacon, ``tasks/pdf_hybrid_tasks.py:174-176``
   / ``redis_service.py:379-409``), emitted on every update.
+- ``stream_turn_ack_join``: watermarked stream-stream interval join
+  (turn matched to its delivery ack within a lag bound) — join state on
+  both sides is evicted by the watermark + time-range predicate.
 
 Scale notes: the file source lists new files per trigger (at real scale
 use Iceberg/Kafka sources — same plan); state is per-conv_id and
@@ -169,6 +172,66 @@ def stream_dedup_exact(
         "sha", F.sha2(F.col("text").cast("binary"), 256)
     )
     return keyed.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "sha"])
+
+
+ACK_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("ack_ts", T.TimestampType(), True),
+    ]
+)
+
+
+def read_ack_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(ACK_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+
+
+def stream_turn_ack_join(
+    turns: DataFrame,
+    acks: DataFrame,
+    watermark: str = "30 minutes",
+    max_lag_minutes: int = 10,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each turn matched to its
+    delivery ack arriving within ``max_lag_minutes`` after the turn
+    (the streaming twin of the batch T4 line join against a second
+    continuously-arriving table).
+
+    Both sides carry event-time watermarks AND the join predicate bounds
+    ack_ts relative to ts — that pair is what lets Spark EVICT join
+    state: the turn buffer holds at most watermark+max_lag of events,
+    the ack buffer at most the watermark. Without the time-range
+    predicate the turn side would buffer forever (the unbounded-state
+    failure mode of stream-stream joins at 10^12 turns). Equi-keys
+    (conv_id, turn_idx) keep the join a hash join partitioned by
+    conversation — a hot conversation is one state partition's worth of
+    in-horizon turns, not a replay of history."""
+    t = turns.withWatermark("ts", watermark).alias("t")
+    a = acks.withWatermark("ack_ts", watermark).alias("a")
+    joined = t.join(
+        a,
+        F.expr(
+            "t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx"
+            " AND a.ack_ts >= t.ts"
+            f" AND a.ack_ts <= t.ts + interval {int(max_lag_minutes)} minutes"
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("t.conv_id").alias("conv_id"),
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.role").alias("role"),
+        F.col("t.ts").alias("ts"),
+        F.col("a.ack_ts").alias("ack_ts"),
+        (
+            F.col("a.ack_ts").cast("double") - F.col("t.ts").cast("double")
+        ).alias("lag_s"),
+    )
 
 
 def session_turn_stats(

@@ -104,6 +104,57 @@ def test_stream_dedup_drops_redelivered_turns(spark, dirs):
     assert spark.read.parquet(dirs["out"]).count() == n_unique
 
 
+def test_stream_stream_join_matches_batch_join(spark, dirs):
+    """The watermarked turn-ack interval join emits exactly the pairs the
+    equivalent batch join produces: in-lag acks match, late acks don't."""
+    from ocr_spark.streaming.incremental import (
+        ACK_SCHEMA,
+        read_ack_stream,
+        stream_turn_ack_join,
+    )
+
+    _write_batch(spark, dirs["in"], 0, 8, "b1")
+    turns_batch = spark.read.parquet(dirs["in"] + "/b1")
+    # acks: even turns ack within 2 min (in lag), odd turns ack 30 min
+    # late (outside the 10-min bound -> must NOT join)
+    acks_batch = turns_batch.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("turn_idx") % 2 == 0,
+            F.col("ts") + F.expr("interval 2 minutes"),
+        )
+        .otherwise(F.col("ts") + F.expr("interval 30 minutes"))
+        .alias("ack_ts"),
+    )
+    ack_dir = os.path.join(ROOT, "acks")
+    acks_batch.coalesce(2).write.parquet(os.path.join(ack_dir, "b1"))
+
+    joined = stream_turn_ack_join(
+        read_transcript_stream(spark, dirs["in"] + "/*"),
+        read_ack_stream(spark, ack_dir + "/*"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.lag_s
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): 120.0
+        for r in turns_batch.filter(F.col("turn_idx") % 2 == 0).collect()
+    }
+    assert got == want
+
+
 def test_windowed_counts_append_emits_closed_windows(spark, dirs):
     _write_batch(spark, dirs["in"], 0, 30, "b1")
     q = run_windowed_stream(

@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontam": Q.q_benchmark_decontam,
         "sequence_packing": Q.q_sequence_packing,
         "bpe_top_merges": Q.q_bpe_top_merges,
+        "dedup_cluster_representatives": Q.q_dedup_cluster_representatives,
         "url_domain_histogram": Q.q_url_domain_histogram,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "bigram_lm_score": Q.q_bigram_lm_score,

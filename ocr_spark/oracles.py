@@ -1217,3 +1217,18 @@ SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
              / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
+
+ORACLES["dedup_cluster_representatives"] = f"""
+WITH clus AS ({ORACLES["dedup_clusters"]}),
+q AS ({ORACLES["quality_score"]}),
+m AS (
+  SELECT clus.cluster_id AS cluster, clus.doc_id, q.quality,
+         row_number() OVER (PARTITION BY clus.cluster_id
+                            ORDER BY q.quality DESC, clus.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY clus.cluster_id) AS n_members
+  FROM clus JOIN q ON q.doc_id = clus.doc_id
+)
+SELECT cluster, doc_id AS rep_doc_id, quality AS rep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM m WHERE rn = 1
+"""

@@ -1441,6 +1441,36 @@ def q_dedup_clusters(spark, sf_dir):
         edges.unpersist()
 
 
+def q_dedup_cluster_representatives(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster: the step after
+    clustering where a training pipeline keeps ONE representative (the
+    highest-quality member; doc_id breaks ties) and drops the rest.
+
+    Composition of q_dedup_clusters + q_quality_score; the argmax is a
+    cluster-keyed row_number window (dedup clusters are tiny, so no key
+    is hot) plus a cluster-size count for audit."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    quality = q_quality_score(spark, sf_dir)
+    joined = clusters.join(quality, "doc_id").select(
+        F.col("cluster_id").alias("cluster"), "doc_id", "quality"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    size_w = Window.partitionBy("cluster")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(size_w).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality").alias("rep_quality"),
+            "n_members",
+        )
+    )
+
+
 _SAMPLE_RATES = {"en": 30, "fr": 100, "es": 80, "zh": 60, "de": 100}  # percent
 
 

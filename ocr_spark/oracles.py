@@ -121,11 +121,18 @@ FROM documents
 ORACLES["ngram_jaccard_pairs"] = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-), shingles AS (
+), all_shingles AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 0) + 1),
            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
   FROM toks
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM all_shingles GROUP BY shingle
+), shingles AS (
+  -- mirror of queries._NGRAM_MAX_DF: drop boilerplate shingles before pairing
+  SELECT s.doc_id, s.shingle
+  FROM all_shingles s JOIN dfreq USING (shingle)
+  WHERE dfreq.df <= 100
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
 ), inter AS (
@@ -436,14 +443,15 @@ WHERE a.doc_id < b.doc_id
 
 ORACLES["embedding_near_dup"] = f"""
 WITH wb AS (
+  -- mirror of queries._ND_SIGN_BITS = 16: integer sign signature
   SELECT vec_id, embedding,
-         array_to_string(list_transform(embedding[1:8],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS sig
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
-FROM wb a JOIN wb b USING (bucket)
+FROM wb a JOIN wb b ON bit_count(xor(a.sig, b.sig)) <= 1
 WHERE a.vec_id < b.vec_id
 QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_a ASC, vec_b ASC) <= 20
 """
@@ -1045,13 +1053,15 @@ WITH toks AS (
 ), chunks AS (
   SELECT doc_id,
          CAST(i AS BIGINT) AS chunk_idx,
-         array_to_string(t[CAST(i AS INT) * 10 + 1 : CAST(i AS INT) * 10 + 10], ' ') AS chunk,
-         doc_id * 1000000 + i AS occ_key
+         array_to_string(t[CAST(i AS INT) * 10 + 1 : CAST(i AS INT) * 10 + 10], ' ') AS chunk
   FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS r(i)
 ), first_occ AS (
-  SELECT chunk, min(occ_key) AS first_key FROM chunks GROUP BY chunk
+  -- mirror of the Spark struct-min: lexicographic (doc_id, chunk_idx)
+  SELECT chunk, min(struct_pack(d := doc_id, i := chunk_idx)) AS first_key
+  FROM chunks GROUP BY chunk
 ), tagged AS (
-  SELECT c.doc_id, c.occ_key = f.first_key AS kept
+  SELECT c.doc_id,
+         (c.doc_id = f.first_key.d AND c.chunk_idx = f.first_key.i) AS kept
   FROM chunks c JOIN first_occ f USING (chunk)
 )
 SELECT doc_id,
@@ -1104,13 +1114,16 @@ WITH d AS (
          CAST(doc_id % 64 AS INT) AS shard
   FROM documents
 ), c AS (
+  -- DuckDB's sum(BIGINT) yields HUGEINT; cast back to BIGINT so pandas
+  -- materializes int64 (not float64) and the driver's value hash matches
+  -- Spark's BIGINT running sum.
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
   FROM d
 )
 SELECT doc_id, shard, n_tokens,
-       tok_end - n_tokens AS tok_start, tok_end,
+       CAST(tok_end - n_tokens AS BIGINT) AS tok_start, tok_end,
        CAST(floor((tok_end - n_tokens) / 2048.0) AS BIGINT) AS first_seq,
        CAST(floor((tok_end - 1) / 2048.0) AS BIGINT) AS last_seq
 FROM c

@@ -176,12 +176,21 @@ def q_quality_score(spark, sf_dir):
     return doc.select("doc_id", score.alias("quality"))
 
 
+_NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: 3-word-shingle Jaccard between document pairs.
 
-    Distributed shape: explode shingles -> self-equi-join on shingle value
-    (never a cross join) -> per-pair intersection counts -> Jaccard via
-    inclusion-exclusion. Top-20 pairs, deterministic ordering.
+    Distributed shape: explode shingles -> document-frequency cap (drop
+    boilerplate shingles with df > _NGRAM_MAX_DF via a broadcast left-anti
+    join; a shingle shared by k docs contributes k^2 rows to the self-join,
+    so web-scale stopword shingles would otherwise blow up quadratically)
+    -> self-equi-join on shingle value (never a cross join) -> per-pair
+    intersection counts -> Jaccard via inclusion-exclusion over the capped
+    shingle set. Top-20 pairs, deterministic ordering. The hot-shingle set
+    is tiny by construction (bounded by corpus_shingles / max_df), hence
+    broadcast-able at any corpus size.
     """
     doc = _t(spark, sf_dir, "documents")
     toks = doc.select(
@@ -197,6 +206,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             )
         ).alias("shingle"),
     )
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _NGRAM_MAX_DF)
+        .select("shingle")
+    )
+    shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -722,19 +738,44 @@ def q_simhash_near_dup(spark, sf_dir):
     )
 
 
+_ND_SIGN_BITS = 16  # sign-LSH signature width (2^16 buckets; parameterized)
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: sign-LSH bucket join (first 8 dims)
-    for candidates, exact cosine on candidates, top-20 pairs."""
+    """Embedding-cosine near-dup pairs: 16-bit sign-LSH with Hamming<=1
+    multiprobe, exact cosine on candidates, top-20 pairs.
+
+    Candidate rule: pairs whose sign signatures (first _ND_SIGN_BITS dims)
+    differ in at most 1 bit. 2^16 buckets keeps per-bucket occupancy ~N/65536
+    (vs the earlier 8-bit N/256 quadratic edge) while multiprobe restores the
+    recall a wider signature would lose. Probe set = home signature + all 16
+    single-bit XOR flips, joined probe->home with vec_a < vec_b; each
+    qualifying pair matches on exactly one probe (home-home when d=0, the
+    one flip when d=1), so no dedup shuffle is needed. The 17x probe explode
+    is narrow (no shuffle); the join shuffles keys, not pairs.
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    bucket = F.expr(
-        "array_join(transform(slice(embedding, 1, 8),"
-        " x -> case when x >= 0 then '1' else '0' end), '')"
+    sig = F.expr(
+        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
+        f" sequence(0, {_ND_SIGN_BITS - 1}),"
+        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
+        " 0, (acc, v) -> acc + v)"
     )
-    wb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = wb.alias("a")
+    wb = emb.select("vec_id", "embedding", sig.alias("sig"))
+    probes = wb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                "concat(array(sig), transform("
+                f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
+            )
+        ).alias("probe"),
+    )
+    a = probes.alias("a")
     b = wb.alias("b")
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, F.col("a.probe") == F.col("b.sig"))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -1633,10 +1674,17 @@ def q_chunk_dedup_keep_first(spark, sf_dir):
                 " i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"
             )
         ).alias("chunk_idx", "chunk"),
-    ).withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("chunk_idx"))
-    first = chunks.groupBy("chunk").agg(F.min("occ_key").alias("first_key"))
+    )
+    # min over a (doc_id, chunk_idx) struct (lexicographic) rather than an
+    # arithmetic composite key: doc_id*1e6+chunk_idx collides for docs with
+    # >=1M chunks and overflows int64 for doc_id > ~9.2e12 — real at 100 TB.
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first_occ")
+    )
     tagged = chunks.join(first, "chunk").withColumn(
-        "kept", F.col("occ_key") == F.col("first_key")
+        "kept",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("chunk_idx") == F.col("first_occ.chunk_idx")),
     )
     return tagged.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),

@@ -33,9 +33,14 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.9g}"
+        # Deliberately do NOT collapse 32.0 -> 32: the driver's canonicalizer
+        # distinguishes float64 from int64, so an oracle that returns HUGEINT
+        # (pandas float64) where Spark returns BIGINT must show up red here too.
+        # Keep 9-sig-fig tolerance for genuine double math, but tag float-ness.
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)

@@ -149,6 +149,27 @@ def test_topk_is_take_ordered(spark):
             assert n_ops(plan(fn(spark, SF_DIR)), "Window") == 0, fn
 
 
+def test_ngram_df_cap_precedes_self_join(spark):
+    # hot-shingle cap: the broadcast left-anti join (drop df > cap) must sit
+    # BELOW the self-equi-join, so a boilerplate shingle shared by k docs
+    # can never contribute k^2 rows to the pair join at web scale
+    p = plan(Q.q_ngram_jaccard_pairs(spark, SF_DIR), mode="simple")
+    anti = p.find("BroadcastHashJoin")
+    assert anti != -1 and "LeftAnti" in p
+    # the anti join appears deeper in the tree (later in the printed plan)
+    # than the pair-producing inner join's final aggregate
+    assert "CartesianProduct" not in p
+
+
+def test_embedding_near_dup_multiprobe_no_dedup_shuffle(spark):
+    # probe->home join emits each Hamming<=1 pair exactly once, so the plan
+    # must contain no dedup (HashAggregate on pair keys between join and
+    # TakeOrdered) beyond the join itself and no cartesian fallback
+    p = plan(Q.q_embedding_near_dup(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_decontam_broadcasts_eval_grams(spark):
     # the eval benchmark's gram set is tiny regardless of corpus size, so
     # the contamination join must broadcast it — a shuffle join here would

@@ -26,10 +26,16 @@ from ocr_spark.oracle.extract import TEXT_KINDS_COUNTED_AS_TEXT
 
 _TEXT_KINDS_SQL = ", ".join(f"'{k}'" for k in TEXT_KINDS_COUNTED_AS_TEXT)
 
-# ordered, blank-skipping join of per-turn texts (≙ ocr_service.py:249-262)
+# ordered, blank-skipping join of per-turn texts (≙ ocr_service.py:249-262).
+# The blank-skip runs as an aggregate FILTER clause, i.e. BEFORE the
+# collect_list buffer: blank turns never enter the map-side partial lists,
+# so they are neither buffered nor shuffled (same rows out — the filter
+# predicate is per-element, so filtering before or after collection is
+# equivalent; ordering is recovered by array_sort either way).
 _JOIN_TURNS = (
-    "array_join(transform(filter(array_sort(collect_list(struct(turn_idx, extracted_text))),"
-    " x -> x.extracted_text is not null and trim(x.extracted_text) != ''),"
+    "array_join(transform(array_sort("
+    " collect_list(struct(turn_idx, extracted_text))"
+    " FILTER (WHERE extracted_text is not null and trim(extracted_text) != '')),"
     " x -> x.extracted_text), '\\n\\n')"
 )
 
@@ -61,8 +67,9 @@ def conv_text_salted(extracted: DataFrame, bucket_turns: int = 256) -> DataFrame
     )
     return partial.groupBy("conv_id").agg(
         F.expr(
-            "array_join(transform(filter(array_sort(collect_list(struct(turn_bucket, bucket_text))),"
-            " x -> x.bucket_text != ''), x -> x.bucket_text), '\\n\\n')"
+            "array_join(transform(array_sort("
+            " collect_list(struct(turn_bucket, bucket_text)) FILTER (WHERE bucket_text != '')),"
+            " x -> x.bucket_text), '\\n\\n')"
         ).alias("full_text"),
         F.sum("n_turns").cast("int").alias("n_turns"),
         F.sum("n_text").cast("int").alias("n_text"),

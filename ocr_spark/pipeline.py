@@ -216,12 +216,20 @@ def compact_snapshots(
     return len(paths)
 
 
-def expire_snapshots(out_root: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(
+    out_root: str, keep_last: int = 1, max_age_s: float | None = None
+) -> list[str]:
     """Retention: drop all but the newest ``keep_last`` committed
     snapshots (and their metrics) — the store's analog of the reference's
     result TTL (`celery_app.py:58` result_expires=3600; Redis cleanup
-    `services/redis_service.py:434-477`), by count/recency rather than
-    wall-clock since snapshot indices are allocate-only and monotonic.
+    `services/redis_service.py:434-477`). Count-based by default since
+    snapshot indices are allocate-only and monotonic; ``max_age_s``
+    additionally expires any snapshot whose *commit* (marker mtime —
+    publish time, not data-write time) is older than that many seconds,
+    completing the ≙ of the reference's 3600 s TTL. The two compose:
+    a snapshot is removed iff it is beyond ``keep_last`` OR older than
+    ``max_age_s``; ``keep_last=0`` with a TTL means age alone decides
+    (without one it keeps its historical meaning: expire everything).
     Expired turns simply re-extract on the next resumable run.
 
     Crash-safe: each victim is unpublished (marker removed) before its
@@ -229,6 +237,7 @@ def expire_snapshots(out_root: str, keep_last: int = 1) -> list[str]:
     `vacuum_uncommitted` removes — never a half-visible snapshot.
     Returns the removed snapshot paths."""
     import shutil
+    import time
 
     keep_last = max(keep_last, 0)
     # physically drop tombstoned dirs first: expiring a compacted
@@ -238,7 +247,26 @@ def expire_snapshots(out_root: str, keep_last: int = 1) -> list[str]:
         _committed_snapshots(out_root),
         key=lambda p: int(os.path.basename(p).split("=", 1)[1]),
     )
-    victims = paths[: len(paths) - keep_last] if keep_last else paths
+    # keep_last=0 alone means "expire everything"; combined with a TTL it
+    # means "no count-based retention — age alone decides"
+    if keep_last:
+        victims = list(paths[: len(paths) - keep_last])
+    elif max_age_s is None:
+        victims = list(paths)
+    else:
+        victims = []
+    if max_age_s is not None:
+        cutoff = time.time() - max_age_s
+        seen = set(victims)
+        for p in paths:
+            if p in seen:
+                continue
+            try:
+                committed_at = os.path.getmtime(os.path.join(p, _MARKER))
+            except OSError:
+                continue  # concurrently expired/unpublished: not ours
+            if committed_at < cutoff:
+                victims.append(p)
     removed = []
     for p in victims:
         os.remove(os.path.join(p, _MARKER))  # unpublish first

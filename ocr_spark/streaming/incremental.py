@@ -50,10 +50,12 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
-def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -63,14 +65,23 @@ def stream_extract(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 64,
 ):
     """Incremental extraction: new transcript files -> extracted parquet.
 
     Returns the started StreamingQuery (trigger availableNow: drain all
     currently-available input then stop — deterministic for tests; drop
     the trigger for a long-running continuous job).
+
+    Exactly-once: the checkpoint records which input files each batch
+    consumed, and the parquet sink's ``_spark_metadata`` commit log
+    records which output files each batch produced — a batch killed
+    after writing part files but before its commit-log entry leaves
+    orphans that readers (which resolve the sink through the metadata
+    log) never see, and the restarted query re-runs that batch from the
+    checkpoint (crash-tested in tests/test_streaming.py).
     """
-    stream = read_transcript_stream(spark, input_dir)
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     extracted = extract(stream)
     return (
         extracted.writeStream.format("parquet")

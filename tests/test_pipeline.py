@@ -239,6 +239,46 @@ def test_expire_snapshots_retention_and_crash_safety(spark, tmp_path):
     assert any(p.endswith(victim) for p in vacuum_uncommitted(root))
 
 
+def test_expire_snapshots_by_age(spark, tmp_path):
+    """Age-based retention (max_age_s ≙ the reference's 3600 s result
+    TTL): snapshots whose commit marker is older than the horizon go,
+    newer ones stay, and keep_last composes as an OR. Ages are set by
+    backdating marker mtimes (commit time IS the marker's mtime)."""
+    import os
+    import time
+
+    from ocr_spark.pipeline import _MARKER, expire_snapshots
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 9).cache()
+    run_resumable(spark, full.filter("turn_idx % 3 = 0"), root)
+    run_resumable(spark, full.filter("turn_idx % 3 <= 1"), root)
+    run_resumable(spark, full, root)
+
+    # backdate snapshot=0 (2h) and snapshot=1 (90min); snapshot=2 is fresh
+    for name, age in (("snapshot=0", 7200), ("snapshot=1", 5400)):
+        marker = os.path.join(root, name, _MARKER)
+        os.utime(marker, (time.time() - age, time.time() - age))
+
+    # keep_last=0 -> pure TTL: only the two old ones expire
+    removed = expire_snapshots(root, keep_last=0, max_age_s=3600)
+    assert {os.path.basename(p) for p in removed} == {"snapshot=0", "snapshot=1"}
+    kept = read_snapshots(spark, root)
+    assert kept.count() == full.filter("turn_idx % 3 = 2").count()
+
+    # expired turns re-extract on resume; vacuum finds nothing half-done
+    assert run_resumable(spark, full, root).count() == full.count()
+    from ocr_spark.pipeline import vacuum_uncommitted
+
+    assert vacuum_uncommitted(root) == []
+
+    # OR-composition: a fresh marker but keep_last=1 still trims history —
+    # snapshot=2 (35 old turns) goes, snapshot=3 (the 82 re-extracted) stays
+    removed2 = expire_snapshots(root, keep_last=1, max_age_s=3600)
+    assert {os.path.basename(p) for p in removed2} == {"snapshot=2"}
+    assert read_snapshots(spark, root).count() == full.filter("turn_idx % 3 <= 1").count()
+
+
 def test_compaction_preserves_table_and_resume(spark, tmp_path):
     from ocr_spark.pipeline import compact_snapshots, vacuum_uncommitted
 

@@ -71,6 +71,49 @@ def test_stream_extract_is_incremental_and_exactly_once(spark, dirs):
     assert _sorted_extract(spark.read.parquet(dirs["out"])) == want2
 
 
+def test_stream_extract_crash_between_triggers_no_dup_no_loss(spark, dirs):
+    """Kill the query mid-drain (after >=1 committed microbatch, possibly
+    mid-batch-2 — the crash case), restart from the same checkpoint, and
+    assert the sink holds every input turn exactly once.
+
+    The kill is abrupt from the query's perspective: stop() aborts any
+    in-flight batch after its tasks may already have written part files,
+    which is precisely the window where a non-transactional sink would
+    duplicate on restart. The parquet sink's _spark_metadata commit log +
+    the checkpointed source offsets make the restart idempotent."""
+    for i in range(6):
+        _write_batch(spark, dirs["in"], i * 3, 3, f"w{i}")
+
+    # one file per trigger -> many microbatches; stop after the first
+    # batch commits (the stop lands between triggers or mid-batch)
+    q = stream_extract(
+        spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    import time as _time
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.05)
+    assert q.recentProgress, "stream never made progress"
+    q.stop()
+    q.awaitTermination()
+
+    partial = spark.read.parquet(dirs["out"]).count()
+    total_in = spark.read.parquet(dirs["in"] + "/*").count()
+    assert 0 < partial < total_in, "kill landed before any/after every batch"
+
+    # restart from the same checkpoint: drains the remainder, no dups
+    q = stream_extract(
+        spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = _sorted_extract(spark.read.parquet(dirs["out"]))
+    want = _sorted_extract(extract(spark.read.parquet(dirs["in"] + "/*")))
+    assert got == want  # every turn exactly once, values identical
+
+
 def test_stream_dedup_drops_redelivered_turns(spark, dirs):
     """Duplicate/re-delivered turns (the at-least-once queue archetype)
     are dropped by content key, within a batch and across restarts via

@@ -14,12 +14,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _submit(zip_path, input_dir, out_dir, extra=()):
+def _submit(zip_path, input_dir, out_dir, extra=(), conf=()):
     cmd = [
         "spark-submit",
         "--master", "local[4]",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.shuffle.partitions=8",
+        *(x for c in conf for x in ("--conf", c)),
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "extract_job.py"),
         "--input", input_dir,
@@ -55,9 +56,20 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     assert metrics.groupBy().sum("turns_in").collect()[0][0] == n_turns
 
     # resume in a fresh JVM: nothing new to do, output unchanged, and the
-    # fully-caught-up rerun leaves NO extra snapshot directory behind
-    summary2 = _submit(zip_path, input_dir, out_dir)
+    # fully-caught-up rerun leaves NO extra snapshot directory behind.
+    # Also exercises --bucketed-output through the job path: both output
+    # tables bucketed by conv_id, and the job's own plan audit must see a
+    # shuffle-free (zero-Exchange) conv_id join between them.
+    summary2 = _submit(
+        zip_path,
+        input_dir,
+        out_dir,
+        ("--bucketed-output", "4", "--bucketed-prefix", "jobtest"),
+        conf=(f"spark.sql.warehouse.dir={tmp_path / 'wh'}",),
+    )
     assert summary2["turns_committed"] == n_turns
+    assert summary2["bucketed_tables"] == ["jobtest_extracted", "jobtest_conv_text"]
+    assert summary2["bucketed_join_exchanges"] == 0
     snaps = [
         n
         for n in os.listdir(os.path.join(out_dir, "extracted"))

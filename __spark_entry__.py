@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": Q.q_bigram_lm_score,
         "stratified_sample": Q.q_stratified_sample,
         "mixture_rebalance": Q.q_mixture_rebalance,
+        # round 3: split / classifier / blocklist / distribution stats
+        "train_eval_split": Q.q_train_eval_split,
+        "hashed_ngram_classifier": Q.q_hashed_ngram_classifier,
+        "domain_blocklist_filter": Q.q_domain_blocklist_filter,
+        "doclen_percentiles": Q.q_doclen_percentiles,
+        "token_entropy": Q.q_token_entropy,
         "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,

@@ -1245,3 +1245,64 @@ SELECT cluster, doc_id AS rep_doc_id, quality AS rep_quality,
        CAST(n_members AS BIGINT) AS n_members
 FROM m WHERE rn = 1
 """
+
+
+# --- round 3: split / classifier / blocklist / distribution stats --------
+
+ORACLES["train_eval_split"] = r"""
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+ORACLES["hashed_ngram_classifier"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), w AS (
+  -- integer weight sum (mirror of the Spark aggregate: bucket*knuth
+  -- % 2^20 centered) so both engines agree bit-for-bit before the
+  -- single final float sigmoid
+  SELECT doc_id, len(t) - 1 AS n,
+         list_sum(list_transform(range(1, len(t)),
+           i -> (('0x' || substr(md5(t[CAST(i AS INT)] || '_' || t[CAST(i AS INT) + 1]), 1, 4))::BIGINT
+                 * 2654435761) % 1048576 - 524288)) AS wsum
+  FROM toks WHERE len(t) >= 2
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / (n * 1048576.0)))), 6) AS quality_score
+FROM w
+"""
+
+ORACLES["domain_blocklist_filter"] = """
+SELECT doc_id, source || '.example.com' AS domain
+FROM documents
+WHERE source NOT IN ('src3', 'src7', 'src13')
+"""
+
+ORACLES["doclen_percentiles"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+ORACLES["token_entropy"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+FROM counts GROUP BY doc_id
+"""

@@ -1972,3 +1972,130 @@ def q_tpch_q14ish(spark, sf_dir):
             6,
         ).alias("promo_revenue_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: split assignment, hashed classifier, blocklist filter,
+# distribution statistics (the remaining standard stages of a
+# training-data curation pipeline)
+# ---------------------------------------------------------------------------
+
+def q_train_eval_split(spark, sf_dir):
+    """Deterministic train/val/test split with per-source stratification
+    proof. Split is content-keyed (md5 of doc_id + text -> bucket 0-99:
+    <90 train, <95 val, else test), so membership is reproducible across
+    runs/clusters and adding documents never reshuffles existing ones —
+    the property a 100 TB curation pipeline needs for stable eval sets.
+    Narrow per-row hashing + one partial-aggregated groupBy; no joins.
+    """
+    doc = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        doc.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def q_hashed_ngram_classifier(spark, sf_dir):
+    """fastText-style linear quality classifier over hashed word bigrams:
+    bigram -> 16-bit md5 bucket -> deterministic integer weight
+    (Knuth-hash of the bucket, centered), mean-pooled and squashed with a
+    sigmoid. Entirely narrow (higher-order array functions inside
+    whole-stage codegen — no explode, no shuffle): the 100 TB shape for
+    model-free quality scoring. The weight sum stays in INTEGER
+    arithmetic so Spark and the DuckDB oracle agree bit-for-bit; only the
+    final sigmoid is float."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    # integer weight per bigram: bucket*knuth % 2^20 - 2^19  (centered)
+    wsum = F.expr(
+        "aggregate(transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))),"
+        " 0L, (acc, g) -> acc +"
+        " (cast(conv(substr(md5(g), 1, 4), 16, 10) as bigint) * 2654435761) % 1048576"
+        " - 524288)"
+    )
+    n = F.size(F.col("toks")) - 1
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(wsum.cast("double") / (n * 1048576.0)))), 6
+    )
+    return toks.filter(n >= 1).select(
+        "doc_id", score.alias("quality_score")
+    )
+
+
+_BLOCKED_SOURCES = ("src3", "src7", "src13")
+
+
+def q_domain_blocklist_filter(spark, sf_dir):
+    """URL/domain blocklist filtering (the robots/abuse-list stage of a
+    web-corpus pipeline): documents whose source domain appears in a
+    blocklist TABLE are dropped via a broadcast LEFT ANTI join. The
+    blocklist is a table, not a literal IN-list, because at production
+    scale it is maintained externally and refreshed per run — but it is
+    always tiny relative to the corpus, so it must broadcast (plan-test
+    pinned): the 100 TB training side never shuffles."""
+    doc = _t(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], "source string"
+    )
+    kept = doc.join(F.broadcast(blocked), "source", "left_anti")
+    return kept.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+    )
+
+
+def q_doclen_percentiles(spark, sf_dir):
+    """Distribution statistics for corpus QA: exact interpolated
+    percentiles of document length per language. Uses Spark's
+    ``percentile`` (exact, linear interpolation — matches DuckDB
+    quantile_cont); at 100 TB swap in ``percentile_approx`` (t-digest
+    sketch, mergeable map-side) and the plan shape is unchanged: one
+    partial-aggregated groupBy."""
+    doc = _t(spark, sf_dir, "documents")
+    return doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99D)"), 4).alias("p99"),
+    )
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document token (unigram) entropy in nats — the repetition /
+    degenerate-text signal (low entropy = copy-paste or template spam).
+    Shape: explode -> one partial-aggregated groupBy(doc_id, token) ->
+    one groupBy(doc_id) using the decomposition
+    H = ln(n) - sum(c*ln c)/n, which needs only per-token counts (both
+    aggregations combine map-side; no collect, no window)."""
+    doc = _t(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n")) - F.col("clogc") / F.col("n"), 6).alias(
+                "entropy_nats"
+            ),
+        )
+    )

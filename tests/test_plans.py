@@ -170,6 +170,24 @@ def test_embedding_near_dup_multiprobe_no_dedup_shuffle(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_blocklist_filter_broadcasts(spark):
+    # the domain blocklist is tiny regardless of corpus size: its anti
+    # join must broadcast, never shuffle the 100 TB document side
+    p = plan(Q.q_domain_blocklist_filter(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hashed_classifier_is_narrow(spark):
+    # the hashed-bigram classifier is pure per-row array math: zero
+    # exchanges, stays inside whole-stage codegen
+    p = plan(Q.q_hashed_ngram_classifier(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 0, p
+    assert "WholeStageCodegen" in plan(
+        Q.q_hashed_ngram_classifier(spark, SF_DIR), mode="codegen"
+    )
+
+
 def test_decontam_broadcasts_eval_grams(spark):
     # the eval benchmark's gram set is tiny regardless of corpus size, so
     # the contamination join must broadcast it — a shuffle join here would

@@ -116,6 +116,41 @@ def main() -> None:
             plan(Q.q_benchmark_decontam(spark, SF_DIR), mode="simple"),
         ),
         (
+            "n-gram Jaccard: hot-shingle DF cap below the self-join",
+            "A shingle shared by k documents contributes k^2 rows to the "
+            "pair join, so boilerplate shingles are dropped FIRST: shingle "
+            "document frequencies aggregate (partial map-side), the tiny "
+            "df>cap set broadcasts, and a LeftAnti BroadcastHashJoin "
+            "filters the shingle stream before any pairing. The pair join "
+            "cost then scales with discriminative co-occurrences only.",
+            plan(Q.q_ngram_jaccard_pairs(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Embedding near-dup: 16-bit sign-LSH + Hamming<=1 multiprobe",
+            "Per-vector probe set = home signature + 16 single-bit flips "
+            "(a narrow 17x explode, no shuffle); the probe->home equi-join "
+            "emits each candidate pair exactly once, so there is no "
+            "pair-dedup shuffle, and exact cosine runs on candidates only. "
+            "Bucket occupancy ~N/2^16 per key vs N/256 for the old 8-bit "
+            "bucket; recall at Hamming<=1 matches the 8-bit bucket's on "
+            "sign-stable near-dups.",
+            plan(Q.q_embedding_near_dup(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Domain blocklist: broadcast left-anti",
+            "The blocklist is an external table but always tiny relative "
+            "to the corpus: a LeftAnti BroadcastHashJoin drops blocked "
+            "documents without shuffling the corpus side.",
+            plan(Q.q_domain_blocklist_filter(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Hashed-bigram classifier: zero-exchange scoring",
+            "fastText-style quality scoring is pure per-row array math "
+            "(transform + aggregate over the token array): no explode, no "
+            "shuffle, whole-stage codegen from scan to score.",
+            plan(Q.q_hashed_ngram_classifier(spark, SF_DIR), mode="simple"),
+        ),
+        (
             "T5 cleanup: pure builtins, JVM-side",
             "The whitespace-normalization chain is regexp_replace/trim "
             "builtins only — no python evaluation node; it stays inside "

@@ -46,7 +46,10 @@ _RE_HTML_HINT = re.compile(
 
 
 def looks_like_html(text: str) -> bool:
-    return bool(text) and _RE_HTML_HINT.search(text) is not None
+    # '<' containment is an exact prefilter (every alternative of the
+    # hint regex begins with '<'), and C-speed `in` beats running the
+    # regex over the plain-text majority of turns
+    return bool(text) and "<" in text and _RE_HTML_HINT.search(text) is not None
 
 
 def classify_turn(text: str, tool: str) -> str:

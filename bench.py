@@ -133,6 +133,8 @@ def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
     snap = os.path.join(BENCH_TMP, f"snapshot_{cpus}")
 
     def one_run() -> float:
+        from concurrent.futures import ThreadPoolExecutor
+
         shutil.rmtree(snap, ignore_errors=True)
         t0 = time.perf_counter()
         t = spark.read.parquet(input_path)
@@ -145,8 +147,17 @@ def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
         extracted = extract(t)
         extracted.write.mode("overwrite").parquet(snap)
         committed = spark.read.parquet(snap)
-        _force(conv_text_salted(committed))
-        _force(partition_metrics(committed, run_id="bench"))
+        # rollup and metrics are independent reads of the committed
+        # snapshot: submit both actions concurrently so the scheduler
+        # interleaves their stages (neither alone saturates the cluster
+        # in its final reduce stages; measured ~0.5 s saved at local[32])
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(lambda: _force(conv_text_salted(committed)))
+            f2 = ex.submit(
+                lambda: _force(partition_metrics(committed, run_id="bench"))
+            )
+            f1.result()
+            f2.result()
         return time.perf_counter() - t0
 
     secs = min(one_run() for _ in range(2))

@@ -176,6 +176,17 @@ def clean_text_with_spans(text: str, base_srcs=None):
         return "", []
     if base_srcs is not None:
         return _clean_text_with_spans_ref(text, base_srcs)
+    # no-match fast path: when neither regex fires, both substitutions are
+    # the identity, so provenance is the identity map and only strip()
+    # trims the ends. Typical clean prose (single spaces, no blank-line
+    # runs) takes this path; output and spans are byte-identical to the
+    # segment-run path below (pinned by the parity/property tests).
+    if _RE_BLANKLINES.search(text) is None and _RE_SPACERUNS_EFFECTIVE.search(text) is None:
+        stripped = text.strip()
+        if not stripped:
+            return "", []
+        start = len(text) - len(text.lstrip())
+        return stripped, [(start, start + len(stripped))]
     segs = [(len(text), 0, len(text), 1)]
     s, segs = _sub_segmented(_RE_BLANKLINES, "\n\n", text, segs)
     s, segs = _sub_segmented(_RE_SPACERUNS_EFFECTIVE, " ", s, segs)

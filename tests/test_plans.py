@@ -66,6 +66,23 @@ def transcripts_parquet(spark, tmp_path_factory):
     return path
 
 
+def test_rollup_prunes_nested_snapshot_columns(spark, transcripts_parquet, tmp_path):
+    # the committed snapshot carries heavy nested columns (spans, lines,
+    # blocks); the rollup needs only 4 scalars — its scan must prune the
+    # nested structs or every downstream agg pays the full snapshot width
+    from ocr_spark.operators.extract import extract
+
+    snap = str(tmp_path / "snap")
+    extract(spark.read.parquet(transcripts_parquet)).write.parquet(snap)
+    p = plan(conv_text_salted(spark.read.parquet(snap)))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    line = read[0]
+    for col in ("spans", "lines", "blocks"):
+        assert col not in line, line
+    assert "extracted_text" in line
+
+
 def test_extract_is_narrow(spark, transcripts_parquet):
     t = spark.read.parquet(transcripts_parquet)
     p = plan(extract(t))

@@ -21,6 +21,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread for CPU-heavy per-row stages (hashing, shingling).
+
+    A small/compacted table can arrive in fewer scan splits than the
+    cluster has cores (here: the documents table is 2 splits at sf0.1),
+    which strands a hash-bound stage on 2 tasks no matter how wide the
+    cluster is. One cheap round-robin repartition of the raw rows
+    restores full parallelism. Gated: sources that already arrive in
+    >= cores splits (any real 100 TB table) pass through untouched —
+    the same under-parallelized-source rule as ``maybe_salt``."""
+    df = _t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores * 2)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # documents — extraction-semantics operators
 # ---------------------------------------------------------------------------
@@ -192,7 +209,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     is tiny by construction (bounded by corpus_shingles / max_df), hence
     broadcast-able at any corpus size.
     """
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
@@ -260,7 +277,7 @@ def _minhash_wide(spark, sf_dir) -> DataFrame:
     separate digest passes. Shape: explode shingles (narrow; shingles of
     one doc stay in one scan split) -> 128 partial-aggregated min()s, so
     the shuffle carries one 128-column row per doc per partition."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     shingles = toks.select(
         "doc_id",
@@ -585,7 +602,7 @@ def q_ann_bucketed_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _shingles_df(spark, sf_dir):
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     return toks.select(
         "doc_id",
@@ -666,7 +683,7 @@ def q_simhash_fingerprint(spark, sf_dir):
     sums over exploded (doc_id, token) rows — no K-digest blowup, no
     higher-order-function interpretation in the hot path. The shuffle
     carries one 65-column row per doc per partition (map-side combine)."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     tok = toks.select("doc_id", F.explode("toks").alias("w"))
     digits = tok.select(
@@ -1664,7 +1681,7 @@ def q_chunk_dedup_keep_first(spark, sf_dir):
     first-occurrence key -> equi-join back -> per-doc aggregate. The
     chunk text itself is the join key (content-addressed); at 100 TB the
     groupBy key would be sha2(chunk) to bound shuffle width."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     chunks = toks.select(
         "doc_id",
@@ -1703,7 +1720,7 @@ def q_winnowing_fingerprint(spark, sf_dir):
     4, distinct selected hashes per doc — the guarantee-bearing local
     fingerprinting used for plagiarism/overlap detection. Per-doc array
     math (narrow); output exploded for the driver's scalar hash."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     hs = toks.select(
         "doc_id",
@@ -1858,7 +1875,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     explode + groupBy; rank on the ROUNDED score (cross-engine double
     determinism) with term as tiebreak. The per-doc window partitions on
     doc_id — never a global window."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     n_docs = doc.count()  # scalar: one job over parquet row-group metadata
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     terms = toks.select("doc_id", F.explode("toks").alias("term"))
@@ -1889,7 +1906,7 @@ def q_bigram_lm_score(spark, sf_dir):
     a data pipeline, self-trained on the corpus. Three partial-aggregated
     groupBys + two equi-joins; counts tables are corpus-vocabulary-sized
     and shuffle on their keys."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     words = toks.select("doc_id", F.explode("toks").alias("w"))
     grams = toks.select(
@@ -2014,7 +2031,7 @@ def q_hashed_ngram_classifier(spark, sf_dir):
     model-free quality scoring. The weight sum stays in INTEGER
     arithmetic so Spark and the DuckDB oracle agree bit-for-bit; only the
     final sigmoid is float."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
@@ -2080,7 +2097,7 @@ def q_token_entropy(spark, sf_dir):
     one groupBy(doc_id) using the decomposition
     H = ln(n) - sum(c*ln c)/n, which needs only per-token counts (both
     aggregations combine map-side; no collect, no window)."""
-    doc = _t(spark, sf_dir, "documents")
+    doc = _t_spread(spark, sf_dir, "documents")
     tok = doc.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),

@@ -199,7 +199,10 @@ def test_hashed_classifier_is_narrow(spark):
     # the hashed-bigram classifier is pure per-row array math: zero
     # exchanges, stays inside whole-stage codegen
     p = plan(Q.q_hashed_ngram_classifier(spark, SF_DIR))
-    assert n_ops(p, "Exchange") == 0, p
+    # the only exchange allowed is the round-robin spread of an
+    # under-parallelized source scan — never a key (hash) shuffle
+    assert n_ops(p, "Exchange") <= 1, p
+    assert "hashpartitioning" not in p, p
     assert "WholeStageCodegen" in plan(
         Q.q_hashed_ngram_classifier(spark, SF_DIR), mode="codegen"
     )
@@ -229,7 +232,12 @@ def test_minhash_is_partial_aggregated(spark):
     # doc per partition crosses the shuffle), and explode, not K digests
     p = plan(Q._minhash_wide(spark, SF_DIR), mode="simple")
     assert "partial_min" in p
-    assert n_ops(plan(Q._minhash_wide(spark, SF_DIR)), "Exchange") == 1
+    pf = plan(Q._minhash_wide(spark, SF_DIR))
+    # exactly one KEY shuffle (the doc_id aggregate); the second allowed
+    # exchange is the round-robin spread of an under-parallelized scan
+    # (hash work at full parallelism — see queries._t_spread)
+    assert n_ops(pf, "Exchange") <= 2
+    assert pf.count("hashpartitioning") == 1, pf
 
 
 def test_wide_aggregates_stay_in_codegen(spark):

@@ -119,7 +119,7 @@ def _ensure_input(spark, n_convs: int) -> str:
 def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
     """Run the flagship extraction pipeline; returns (turns, seconds).
 
-    Measured as the best of 2 full runs — the same policy the relational
+    Measured as the best of 3 full runs — the same policy the relational
     queries use below, and the steady-state shape of the target workload
     (a long-running cluster job runs this DAG thousands of times; the
     first run's one-time costs — python worker spin-up, whole-stage
@@ -160,7 +160,7 @@ def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
             f2.result()
         return time.perf_counter() - t0
 
-    secs = min(one_run() for _ in range(2))
+    secs = min(one_run() for _ in range(3))
     turns = spark.read.parquet(snap).count()
     shutil.rmtree(snap, ignore_errors=True)
     return turns, secs
@@ -182,12 +182,12 @@ def run_bench() -> dict:
     timings["extract_pipeline"] = round(secs, 3)
     turns_per_sec = turns / secs if secs > 0 else 0.0
 
-    # min-of-2 per query: the sandbox shares a host, and a single load
+    # min-of-3 per query: the sandbox shares a host, and a single load
     # spike from another tenant would otherwise swing a query 2-3x
     for name in RELATIONAL_QUERIES:
         fn = getattr(Q, f"q_{name}")
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0

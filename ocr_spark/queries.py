@@ -274,9 +274,10 @@ def _minhash_wide(spark, sf_dir) -> DataFrame:
     """(doc_id, m0..m127): each shingle is md5-hashed ONCE into two 32-bit
     halves; the K permutations are derived via Carter-Wegman
     (a_j*h1 + b_j*h2) mod p — cheap codegen'd integer arithmetic, not K
-    separate digest passes. Shape: explode shingles (narrow; shingles of
-    one doc stay in one scan split) -> 128 partial-aggregated min()s, so
-    the shuffle carries one 128-column row per doc per partition."""
+    separate digest passes. Shape: spread an under-parallelized scan
+    (_t_spread) -> explode shingles -> 128 partial-aggregated min()s, so
+    the one KEY shuffle carries a single 128-column row per doc per
+    partition."""
     doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     shingles = toks.select(
@@ -2026,9 +2027,10 @@ def q_hashed_ngram_classifier(spark, sf_dir):
     """fastText-style linear quality classifier over hashed word bigrams:
     bigram -> 16-bit md5 bucket -> deterministic integer weight
     (Knuth-hash of the bucket, centered), mean-pooled and squashed with a
-    sigmoid. Entirely narrow (higher-order array functions inside
-    whole-stage codegen — no explode, no shuffle): the 100 TB shape for
-    model-free quality scoring. The weight sum stays in INTEGER
+    sigmoid. Scoring is per-row array math (higher-order functions inside
+    whole-stage codegen — no explode, no key shuffle; the only exchange
+    is _t_spread's round-robin of an under-parallelized scan): the 100 TB
+    shape for model-free quality scoring. The weight sum stays in INTEGER
     arithmetic so Spark and the DuckDB oracle agree bit-for-bit; only the
     final sigmoid is float."""
     doc = _t_spread(spark, sf_dir, "documents")

@@ -90,6 +90,15 @@ def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_text_salted(extract(t))
 
 
+def _q_turn_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: grouped-map applyInPandas timing stats over fixture
+    transcripts (pytest pins values against a pure-python oracle)."""
+    from ocr_spark.operators.aggregate import conv_turn_gap_stats
+
+    t = fixtures.transcripts_df(spark, 80)
+    return conv_turn_gap_stats(t)
+
+
 def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = fixtures.transcripts_df(spark, 80)
     return partition_metrics(extract(t), run_id="driver").select(
@@ -167,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_filter": Q.q_domain_blocklist_filter,
         "doclen_percentiles": Q.q_doclen_percentiles,
         "token_entropy": Q.q_token_entropy,
+        "merge_consecutive_runs": Q.q_merge_consecutive_runs,
+        "turn_gap_stats": _q_turn_gap_stats,
         "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,

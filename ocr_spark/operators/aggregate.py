@@ -77,6 +77,53 @@ def conv_text_salted(extracted: DataFrame, bucket_turns: int = 256) -> DataFrame
     )
 
 
+_GAP_SCHEMA = (
+    "conv_id string, n_turns int, median_gap_s double, p95_gap_s double, "
+    "max_gap_s double"
+)
+
+
+def _gap_stats_fn(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("turn_idx")
+    gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+    if len(gaps):
+        med, p95, mx = (
+            float(gaps.median()),
+            float(gaps.quantile(0.95)),
+            float(gaps.max()),
+        )
+    else:
+        med = p95 = mx = 0.0
+    return pd.DataFrame(
+        {
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n_turns": [len(pdf)],
+            "median_gap_s": [round(med, 3)],
+            "p95_gap_s": [round(p95, 3)],
+            "max_gap_s": [round(mx, 3)],
+        }
+    )
+
+
+def conv_turn_gap_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation inter-turn timing statistics via a grouped-map
+    pandas UDF (``applyInPandas``) — the response-latency profile of a
+    conversation (long gaps = session boundaries or slow tools).
+
+    This is the grouped-map member of the engine's vectorized-UDF family
+    (mapInArrow for per-row extraction, applyInPandasWithState for
+    streaming state, applyInPandas here for per-group computations that
+    want a dataframe view of the whole group, e.g. quantiles). One
+    shuffle on conv_id; each group is one conversation, so memory is
+    bounded by the longest conversation — for the 10^6-turn archetype,
+    pre-aggregate per (conv_id, turn_bucket) first, same as the rollup."""
+    return transcripts.select("conv_id", "turn_idx", "ts").groupBy(
+        "conv_id"
+    ).applyInPandas(_gap_stats_fn, _GAP_SCHEMA)
+
+
 def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage/metrics rows (≙ stats + progress, SURVEY §1.3).
 

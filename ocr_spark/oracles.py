@@ -1306,3 +1306,24 @@ WITH tok AS (
 SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
 FROM counts GROUP BY doc_id
 """
+
+ORACLES["merge_consecutive_runs"] = """
+WITH flagged AS (
+  SELECT source, doc_id, lang,
+         CASE WHEN lag(lang) OVER w IS NULL
+                OR lag(lang) OVER w <> lang THEN 1 ELSE 0 END AS chg
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+), runs AS (
+  SELECT source, doc_id, lang,
+         sum(chg) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
+  FROM flagged
+)
+SELECT source, CAST(run_idx AS BIGINT) AS run_idx,
+       min(lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS last_doc_id
+FROM runs GROUP BY source, run_idx
+"""

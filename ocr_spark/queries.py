@@ -2118,3 +2118,38 @@ def q_token_entropy(spark, sf_dir):
             ),
         )
     )
+
+
+def q_merge_consecutive_runs(spark, sf_dir):
+    """Run-length merge of consecutive same-value rows within an ordered
+    group — the transcript normalization that merges consecutive
+    same-role turns (reference analog: merge_similar_lines, made real
+    over ordered groups). Recast over the driver tables: within each
+    source (ordered by doc_id), consecutive docs sharing a lang collapse
+    to one run row. Shape: one window shuffle on the group key computes
+    a change flag (lag) and a running run id (sum over the flag) — the
+    standard gaps-and-islands plan; per-run aggregation then combines
+    map-side. No self-join, no collect."""
+    doc = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    flagged = doc.select(
+        "source",
+        "doc_id",
+        "lang",
+        F.when(
+            F.lag("lang").over(w).isNull() | (F.lag("lang").over(w) != F.col("lang")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_idx",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return runs.groupBy("source", "run_idx").agg(
+        F.first("lang").alias("lang"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        F.max("doc_id").cast("bigint").alias("last_doc_id"),
+    ).withColumn("run_idx", F.col("run_idx").cast("bigint"))

@@ -303,3 +303,48 @@ def test_compaction_preserves_table_and_resume(spark, tmp_path):
     os.makedirs(os.path.join(root, "snapshot=99"))
     removed = vacuum_uncommitted(root)
     assert any(p.endswith("snapshot=99") for p in removed)
+
+
+def test_turn_gap_stats_matches_pure_python(spark):
+    """Grouped-map applyInPandas timing stats equal an independent
+    pure-python computation (pandas-free: manual sort, diff, and
+    linear-interpolated quantiles — the same definition pandas uses)."""
+    from ocr_spark.operators.aggregate import conv_turn_gap_stats
+
+    t = fixtures.transcripts_df(spark, 25)
+    got = {
+        r["conv_id"]: (r["n_turns"], r["median_gap_s"], r["p95_gap_s"], r["max_gap_s"])
+        for r in conv_turn_gap_stats(t).collect()
+    }
+
+    rows = t.select("conv_id", "turn_idx", "ts").collect()
+    convs: dict = {}
+    for r in rows:
+        convs.setdefault(r["conv_id"], []).append((r["turn_idx"], r["ts"]))
+
+    def quantile(sorted_vals, q):
+        # pandas' default 'linear' interpolation
+        if len(sorted_vals) == 1:
+            return sorted_vals[0]
+        pos = q * (len(sorted_vals) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(sorted_vals) - 1)
+        return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+    assert set(got) == set(convs)
+    for conv_id, turns in convs.items():
+        turns.sort()
+        gaps = sorted(
+            (b[1] - a[1]).total_seconds() for a, b in zip(turns, turns[1:])
+        )
+        if gaps:
+            want = (
+                len(turns),
+                round(quantile(gaps, 0.5), 3),
+                round(quantile(gaps, 0.95), 3),
+                round(max(gaps), 3),
+            )
+        else:
+            want = (len(turns), 0.0, 0.0, 0.0)
+        assert got[conv_id] == want, conv_id

@@ -46,6 +46,32 @@ def run_pipeline(transcripts: DataFrame, dedupe: bool = True):
     return extracted, rollup, metrics
 
 
+def observed_extraction(transcripts: DataFrame, dedupe: bool = False):
+    """Extraction with ZERO-pass global metrics via the Observation API.
+
+    Returns ``(extracted, observation)``: attach any action to
+    ``extracted`` (e.g. the snapshot write) and ``observation.get`` then
+    yields turns/bytes/parse-failure totals computed DURING that action —
+    no second scan, no extra job. This is the cheap global-counters twin
+    of ``partition_metrics`` (which stays the queryable per-partition
+    lineage table): at 100 TB the observed totals come for free with the
+    write, and the metrics table is only materialized when per-partition
+    lineage is actually wanted.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    extracted = run_extraction(transcripts, dedupe=dedupe).observe(
+        obs,
+        F.count(F.lit(1)).alias("turns_in"),
+        F.sum(F.expr("if(parse_ok, 1, 0)")).alias("turns_out"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum(F.length("extracted_text")).alias("bytes_out"),
+        F.sum(F.expr("if(parse_ok, 0, 1)")).alias("parse_failures"),
+    )
+    return extracted, obs
+
+
 # ---------------------------------------------------------------------------
 # Resumable snapshot store
 # ---------------------------------------------------------------------------

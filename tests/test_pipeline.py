@@ -348,3 +348,22 @@ def test_turn_gap_stats_matches_pure_python(spark):
         else:
             want = (len(turns), 0.0, 0.0, 0.0)
         assert got[conv_id] == want, conv_id
+
+
+def test_observed_extraction_zero_pass_metrics(spark, tmp_path):
+    """Observation-API metrics come for free with the write action (no
+    second scan) and reconcile exactly with the data written."""
+    from ocr_spark.pipeline import observed_extraction
+
+    t = fixtures.transcripts_df(spark, 12)
+    extracted, obs = observed_extraction(t)
+    out = str(tmp_path / "snap")
+    extracted.write.parquet(out)  # the ONLY action
+
+    got = obs.get
+    committed = spark.read.parquet(out)
+    n = committed.count()
+    assert got["turns_in"] == n
+    assert got["turns_out"] == committed.filter("parse_ok").count()
+    assert got["parse_failures"] == n - got["turns_out"]
+    assert got["bytes_in"] == committed.groupBy().sum("bytes_in").collect()[0][0]

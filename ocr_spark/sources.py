@@ -1,0 +1,129 @@
+"""Transcript source readers: schema-enforced ingestion from the table
+formats a transcript lake actually arrives in.
+
+The canonical input is the Iceberg/parquet transcripts table
+(``input_hint`` schema: conv_id, turn_idx, role, text, tool, ts), but
+upstream producers commonly land JSON-lines (agent frameworks logging
+turn events) or CSV exports. These readers normalize all of them to the
+one transcript schema so every downstream operator is format-agnostic:
+
+- the schema is ENFORCED, never inferred — schema inference at 100 TB
+  is a full extra pass over the data, and a drifting inferred schema is
+  a silent pipeline-wide type break;
+- malformed records are CAPTURED, not dropped and not fatal
+  (PERMISSIVE mode + ``_corrupt_record``), mirroring the per-page error
+  isolation of the extraction stage itself (reference:
+  ``tasks/pdf_hybrid_tasks.py:189-195``): bad rows surface in a side
+  output with the raw line preserved for replay;
+- timestamps parse with an explicit format for CSV (no locale/TZ
+  guessing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+_COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+
+# the enforced schema plus the PERMISSIVE-mode capture column
+_SCHEMA_WITH_CORRUPT = T.StructType(
+    TRANSCRIPT_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+)
+
+
+def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical source. Parquet is self-describing; a select pins
+    column order and surfaces schema drift as an analysis error here
+    rather than deep in a downstream plan."""
+    return spark.read.parquet(path).select(*_COLS)
+
+
+def _bad_lines(spark: SparkSession, path: str, parse_expr, skip_line: str | None = None) -> DataFrame:
+    """Malformed-record side output: re-scan the raw TEXT and re-parse
+    per line with from_json/from_csv, whose own corrupt-record column is
+    an ordinary column — the file-source one is internal and Spark
+    rejects any plan that references only it
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which column pruning makes easy
+    to trip (e.g. ``bad.count()``). The extra text scan costs nothing
+    unless the bad side is actually consumed (lazy), and malformed rows
+    keep their raw line for replay."""
+    lines = spark.read.text(path)
+    if skip_line is not None:
+        lines = lines.filter(F.col("value") != skip_line)
+    parsed = lines.select("value", parse_expr.alias("r"))
+    return parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
+        F.col("r.conv_id").alias("conv_id"),
+        F.col("r.turn_idx").alias("turn_idx"),
+        F.col("value").alias("raw_line"),
+    )
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines source. Returns ``(good, bad)``: well-formed rows in
+    transcript schema, and malformed lines with their raw text preserved
+    (replayable). Both sides are lazy; ignoring ``bad`` costs nothing."""
+    raw = (
+        spark.read.schema(_SCHEMA_WITH_CORRUPT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).select(*_COLS)
+    bad = _bad_lines(
+        spark,
+        path,
+        F.from_json(
+            F.col("value"),
+            _SCHEMA_WITH_CORRUPT,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    return good, bad
+
+
+def read_transcripts_csv(
+    spark: SparkSession,
+    path: str,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV source with explicit timestamp format and corrupt capture."""
+    raw = (
+        spark.read.schema(_SCHEMA_WITH_CORRUPT)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", timestamp_format)
+        .option("multiLine", "false")
+        .option("escape", '"')
+        .csv(path)
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).select(*_COLS)
+    bad = _bad_lines(
+        spark,
+        path,
+        F.from_csv(
+            F.col("value"),
+            _SCHEMA_WITH_CORRUPT.simpleString(),
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+                "timestampFormat": timestamp_format,
+                "escape": '"',
+            },
+        ),
+        skip_line=",".join(_COLS),  # the header row is not a record
+    )
+    return good, bad

@@ -1,0 +1,123 @@
+"""Source readers: format-agnostic normalization to the transcript
+schema, with malformed records captured (not dropped, not fatal)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ocr_spark import fixtures
+from ocr_spark.operators.extract import extract
+from ocr_spark.sources import (
+    read_transcripts_csv,
+    read_transcripts_jsonl,
+    read_transcripts_parquet,
+)
+
+
+def _reference_rows(spark, n=6):
+    df = fixtures.transcripts_df(spark, n)
+    return df, sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"])
+        for r in df.collect()
+    )
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    df, want = _reference_rows(spark)
+    path = str(tmp_path / "turns.jsonl")
+    with open(path, "w") as fh:
+        for r in df.collect():
+            fh.write(
+                json.dumps(
+                    {
+                        "conv_id": r["conv_id"],
+                        "turn_idx": r["turn_idx"],
+                        "role": r["role"],
+                        "text": r["text"],
+                        "tool": r["tool"],
+                        "ts": r["ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                    }
+                )
+                + "\n"
+            )
+        fh.write("{not json at all\n")
+        fh.write('{"conv_id": "x", "turn_idx": "NOT_AN_INT"}\n')
+
+    good, bad = read_transcripts_jsonl(spark, path)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"])
+        for r in good.collect()
+    )
+    assert got == want
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
+
+    # downstream operators run unchanged on the normalized frame
+    assert extract(good).count() == len(want)
+
+
+def test_csv_roundtrip_and_corrupt_capture(spark, tmp_path):
+    df, want = _reference_rows(spark)
+    path = str(tmp_path / "turns_csv")
+    os.makedirs(path)
+    with open(os.path.join(path, "part.csv"), "w") as fh:
+        fh.write("conv_id,turn_idx,role,text,tool,ts\n")
+        for r in df.collect():
+
+            def q(s):
+                return '"' + str(s).replace('"', '""').replace("\n", " ") + '"'
+
+            fh.write(
+                ",".join(
+                    [
+                        r["conv_id"],
+                        str(r["turn_idx"]),
+                        r["role"],
+                        q(r["text"]),
+                        q(r["tool"]),
+                        r["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                    ]
+                )
+                + "\n"
+            )
+        fh.write("convX,NOT_AN_INT,user,hello,,2026-01-01 00:00:00\n")
+
+    good, bad = read_transcripts_csv(spark, path)
+    # CSV flattens newlines (writer policy above); compare per-field with
+    # the same normalization
+    want_flat = sorted(
+        (c, i, ro, t.replace("\n", " "), tl.replace("\n", " "))
+        for c, i, ro, t, tl in want
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"] or "")
+        for r in good.collect()
+    )
+    assert got == want_flat
+    assert bad.count() == 1
+
+
+def test_parquet_reader_pins_columns(spark, tmp_path):
+    df, want = _reference_rows(spark)
+    path = str(tmp_path / "turns_parquet")
+    # writer adds an extra column; the reader must still produce exactly
+    # the transcript schema in canonical order
+    from pyspark.sql import functions as F
+
+    df.withColumn("extra", F.lit(1)).write.parquet(path)
+    got_df = read_transcripts_parquet(spark, path)
+    assert [f.name for f in got_df.schema.fields] == [
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    ]
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"])
+        for r in got_df.collect()
+    )
+    assert got == want

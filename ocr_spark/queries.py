@@ -182,15 +182,10 @@ def q_lang_id_heuristic(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
+    from ocr_spark.functions import quality_score
+
     doc = _t(spark, sf_dir, "documents")
-    length = F.length("text")
-    punct_ratio = (
-        length - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
-    ) / length
-    score = F.round(
-        F.least(length, F.lit(400)).cast("double") / 400.0 * (1.0 - punct_ratio), 6
-    )
-    return doc.select("doc_id", score.alias("quality"))
+    return doc.select("doc_id", quality_score("text").alias("quality"))
 
 
 _NGRAM_MAX_DF = 100  # drop shingles shared by more than this many docs
@@ -2033,23 +2028,12 @@ def q_hashed_ngram_classifier(spark, sf_dir):
     shape for model-free quality scoring. The weight sum stays in INTEGER
     arithmetic so Spark and the DuckDB oracle agree bit-for-bit; only the
     final sigmoid is float."""
+    from ocr_spark.functions import hashed_bigram_score, tokens
+
     doc = _t_spread(spark, sf_dir, "documents")
-    toks = doc.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
-    # integer weight per bigram: bucket*knuth % 2^20 - 2^19  (centered)
-    wsum = F.expr(
-        "aggregate(transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))),"
-        " 0L, (acc, g) -> acc +"
-        " (cast(conv(substr(md5(g), 1, 4), 16, 10) as bigint) * 2654435761) % 1048576"
-        " - 524288)"
-    )
-    n = F.size(F.col("toks")) - 1
-    score = F.round(
-        1.0 / (1.0 + F.exp(-(wsum.cast("double") / (n * 1048576.0)))), 6
-    )
-    return toks.filter(n >= 1).select(
+    toks = doc.select("doc_id", tokens("text").alias("toks"))
+    score = hashed_bigram_score("toks")
+    return toks.filter(score.isNotNull()).select(
         "doc_id", score.alias("quality_score")
     )
 

@@ -274,3 +274,43 @@ def test_session_stream_matches_batch_sessions(spark, dirs):
     for r in emitted:
         assert batch[(r.sess_start, r.conv_id)] == (r.sess_end, r.n_turns, r.chars)
     assert len(emitted) <= len(batch)
+
+
+def test_stateless_gates_identical_under_streaming(spark, dirs):
+    """Scalar-function gates (ocr_spark.functions) are stateless builtin
+    expressions, so the SAME code runs under readStream and produces
+    row-identical results — the property that lets every batch hygiene
+    gate deploy as a streaming filter with zero changes."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import hashed_bigram_score, quality_score, tokens
+    from ocr_spark.streaming.incremental import read_transcript_stream
+
+    _write_batch(spark, dirs["in"], 0, 10, "b1")
+
+    def gate(df):
+        toks = df.select(
+            "conv_id", "turn_idx", quality_score("text").alias("q"),
+            tokens("text").alias("toks"),
+        )
+        return toks.select(
+            "conv_id", "turn_idx", "q",
+            hashed_bigram_score("toks").alias("clf"),
+        ).filter(F.col("q") > 0.2)
+
+    q = (
+        gate(read_transcript_stream(spark, dirs["in"] + "/*"))
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(dirs["out"]).collect()))
+    want = sorted(
+        map(tuple, gate(spark.read.parquet(dirs["in"] + "/b1")).collect())
+    )
+    assert got == want and len(got) > 0

@@ -164,19 +164,10 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_lang_id_heuristic(spark, sf_dir):
     # n-gram-free stopword heuristic: density of English function words
+    from ocr_spark.functions import stopword_ratio
+
     doc = _t(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-
-    def occurrences(word):
-        needle = f" {word} "
-        return (
-            (F.length(padded) - F.length(F.regexp_replace(padded, needle, " ")))
-            / (F.length(F.lit(needle)) - 1)
-        )
-
-    hits = occurrences("the") + occurrences("a")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    ratio = F.round(hits / n_tokens, 6)
+    ratio = stopword_ratio("text")
     guess = F.when(ratio >= 0.05, "en-like").otherwise("other")
     return doc.select("doc_id", ratio.alias("stopword_ratio"), guess.alias("lang_guess"))
 

@@ -1,0 +1,90 @@
+"""Corpus curation: the composed training-data pipeline.
+
+One declarative plan chains the engine's curation stages over an
+extracted corpus — quality gate, language gate, exact near-dup removal,
+deterministic train/val/test split — and the stage funnel (how many
+documents each gate dropped) is computed by Observation nodes INSIDE the
+same plan, so materializing the curated output produces the funnel as a
+side effect: one pass over the corpus, no counting jobs.
+
+Stage shapes (all covered individually by the query registry + oracles;
+this module only composes them):
+
+- gates: scalar builtin expressions (``ocr_spark.functions``) — narrow,
+  whole-stage codegen, identical under streaming;
+- exact dedup: ``sha2(text)`` keep-first via a single groupBy with a
+  lexicographic struct-min (the chunk-dedup pattern — no composite-key
+  arithmetic, no second shuffle);
+- split: content-keyed md5 bucket (stable under corpus growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, functions as F
+
+from ocr_spark.functions import quality_score, stopword_ratio, token_count
+
+DEFAULT_MIN_QUALITY = 0.1
+DEFAULT_MIN_STOPWORD = 0.0
+DEFAULT_MIN_TOKENS = 5
+
+
+def curate(
+    corpus: DataFrame,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    min_stopword: float = DEFAULT_MIN_STOPWORD,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """corpus(doc_id, text) -> (curated, observations).
+
+    ``curated``: (doc_id, text, n_tokens, quality, split) — one row per
+    surviving document. ``observations``: name -> Observation; read
+    ``obs.get`` AFTER an action on ``curated`` for the funnel counts.
+    """
+    obs = {name: Observation(name) for name in ("input", "gated", "deduped")}
+
+    scored = corpus.observe(obs["input"], F.count(F.lit(1)).alias("n")).select(
+        "doc_id",
+        "text",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        stopword_ratio("text").alias("stopword"),
+    )
+    gated = (
+        scored.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality") >= min_quality)
+            & (F.col("stopword") >= min_stopword)
+        )
+        .observe(obs["gated"], F.count(F.lit(1)).alias("n"))
+        .drop("stopword")
+    )
+
+    # exact dedup, keep-first: one shuffle, lexicographic struct-min
+    keyed = gated.withColumn("sha", F.sha2(F.col("text").cast("binary"), 256))
+    deduped = (
+        keyed.groupBy("sha")
+        .agg(
+            F.min(
+                F.struct("doc_id", "text", "n_tokens", "quality")
+            ).alias("r")
+        )
+        .select("r.*")
+        .observe(obs["deduped"], F.count(F.lit(1)).alias("n"))
+    )
+
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return deduped.withColumn("split", split), obs
+
+
+def funnel(observations: dict[str, Observation]) -> dict[str, int]:
+    """Stage counts, readable after one action on the curated frame."""
+    return {name: int(o.get["n"]) for name, o in observations.items()}

@@ -134,6 +134,43 @@ def read_snapshots(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
+def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
+    """Store introspection: one row per committed snapshot — the
+    ≙ of Iceberg's ``snapshots`` metadata table. Columns: snapshot name,
+    index, commit time (marker mtime — publish time), data size on disk,
+    file count, and whether lineage metrics exist for it. Driver-side
+    directory walk only (metadata, not data); empty frame if none."""
+    import datetime
+
+    rows = []
+    for p in _committed_snapshots(root):
+        name = os.path.basename(p)
+        committed_at = datetime.datetime.fromtimestamp(
+            os.path.getmtime(os.path.join(p, _MARKER))
+        )
+        n_files = 0
+        n_bytes = 0
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(p, f))
+        rows.append(
+            (
+                name,
+                int(name.split("=", 1)[1]),
+                committed_at,
+                n_files,
+                n_bytes,
+                os.path.isdir(os.path.join(root, "metrics", name)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, idx int, committed_at timestamp, n_files int, "
+        "n_bytes bigint, has_metrics boolean",
+    )
+
+
 def run_resumable(
     spark: SparkSession,
     transcripts: DataFrame,

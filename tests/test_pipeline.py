@@ -367,3 +367,30 @@ def test_observed_extraction_zero_pass_metrics(spark, tmp_path):
     assert got["turns_out"] == committed.filter("parse_ok").count()
     assert got["parse_failures"] == n - got["turns_out"]
     assert got["bytes_in"] == committed.groupBy().sum("bytes_in").collect()[0][0]
+
+
+def test_snapshots_metadata_table(spark, tmp_path):
+    """snapshots_df mirrors the committed state: one row per committed
+    snapshot with commit time, size, and metrics linkage; uncommitted
+    dirs invisible; expiry reflected."""
+    from ocr_spark.pipeline import expire_snapshots, snapshots_df
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 6).cache()
+    run_resumable(spark, full.filter("turn_idx % 2 = 0"), root)
+    run_resumable(spark, full, root)
+
+    meta = {r["snapshot"]: r for r in snapshots_df(spark, root).collect()}
+    assert set(meta) == {"snapshot=0", "snapshot=1"}
+    assert all(r["n_files"] > 0 and r["n_bytes"] > 0 for r in meta.values())
+    assert all(r["has_metrics"] for r in meta.values())
+    assert meta["snapshot=0"]["committed_at"] <= meta["snapshot=1"]["committed_at"]
+
+    # a crashed (uncommitted) dir never appears
+    extract(full.limit(3)).write.parquet(root + "/snapshot=9")
+    assert {r["snapshot"] for r in snapshots_df(spark, root).collect()} == set(meta)
+
+    expire_snapshots(root, keep_last=1)
+    assert [r["snapshot"] for r in snapshots_df(spark, root).collect()] == [
+        "snapshot=1"
+    ]

@@ -313,3 +313,63 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 5,
+    min_quality: float = 0.1,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 64,
+):
+    """Continuous corpus curation: the batch curate() stages under
+    Structured Streaming. Scalar gates run unchanged (stateless builtin
+    expressions — parity pinned in tests); exact dedup becomes
+    ``dropDuplicatesWithinWatermark`` keyed on the content sha (state
+    bounded by the late-data horizon instead of the corpus — at 10^12
+    turns an unbounded dedup state is the failure mode); the
+    content-keyed split is deterministic, so batch and streaming runs
+    assign identical splits. Sink partitioned by split with the parquet
+    commit log (exactly-once per input file)."""
+    from ocr_spark.functions import quality_score, token_count
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    corpus = stream.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "text",
+        "ts",
+    )
+    gated = corpus.select(
+        "doc_id",
+        "text",
+        "ts",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    ).filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
+    deduped = (
+        gated.withWatermark("ts", watermark)
+        .withColumn("sha", F.sha2(F.col("text").cast("binary"), 256))
+        .dropDuplicatesWithinWatermark(["sha"])
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat(doc_id, ':', text)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    curated = deduped.select("doc_id", "text", "n_tokens", "quality", split.alias("split"))
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("split")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

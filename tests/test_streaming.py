@@ -314,3 +314,50 @@ def test_stateless_gates_identical_under_streaming(spark, dirs):
         map(tuple, gate(spark.read.parquet(dirs["in"] + "/b1")).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_curate_matches_batch_curation(spark, dirs):
+    """The continuous curation job (gates + watermark-bounded dedup +
+    content-keyed split) produces the same curated set as batch curate()
+    on the same input — splits identical because both key on content."""
+    from ocr_spark.curate import curate
+    from ocr_spark.streaming.incremental import stream_curate
+
+    _write_batch(spark, dirs["in"], 0, 8, "b1")
+    q = stream_curate(spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"])
+    q.awaitTermination()
+
+    got = {
+        (r["doc_id"], r["split"], r["n_tokens"])
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+
+    batch_corpus = (
+        spark.read.parquet(dirs["in"] + "/b1")
+        .select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+    )
+    curated, _ = curate(batch_corpus)
+    # fixture turns are unique per (conv, idx) text-wise? not necessarily:
+    # batch curate dedups by sha keep-first (min struct), streaming keeps
+    # first-arrived — compare by the deduped CONTENT set, which is
+    # arrival-order independent, plus gate agreement on doc level
+    got_shas = {
+        r["sha"]
+        for r in spark.read.parquet(dirs["out"]).select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+        ).collect()
+    }
+    want_shas = {
+        r["sha"]
+        for r in curated.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+        ).collect()
+    }
+    assert got_shas == want_shas and len(got_shas) > 0
+    # every surviving streaming row carries a valid, content-stable split
+    assert all(s in ("train", "val", "test") for _, s, _ in got)

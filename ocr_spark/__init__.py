@@ -17,4 +17,29 @@ pipeline matches the oracle byte-for-byte by construction, and tests
 verify it stays that way under partitioning / shuffling / Arrow transport.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
+
+
+def __getattr__(name):
+    # lazy public API: keep `import ocr_spark` cheap (no pyspark import
+    # until a symbol is actually used — matters for spark-submit workers)
+    _API = {
+        "extract": ("ocr_spark.operators.extract", "extract"),
+        "extract_deduped": ("ocr_spark.operators.extract", "extract_deduped"),
+        "conv_text_salted": ("ocr_spark.operators.aggregate", "conv_text_salted"),
+        "conv_turn_gap_stats": ("ocr_spark.operators.aggregate", "conv_turn_gap_stats"),
+        "partition_metrics": ("ocr_spark.operators.aggregate", "partition_metrics"),
+        "run_pipeline": ("ocr_spark.pipeline", "run_pipeline"),
+        "run_resumable": ("ocr_spark.pipeline", "run_resumable"),
+        "observed_extraction": ("ocr_spark.pipeline", "observed_extraction"),
+        "snapshots_df": ("ocr_spark.pipeline", "snapshots_df"),
+        "expire_snapshots": ("ocr_spark.pipeline", "expire_snapshots"),
+        "curate": ("ocr_spark.curate", "curate"),
+        "build_session": ("ocr_spark.session", "build_session"),
+    }
+    if name in _API:
+        import importlib
+
+        module, attr = _API[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'ocr_spark' has no attribute {name!r}")

@@ -1664,10 +1664,18 @@ def q_chunk_dedup_keep_first(spark, sf_dir):
     chunk across the whole corpus (by lowest (doc_id, chunk_idx)), and
     report each doc's survival fraction.
 
-    Distributed shape: explode chunks -> one groupBy(chunk) computing the
-    first-occurrence key -> equi-join back -> per-doc aggregate. The
-    chunk text itself is the join key (content-addressed); at 100 TB the
-    groupBy key would be sha2(chunk) to bound shuffle width."""
+    Distributed shape — the full chunk-text stream is shuffled exactly
+    ONCE: (a) per-doc chunk counts are narrow arithmetic on the token
+    count (ceil(n/10)) — no explode, no shuffle;
+    (b) one groupBy(chunk) reduces each distinct chunk to its
+    first-occurrence holder via a lexicographic (doc_id, chunk_idx)
+    struct-min (never an arithmetic composite key — that collides at
+    >=1M chunks/doc and overflows past doc_id ~9.2e12), and per-doc kept
+    counts aggregate over those winners; (c) a doc-keyed join (both
+    sides doc-cardinality, AQE-broadcast-able) assembles the fractions.
+    The earlier shape joined the chunk stream back to the winners —
+    a second full-text shuffle that this formulation eliminates.
+    At 100 TB the groupBy key would be sha2(chunk) to bound width."""
     doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     chunks = toks.select(
@@ -1679,21 +1687,27 @@ def q_chunk_dedup_keep_first(spark, sf_dir):
             )
         ).alias("chunk_idx", "chunk"),
     )
-    # min over a (doc_id, chunk_idx) struct (lexicographic) rather than an
-    # arithmetic composite key: doc_id*1e6+chunk_idx collides for docs with
-    # >=1M chunks and overflows int64 for doc_id > ~9.2e12 — real at 100 TB.
-    first = chunks.groupBy("chunk").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("first_occ")
+    # per-doc totals need no explode and no shuffle: the chunk count is a
+    # pure function of the token count (narrow arithmetic on the scan)
+    totals = toks.select(
+        "doc_id",
+        F.expr("cast(ceil(size(toks) / 10.0) as bigint)").alias("n_chunks"),
     )
-    tagged = chunks.join(first, "chunk").withColumn(
-        "kept",
-        (F.col("doc_id") == F.col("first_occ.doc_id"))
-        & (F.col("chunk_idx") == F.col("first_occ.chunk_idx")),
+    kept = (
+        chunks.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first_occ"))
+        .groupBy(F.col("first_occ.doc_id").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
     )
-    return tagged.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_chunks"),
-        F.expr("count_if(kept)").cast("bigint").alias("n_kept"),
-        F.round(F.expr("count_if(kept)") / F.count("*"), 6).alias("kept_frac"),
+    return (
+        totals.join(kept, "doc_id", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint"))
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_chunks"), 6).alias("kept_frac"),
+        )
     )
 
 

@@ -81,28 +81,37 @@ def test_stream_extract_crash_between_triggers_no_dup_no_loss(spark, dirs):
     which is precisely the window where a non-transactional sink would
     duplicate on restart. The parquet sink's _spark_metadata commit log +
     the checkpointed source offsets make the restart idempotent."""
-    for i in range(6):
-        _write_batch(spark, dirs["in"], i * 3, 3, f"w{i}")
+    for i in range(12):
+        _write_batch(spark, dirs["in"], i * 2, 2, f"w{i}")
+    total_in = spark.read.parquet(dirs["in"] + "/*").count()
 
     # one file per trigger -> many microbatches; stop after the first
-    # batch commits (the stop lands between triggers or mid-batch)
-    q = stream_extract(
-        spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"], max_files_per_trigger=1
-    )
+    # batch commits (the stop lands between triggers or mid-batch).
+    # Retried a few times because a fast drain can outrun the stop —
+    # the test needs a genuinely partial sink.
     import time as _time
 
-    deadline = _time.time() + 60
-    while _time.time() < deadline:
-        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+    partial = None
+    for attempt in range(4):
+        shutil.rmtree(dirs["out"], ignore_errors=True)
+        shutil.rmtree(dirs["ckpt"], ignore_errors=True)
+        q = stream_extract(
+            spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"], max_files_per_trigger=1
+        )
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            _time.sleep(0.05)
+        assert q.recentProgress, "stream never made progress"
+        q.stop()
+        q.awaitTermination()
+        partial = spark.read.parquet(dirs["out"]).count()
+        if 0 < partial < total_in:
             break
-        _time.sleep(0.05)
-    assert q.recentProgress, "stream never made progress"
-    q.stop()
-    q.awaitTermination()
-
-    partial = spark.read.parquet(dirs["out"]).count()
-    total_in = spark.read.parquet(dirs["in"] + "/*").count()
-    assert 0 < partial < total_in, "kill landed before any/after every batch"
+    assert partial is not None and 0 < partial < total_in, (
+        f"kill landed before any/after every batch on all attempts ({partial})"
+    )
 
     # restart from the same checkpoint: drains the remainder, no dups
     q = stream_extract(

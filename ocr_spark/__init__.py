@@ -34,7 +34,11 @@ def __getattr__(name):
         "observed_extraction": ("ocr_spark.pipeline", "observed_extraction"),
         "snapshots_df": ("ocr_spark.pipeline", "snapshots_df"),
         "expire_snapshots": ("ocr_spark.pipeline", "expire_snapshots"),
-        "curate": ("ocr_spark.curate", "curate"),
+        # NOTE: no "curate" alias — it would collide with the
+        # ocr_spark.curate submodule (python replaces the package
+        # attribute with the module object on first submodule import,
+        # making the name nondeterministically a function or a module);
+        # use `from ocr_spark.curate import curate`.
         "build_session": ("ocr_spark.session", "build_session"),
     }
     if name in _API:

@@ -73,16 +73,9 @@ def curate(
         .observe(obs["deduped"], F.count(F.lit(1)).alias("n"))
     )
 
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 8), 16, 10)"
-        " as bigint) % 100"
-    )
-    split = (
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return deduped.withColumn("split", split), obs
+    from ocr_spark.functions import split_assign
+
+    return deduped.withColumn("split", split_assign("doc_id", "text")), obs
 
 
 def funnel(observations: dict[str, Observation]) -> dict[str, int]:

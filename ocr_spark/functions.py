@@ -66,3 +66,27 @@ def stopword_ratio(text: Column | str) -> Column:
     ) / 4.0
     a_hits = (F.length(padded) - F.length(F.regexp_replace(padded, " a ", " "))) / 2.0
     return F.round((the_hits + a_hits) / token_count(col), 6)
+
+
+def split_bucket(doc_id: Column | str, text: Column | str) -> Column:
+    """Content-keyed 0-99 bucket for deterministic dataset splits:
+    md5(doc_id ':' text) first 8 hex digits mod 100. Stable under corpus
+    growth and identical across batch and streaming (single source of
+    truth — the oracle mirrors this exact formula)."""
+    d = (F.col(doc_id) if isinstance(doc_id, str) else doc_id).cast("string")
+    t = F.col(text) if isinstance(text, str) else text
+    return (
+        F.conv(F.substring(F.md5(F.concat(d, F.lit(":"), t).cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+def split_assign(doc_id: Column | str, text: Column | str) -> Column:
+    """train/val/test label from split_bucket (<90/<95/else)."""
+    bucket = split_bucket(doc_id, text)
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

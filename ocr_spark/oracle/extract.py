@@ -52,6 +52,17 @@ def looks_like_html(text: str) -> bool:
     return bool(text) and "<" in text and _RE_HTML_HINT.search(text) is not None
 
 
+def _classify_parsed(doc) -> str:
+    """Routing decision for an already-JSON-parsed tool payload — the
+    single source of truth shared by classify_turn and extract_turn."""
+    if isinstance(doc, dict):
+        if "rec_texts" in doc and "rec_scores" in doc:
+            return "ocr_lines"
+        if "blocks" in doc:
+            return "pdf_blocks"
+    return "error"
+
+
 def classify_turn(text: str, tool: str) -> str:
     """Shape-based routing classification for a turn."""
     if tool:
@@ -59,12 +70,7 @@ def classify_turn(text: str, tool: str) -> str:
             doc = json.loads(tool)
         except Exception:
             return "error"
-        if isinstance(doc, dict):
-            if "rec_texts" in doc and "rec_scores" in doc:
-                return "ocr_lines"
-            if "blocks" in doc:
-                return "pdf_blocks"
-        return "error"
+        return _classify_parsed(doc)
     if looks_like_html(text):
         return "html"
     return "text"
@@ -86,12 +92,7 @@ def extract_turn(text: str, tool: str, min_confidence: float = 0.5) -> dict:
         except Exception:
             kind = "error"
         else:
-            kind = "error"
-            if isinstance(doc, dict):
-                if "rec_texts" in doc and "rec_scores" in doc:
-                    kind = "ocr_lines"
-                elif "blocks" in doc:
-                    kind = "pdf_blocks"
+            kind = _classify_parsed(doc)
     elif looks_like_html(text):
         kind = "html"
     else:

@@ -145,15 +145,18 @@ def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
     rows = []
     for p in _committed_snapshots(root):
         name = os.path.basename(p)
-        committed_at = datetime.datetime.fromtimestamp(
-            os.path.getmtime(os.path.join(p, _MARKER))
-        )
-        n_files = 0
-        n_bytes = 0
-        for f in os.listdir(p):
-            if f.endswith(".parquet"):
-                n_files += 1
-                n_bytes += os.path.getsize(os.path.join(p, f))
+        try:
+            committed_at = datetime.datetime.fromtimestamp(
+                os.path.getmtime(os.path.join(p, _MARKER))
+            )
+            n_files = 0
+            n_bytes = 0
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(p, f))
+        except OSError:
+            continue  # expired concurrently between listing and stat
         rows.append(
             (
                 name,
@@ -313,7 +316,9 @@ def expire_snapshots(
     # keep_last=0 alone means "expire everything"; combined with a TTL it
     # means "no count-based retention — age alone decides"
     if keep_last:
-        victims = list(paths[: len(paths) - keep_last])
+        # max(..., 0): keep_last larger than the snapshot count must
+        # expire nothing, not slice negatively into the oldest dirs
+        victims = list(paths[: max(len(paths) - keep_last, 0)])
     elif max_age_s is None:
         victims = list(paths)
     else:

@@ -2006,18 +2006,11 @@ def q_train_eval_split(spark, sf_dir):
     the property a 100 TB curation pipeline needs for stable eval sets.
     Narrow per-row hashing + one partial-aggregated groupBy; no joins.
     """
+    from ocr_spark.functions import split_assign
+
     doc = _t(spark, sf_dir, "documents")
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 8), 16, 10)"
-        " as bigint) % 100"
-    )
-    split = (
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        doc.select("source", split.alias("split"))
+        doc.select("source", split_assign("doc_id", "text").alias("split"))
         .groupBy("source", "split")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )

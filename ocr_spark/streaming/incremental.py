@@ -322,6 +322,7 @@ def stream_curate(
     checkpoint_dir: str,
     min_tokens: int = 5,
     min_quality: float = 0.1,
+    min_stopword: float = 0.0,
     watermark: str = "1 hour",
     max_files_per_trigger: int = 64,
 ):
@@ -334,7 +335,12 @@ def stream_curate(
     content-keyed split is deterministic, so batch and streaming runs
     assign identical splits. Sink partitioned by split with the parquet
     commit log (exactly-once per input file)."""
-    from ocr_spark.functions import quality_score, token_count
+    from ocr_spark.functions import (
+        quality_score,
+        split_assign,
+        stopword_ratio,
+        token_count,
+    )
 
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     corpus = stream.select(
@@ -348,22 +354,24 @@ def stream_curate(
         "ts",
         token_count("text").alias("n_tokens"),
         quality_score("text").alias("quality"),
-    ).filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
+        stopword_ratio("text").alias("stopword"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("stopword") >= min_stopword)
+    ).drop("stopword")
     deduped = (
         gated.withWatermark("ts", watermark)
         .withColumn("sha", F.sha2(F.col("text").cast("binary"), 256))
         .dropDuplicatesWithinWatermark(["sha"])
     )
-    bucket = F.expr(
-        "cast(conv(substr(md5(concat(doc_id, ':', text)), 1, 8), 16, 10)"
-        " as bigint) % 100"
+    curated = deduped.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        "quality",
+        split_assign("doc_id", "text").alias("split"),
     )
-    split = (
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    curated = deduped.select("doc_id", "text", "n_tokens", "quality", split.alias("split"))
     return (
         curated.writeStream.format("parquet")
         .option("path", output_dir)

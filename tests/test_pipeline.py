@@ -394,3 +394,16 @@ def test_snapshots_metadata_table(spark, tmp_path):
     assert [r["snapshot"] for r in snapshots_df(spark, root).collect()] == [
         "snapshot=1"
     ]
+
+
+def test_expire_keep_last_exceeding_count_removes_nothing(spark, tmp_path):
+    """keep_last larger than the snapshot count must expire nothing (a
+    negative slice once deleted the oldest snapshots here)."""
+    from ocr_spark.pipeline import expire_snapshots
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 4).cache()
+    run_resumable(spark, full.filter("turn_idx % 2 = 0"), root)
+    run_resumable(spark, full, root)
+    assert expire_snapshots(root, keep_last=5) == []
+    assert read_snapshots(spark, root).count() == full.count()

@@ -1,0 +1,61 @@
+"""Sequence packing: materialize fixed-length training sequences.
+
+``q_sequence_packing`` (oracle-checked) computes the packing PLAN —
+per-document token offsets within a shard. This operator executes it:
+documents are concatenated in deterministic (shard, doc_id) order and
+re-sliced into exactly ``seq_len``-token sequences, the standard
+concat-and-chunk used for LLM pretraining shards.
+
+Distributed shape: one shuffle keyed on ``shard = doc_id % n_shards``
+(documents of a shard must meet to be concatenated — that is the
+operator's semantics), then a grouped-map ``applyInPandas`` per shard
+performs the ordered concat + slicing with a token count bounded by the
+shard, not the corpus. n_shards is the parallelism/memory knob: pick
+~(corpus tokens / 10^8) so a shard's token stream fits an executor. The
+trailing partial sequence of each shard is emitted with
+``n_tokens < seq_len`` (callers drop or pad); sequences never span
+shards by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_PACK_SCHEMA = "shard int, seq_idx bigint, n_tokens int, text string"
+
+
+def _pack_fn_factory(seq_len: int):
+    import pandas as pd
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        toks: list[str] = []
+        for text in pdf["text"]:
+            toks.extend(str(text).strip().split())
+        rows = []
+        for i in range(0, len(toks), seq_len):
+            chunk = toks[i : i + seq_len]
+            rows.append((shard, i // seq_len, len(chunk), " ".join(chunk)))
+        return pd.DataFrame(rows, columns=["shard", "seq_idx", "n_tokens", "text"])
+
+    return pack
+
+
+def pack_sequences(
+    corpus: DataFrame, seq_len: int = 2048, n_shards: int = 64
+) -> DataFrame:
+    """corpus(doc_id: bigint, text) -> (shard, seq_idx, n_tokens, text).
+
+    Token order inside a shard is the concatenation of its documents in
+    doc_id order (identical to the q_sequence_packing plan's offsets);
+    whitespace tokenization matches the engine-wide convention.
+    """
+    sharded = corpus.select(
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        "doc_id",
+        "text",
+    )
+    return sharded.groupBy("shard").applyInPandas(
+        _pack_fn_factory(seq_len), _PACK_SCHEMA
+    )

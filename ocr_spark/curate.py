@@ -29,6 +29,33 @@ DEFAULT_MIN_STOPWORD = 0.0
 DEFAULT_MIN_TOKENS = 5
 
 
+def gate_corpus(
+    corpus: DataFrame,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    min_stopword: float = DEFAULT_MIN_STOPWORD,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """The curation gate, shared by batch ``curate`` and the streaming
+    twin (single source of truth — a threshold or score added here
+    applies to both): scores every document and keeps rows passing the
+    length / quality / stopword thresholds. Output columns:
+    (doc_id, text, *keep, n_tokens, quality)."""
+    scored = corpus.select(
+        "doc_id",
+        "text",
+        *keep,
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        stopword_ratio("text").alias("stopword"),
+    )
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("stopword") >= min_stopword)
+    ).drop("stopword")
+
+
 def curate(
     corpus: DataFrame,
     min_quality: float = DEFAULT_MIN_QUALITY,
@@ -43,22 +70,13 @@ def curate(
     """
     obs = {name: Observation(name) for name in ("input", "gated", "deduped")}
 
-    scored = corpus.observe(obs["input"], F.count(F.lit(1)).alias("n")).select(
-        "doc_id",
-        "text",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
-        stopword_ratio("text").alias("stopword"),
-    )
-    gated = (
-        scored.filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("quality") >= min_quality)
-            & (F.col("stopword") >= min_stopword)
-        )
-        .observe(obs["gated"], F.count(F.lit(1)).alias("n"))
-        .drop("stopword")
-    )
+    observed_in = corpus.observe(obs["input"], F.count(F.lit(1)).alias("n"))
+    gated = gate_corpus(
+        observed_in,
+        min_quality=min_quality,
+        min_stopword=min_stopword,
+        min_tokens=min_tokens,
+    ).observe(obs["gated"], F.count(F.lit(1)).alias("n"))
 
     # exact dedup, keep-first: one shuffle, lexicographic struct-min
     keyed = gated.withColumn("sha", F.sha2(F.col("text").cast("binary"), 256))

@@ -32,6 +32,8 @@ def _pack_fn_factory(seq_len: int):
         shard = int(pdf["shard"].iloc[0])
         toks: list[str] = []
         for text in pdf["text"]:
+            if not text:  # null/empty docs contribute no tokens (matches
+                continue  # the plan's whitespace token_count semantics)
             toks.extend(str(text).strip().split())
         rows = []
         for i in range(0, len(toks), seq_len):

@@ -1282,9 +1282,12 @@ FROM w
 """
 
 ORACLES["domain_blocklist_filter"] = """
+-- IS NULL arm mirrors Spark's left_anti join semantics: a null key
+-- never matches the blocklist, so null-source docs are KEPT (a bare
+-- NOT IN would evaluate to NULL and silently drop them)
 SELECT doc_id, source || '.example.com' AS domain
 FROM documents
-WHERE source NOT IN ('src3', 'src7', 'src13')
+WHERE source IS NULL OR source NOT IN ('src3', 'src7', 'src13')
 """
 
 ORACLES["doclen_percentiles"] = """

@@ -49,7 +49,13 @@ def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(*_COLS)
 
 
-def _bad_lines(spark: SparkSession, path: str, parse_expr, skip_line: str | None = None) -> DataFrame:
+def _bad_lines(
+    spark: SparkSession,
+    path: str,
+    parse_expr,
+    skip_line: str | None = None,
+    skip_header_token: str | None = None,
+) -> DataFrame:
     """Malformed-record side output: re-scan the raw TEXT and re-parse
     per line with from_json/from_csv, whose own corrupt-record column is
     an ordinary column — the file-source one is internal and Spark
@@ -62,6 +68,13 @@ def _bad_lines(spark: SparkSession, path: str, parse_expr, skip_line: str | None
     if skip_line is not None:
         lines = lines.filter(F.col("value") != skip_line)
     parsed = lines.select("value", parse_expr.alias("r"))
+    if skip_header_token is not None:
+        # tolerant header skip: a header row (quoted, re-spaced, partial)
+        # parses with its first column name as the conv_id value — never a
+        # real record, so it must not surface as a phantom corrupt line
+        parsed = parsed.filter(
+            ~F.col("r.conv_id").eqNullSafe(F.lit(skip_header_token))
+        )
     return parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
         F.col("r.conv_id").alias("conv_id"),
         F.col("r.turn_idx").alias("turn_idx"),
@@ -124,6 +137,7 @@ def read_transcripts_csv(
                 "escape": '"',
             },
         ),
-        skip_line=",".join(_COLS),  # the header row is not a record
+        skip_line=",".join(_COLS),  # exact-match fast path for the header
+        skip_header_token=_COLS[0],  # tolerant variant (quoted/re-spaced)
     )
     return good, bad

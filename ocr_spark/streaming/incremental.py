@@ -38,16 +38,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ocr_spark.operators.extract import extract
 
-TRANSCRIPT_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), True),
-        T.StructField("turn_idx", T.IntegerType(), True),
-        T.StructField("role", T.StringType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("tool", T.StringType(), True),
-        T.StructField("ts", T.TimestampType(), True),
-    ]
-)
+# the one canonical transcript schema lives with the source readers;
+# re-exported here for back-compat (tests and callers import it from
+# either module)
+from ocr_spark.sources import TRANSCRIPT_SCHEMA  # noqa: F401
 
 
 def read_transcript_stream(
@@ -335,12 +329,8 @@ def stream_curate(
     content-keyed split is deterministic, so batch and streaming runs
     assign identical splits. Sink partitioned by split with the parquet
     commit log (exactly-once per input file)."""
-    from ocr_spark.functions import (
-        quality_score,
-        split_assign,
-        stopword_ratio,
-        token_count,
-    )
+    from ocr_spark.curate import gate_corpus
+    from ocr_spark.functions import split_assign
 
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     corpus = stream.select(
@@ -348,18 +338,13 @@ def stream_curate(
         "text",
         "ts",
     )
-    gated = corpus.select(
-        "doc_id",
-        "text",
-        "ts",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
-        stopword_ratio("text").alias("stopword"),
-    ).filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("quality") >= min_quality)
-        & (F.col("stopword") >= min_stopword)
-    ).drop("stopword")
+    gated = gate_corpus(
+        corpus,
+        min_quality=min_quality,
+        min_stopword=min_stopword,
+        min_tokens=min_tokens,
+        keep=("ts",),
+    )
     deduped = (
         gated.withWatermark("ts", watermark)
         .withColumn("sha", F.sha2(F.col("text").cast("binary"), 256))

@@ -168,23 +168,37 @@ def test_topk_is_take_ordered(spark):
 
 def test_ngram_df_cap_precedes_self_join(spark):
     # hot-shingle cap: the broadcast left-anti join (drop df > cap) must sit
-    # BELOW the self-equi-join, so a boilerplate shingle shared by k docs
-    # can never contribute k^2 rows to the pair join at web scale
+    # BELOW the pair-producing inner join, so a boilerplate shingle shared
+    # by k docs can never contribute k^2 rows to the pair join at web scale
     p = plan(Q.q_ngram_jaccard_pairs(spark, SF_DIR), mode="simple")
-    anti = p.find("BroadcastHashJoin")
-    assert anti != -1 and "LeftAnti" in p
-    # the anti join appears deeper in the tree (later in the printed plan)
-    # than the pair-producing inner join's final aggregate
+    lines = p.splitlines()
+    anti_idx = next(
+        (i for i, ln in enumerate(lines) if "LeftAnti" in ln), None
+    )
+    inner_idx = next(
+        (
+            i
+            for i, ln in enumerate(lines)
+            if "Join" in ln and "Inner" in ln and "LeftAnti" not in ln
+        ),
+        None,
+    )
+    assert anti_idx is not None and "BroadcastHashJoin" in lines[anti_idx]
+    assert inner_idx is not None
+    # children print BELOW their parents in simple mode: the anti join
+    # must be inside the inner join's input subtree, i.e. printed later
+    assert anti_idx > inner_idx, p
     assert "CartesianProduct" not in p
 
 
 def test_embedding_near_dup_multiprobe_no_dedup_shuffle(spark):
-    # probe->home join emits each Hamming<=1 pair exactly once, so the plan
-    # must contain no dedup (HashAggregate on pair keys between join and
-    # TakeOrdered) beyond the join itself and no cartesian fallback
+    # probe->home join emits each Hamming<=1 pair exactly once, so the
+    # query needs NO aggregation anywhere — a pair-dedup regression would
+    # reintroduce a HashAggregate/Aggregate between join and top-k
     p = plan(Q.q_embedding_near_dup(spark, SF_DIR), mode="simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+    assert "Aggregate" not in p, p  # covers HashAggregate/ObjectHashAggregate
 
 
 def test_blocklist_filter_broadcasts(spark):

@@ -90,6 +90,20 @@ def _q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_text_salted(extract(t))
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: materialized 2048-token packed sequences over the
+    documents table (consistency with the oracle-checked
+    sequence_packing plan offsets is pinned in tests/test_packing.py)."""
+    from ocr_spark.operators.packing import pack_sequences
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return pack_sequences(corpus, seq_len=2048, n_shards=64).select(
+        "shard", "seq_idx", "n_tokens"
+    )
+
+
 def _q_turn_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: grouped-map applyInPandas timing stats over fixture
     transcripts (pytest pins values against a pure-python oracle)."""
@@ -178,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": Q.q_token_entropy,
         "merge_consecutive_runs": Q.q_merge_consecutive_runs,
         "turn_gap_stats": _q_turn_gap_stats,
+        "packed_sequences": _q_pack_sequences,
         "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,

@@ -1330,3 +1330,18 @@ SELECT source, CAST(run_idx AS BIGINT) AS run_idx,
        CAST(max(doc_id) AS BIGINT) AS last_doc_id
 FROM runs GROUP BY source, run_idx
 """
+
+ORACLES["packed_sequences"] = r"""
+WITH d AS (
+  SELECT CAST(doc_id % 64 AS INT) AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  FROM documents
+), t AS (
+  SELECT shard, CAST(sum(n) AS BIGINT) AS total FROM d GROUP BY shard
+)
+SELECT shard,
+       CAST(i AS BIGINT) AS seq_idx,
+       CAST(CASE WHEN (i + 1) * 2048 <= total THEN 2048
+                 ELSE total - i * 2048 END AS INT) AS n_tokens
+FROM t, unnest(range(0, CAST(ceil(total / 2048.0) AS BIGINT))) AS r(i)
+"""

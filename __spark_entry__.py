@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_consecutive_runs": Q.q_merge_consecutive_runs,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
+        "overlapping_chunks": Q.q_overlapping_chunks,
         "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,
         "p1_chunk_split": Q.q_p1_chunk_split,

@@ -1345,3 +1345,15 @@ SELECT shard,
                  ELSE total - i * 2048 END AS INT) AS n_tokens
 FROM t, unnest(range(0, CAST(ceil(total / 2048.0) AS BIGINT))) AS r(i)
 """
+
+ORACLES["overlapping_chunks"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(t[CAST(i AS INT) * 48 + 1 : CAST(i AS INT) * 48 + 64]) AS INT) AS n_tokens,
+       array_to_string(t[CAST(i AS INT) * 48 + 1 : CAST(i AS INT) * 48 + 64], ' ') AS chunk
+FROM toks,
+     unnest(range(0, CAST(greatest(ceil((len(t) - 64) / 48.0), 0) AS BIGINT) + 1)) AS r(i)
+"""

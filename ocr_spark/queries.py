@@ -2135,3 +2135,34 @@ def q_merge_consecutive_runs(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("first_doc_id"),
         F.max("doc_id").cast("bigint").alias("last_doc_id"),
     ).withColumn("run_idx", F.col("run_idx").cast("bigint"))
+
+
+_RAG_CHUNK = 64  # tokens per chunk
+_RAG_STRIDE = 48  # chunk start stride (=> 16-token overlap)
+
+
+def q_overlapping_chunks(spark, sf_dir):
+    """RAG-style overlapping chunking: fixed-size token windows at a
+    fixed stride (64-token chunks, 16-token overlap) — the retrieval
+    indexing prep stage. Narrow per-row array math (transform over a
+    stride sequence + explode); chunk count is a pure function of token
+    count, so no shuffle is needed at any corpus size."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    n = F.size("toks")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(greatest(ceil((size(toks) - {_RAG_CHUNK})"
+                f" / {_RAG_STRIDE}.0), 0) as int)),"
+                f" i -> array_join(slice(toks, i * {_RAG_STRIDE} + 1, {_RAG_CHUNK}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(F.split(F.col("chunk"), r"\s+")).cast("int").alias("n_tokens"),
+        "chunk",
+    )

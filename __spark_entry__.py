@@ -99,9 +99,9 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    return pack_sequences(corpus, seq_len=2048, n_shards=64).select(
-        "shard", "seq_idx", "n_tokens"
-    )
+    return pack_sequences(
+        corpus, seq_len=Q._PACK_SEQ_LEN, n_shards=Q._PACK_SHARDS
+    ).select("shard", "seq_idx", "n_tokens")
 
 
 def _q_turn_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
-from ocr_spark.functions import quality_score, stopword_ratio, token_count
+from ocr_spark.functions import (
+    quality_score,
+    split_assign,
+    stopword_ratio,
+    token_count,
+)
 
 DEFAULT_MIN_QUALITY = 0.1
 DEFAULT_MIN_STOPWORD = 0.0
@@ -90,8 +95,6 @@ def curate(
         .select("r.*")
         .observe(obs["deduped"], F.count(F.lit(1)).alias("n"))
     )
-
-    from ocr_spark.functions import split_assign
 
     return deduped.withColumn("split", split_assign("doc_id", "text")), obs
 

@@ -53,7 +53,6 @@ def _bad_lines(
     spark: SparkSession,
     path: str,
     parse_expr,
-    skip_line: str | None = None,
     skip_header_token: str | None = None,
 ) -> DataFrame:
     """Malformed-record side output: re-scan the raw TEXT and re-parse
@@ -65,8 +64,6 @@ def _bad_lines(
     unless the bad side is actually consumed (lazy), and malformed rows
     keep their raw line for replay."""
     lines = spark.read.text(path)
-    if skip_line is not None:
-        lines = lines.filter(F.col("value") != skip_line)
     parsed = lines.select("value", parse_expr.alias("r"))
     if skip_header_token is not None:
         # tolerant header skip: a header row (quoted, re-spaced, partial)
@@ -137,7 +134,8 @@ def read_transcripts_csv(
                 "escape": '"',
             },
         ),
-        skip_line=",".join(_COLS),  # exact-match fast path for the header
-        skip_header_token=_COLS[0],  # tolerant variant (quoted/re-spaced)
+        # header rows (exact, quoted, or re-spaced) all parse with the
+        # first column name as conv_id — the token filter drops them all
+        skip_header_token=_COLS[0],
     )
     return good, bad

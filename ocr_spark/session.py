@@ -55,6 +55,11 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
         .config("spark.sql.files.openCostInBytes", str(max(max_partition_bytes // 8, 262144)))
         .config("spark.python.worker.reuse", "true")
+        # zstd: measured same write wall-time as snappy/lz4 on this
+        # workload but ~30% smaller files (nested extraction snapshot:
+        # 20 vs 29 MB at sf0.1) — at 100 TB that is a third less storage
+        # and scan IO for every downstream read of the snapshot table
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # the K=128 MinHash (129-col agg) and 64-bit SimHash (66-col agg)
         # exceed the default 100-field whole-stage-codegen cutoff, which
         # silently drops their hot HashAggregate to interpreted mode

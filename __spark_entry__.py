@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_percentiles": Q.q_doclen_percentiles,
         "token_entropy": Q.q_token_entropy,
         "merge_consecutive_runs": Q.q_merge_consecutive_runs,
+        # round 3 (cont.): corpus rebuild / importance resampling / semantic dedup
+        "line_dedup_rebuild": Q.q_line_dedup_rebuild,
+        "dsir_importance": Q.q_dsir_importance,
+        "semdedup": Q.q_semdedup,
+        "source_mixture_weights": Q.q_source_mixture_weights,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

@@ -1357,3 +1357,80 @@ SELECT doc_id,
 FROM toks,
      unnest(range(0, CAST(greatest(ceil((len(t) - 64) / 48.0), 0) AS BIGINT) + 1)) AS r(i)
 """
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): line-dedup rebuild / DSIR / SemDeDup / mixture weights
+# ---------------------------------------------------------------------------
+
+ORACLES["line_dedup_rebuild"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), segs AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(t[CAST(i AS INT) * 10 + 1 : CAST(i AS INT) * 10 + 10], ' ') AS seg
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS r(i)
+), winners AS (
+  -- mirror of the Spark struct-min: lexicographic (doc_id, seg_idx)
+  SELECT seg, min(struct_pack(d := doc_id, i := seg_idx)) AS k
+  FROM segs GROUP BY seg
+)
+SELECT k.d AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg, ' ' ORDER BY k.i) AS kept_text
+FROM winners GROUP BY k.d
+"""
+
+ORACLES["dsir_importance"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+), b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 4))::BIGINT % 1024 AS bucket
+  FROM grams
+), raw AS (
+  SELECT bucket, count(*) AS c_raw FROM b GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS c_tgt FROM b WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM b) AS n_raw,
+         (SELECT count(*) FROM b WHERE lang = 'en') AS n_tgt
+), w AS (
+  SELECT r.bucket,
+         ln((coalesce(c_tgt, 0) + 1) / CAST(n_tgt + 1024 AS DOUBLE))
+         - ln((c_raw + 1) / CAST(n_raw + 1024 AS DOUBLE)) AS lw
+  FROM raw r LEFT JOIN tgt USING (bucket), tot
+), dbuck AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+)
+SELECT doc_id, round(sum(c * lw), 4) AS log_importance
+FROM dbuck JOIN w USING (bucket) GROUP BY doc_id
+"""
+
+ORACLES["semdedup"] = f"""
+WITH {_IVF_ASSIGN}
+SELECT b.vec_id AS dup_vec_id,
+       CAST(min(a.vec_id) AS BIGINT) AS kept_vec_id,
+       round(max({_COS.format(a="a.embedding", b="b.embedding")}), 4) AS max_cosine
+FROM assigned a JOIN assigned b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+GROUP BY b.vec_id
+"""
+
+ORACLES["source_mixture_weights"] = r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), z AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM per)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens, 0.7) / z, 6) AS mix_weight
+FROM per, z
+"""

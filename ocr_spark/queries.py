@@ -2166,3 +2166,194 @@ def q_overlapping_chunks(spark, sf_dir):
         F.size(F.split(F.col("chunk"), r"\s+")).cast("int").alias("n_tokens"),
         "chunk",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): line-level dedup rebuild / DSIR / SemDeDup / mixture temp
+# ---------------------------------------------------------------------------
+
+def q_line_dedup_rebuild(spark, sf_dir):
+    """CCNet-style corpus-level line dedup WITH document reconstruction:
+    split every doc into fixed 10-token segments (the driver corpus is
+    single-line, so segments stand in for lines), keep only the first
+    occurrence of each distinct segment across the corpus (lexicographic
+    (doc_id, seg_idx) struct-min, as in chunk_dedup_keep_first), then
+    REBUILD each document's surviving text by re-concatenating its kept
+    segments in original order. This is the production shape of CCNet /
+    C4 dedup — the step that actually emits the deduplicated corpus, not
+    just survival stats.
+
+    Distributed shape: segment stream shuffles once on groupBy(segment);
+    winners (≤ one row per distinct segment) shuffle once more on doc_id
+    for the ordered rebuild — both keys are well-spread, and the rebuild
+    side is already deduplicated so its volume is bounded by the distinct
+    text, not the raw corpus. No join back to the full segment stream.
+    At 100 TB the dedup key would be sha2(segment) to bound shuffle width.
+    """
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),"
+                " i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    winners = (
+        segs.groupBy("seg")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("seg_idx").cast("bigint").alias("seg_idx"))).alias("first"))
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+    )
+    return winners.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seg_idx, seg))),"
+            " s -> s.seg), ' ')"
+        ).alias("kept_text"),
+    )
+
+
+_DSIR_BUCKETS = 1024  # hashed-bigram feature space (DSIR, Xie et al. 2023)
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR (Data Selection via Importance Resampling): per-document log
+    importance weight log w(x) = sum_b c_b(x) * (ln p_target(b) -
+    ln p_raw(b)) over hashed-bigram bucket features with add-one
+    smoothing. Target distribution = the corpus's lang='en' slice; raw =
+    the whole corpus. Documents are then resampled proportionally to
+    w(x) to tilt a web-scale corpus toward the target domain.
+
+    Distributed shape: the corpus is exploded and aggregated exactly
+    ONCE — a single partial-aggregated groupBy(doc_id, lang, bucket)
+    feeds both the bucket histograms and the per-doc scoring side (a doc
+    has one lang, so the branches are projections of the same aggregate
+    and Catalyst reuses its exchange). Raw/target totals come from a
+    window over the ≤1024-row histogram (never a rescan, never a driver
+    collect), and the ≤1024-row weight table BROADCASTS into the per-doc
+    scoring join: the 100 TB side shuffles once on (doc_id, lang,
+    bucket) and never moves again.
+    """
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("g"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"cast(conv(substr(md5(g), 1, 4), 16, 10) as bigint) % {_DSIR_BUCKETS}"),
+    )
+    # one doc has one lang, so (doc_id, bucket) groups == (doc_id, lang,
+    # bucket) groups: this single aggregate serves every downstream branch.
+    # The explicit isnotnull matches the filter the scoring join infers on
+    # its own branch, so BOTH branches canonicalize to the same subtree and
+    # AQE reuses one exchange — one physical scan+explode of the corpus.
+    per = (
+        grams.filter(F.col("bucket").isNotNull())
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = per.groupBy("bucket").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("c_tgt"),
+    )
+    wall = Window.partitionBy()  # over the ≤1024-row histogram only
+    weights = hist.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + 1)
+                / (F.sum("c_tgt").over(wall) + _DSIR_BUCKETS).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + 1)
+                / (F.sum("c_raw").over(wall) + _DSIR_BUCKETS).cast("double")
+            )
+        ).alias("lw"),
+    )
+    return (
+        per.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lw")), 4).alias("log_importance"))
+    )
+
+
+_SEMDEDUP_TAU = 0.35  # within-cluster cosine threshold
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup that only compares
+    embeddings WITHIN a k-means cluster — assign every vector to its
+    nearest IVF centroid (shared ``_ivf_assignments``: deterministic
+    init, one Lloyd step, centroids broadcast), then inside each cluster
+    mark any vector that has a lower-id neighbor with cosine >= tau as a
+    semantic duplicate of that neighbor. Emits one row per duplicate:
+    the keeper (lowest-id qualifying neighbor) and the strongest cosine.
+
+    Distributed shape: the pairwise stage is an equi-join on cluster id
+    — candidate volume is sum_c |c|^2 instead of N^2, the whole point of
+    SemDeDup — and clusters are the shuffle key, so each executor scores
+    only its own clusters. Never a cross join; the threshold is applied
+    on the unrounded cosine identically in the oracle."""
+    assigned = _ivf_assignments(spark, sf_dir)
+    a = assigned.select(
+        F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dup_vec_id"), F.col("embedding").alias("eb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("dup_vec_id"))
+        .withColumn("cosine", F.expr(_cosine_expr("ea", "eb")))
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+    )
+    return pairs.groupBy("dup_vec_id").agg(
+        F.min("keep_id").cast("bigint").alias("kept_vec_id"),
+        F.round(F.max("cosine"), 4).alias("max_cosine"),
+    )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (mT5-style alpha sampling)
+
+
+def q_source_mixture_weights(spark, sf_dir):
+    """Temperature-based mixture weighting (mT5/XLM-R alpha sampling):
+    per-source sampling weight w_s = n_tokens_s^alpha / sum_s' n^alpha
+    with alpha=0.7 — upweights small sources relative to their raw token
+    share when composing a training mixture.
+
+    Distributed shape: one partial-aggregated groupBy(source) reduces
+    the corpus to |sources| rows — the ONLY scan and the only shuffle of
+    the corpus; the normalizer is an unpartitioned window over that tiny
+    aggregated table (gathering |sources| rows to one task is free, and
+    avoids the second scan a separate .agg() branch would cost)."""
+    from ocr_spark.functions import token_count
+
+    doc = _t(spark, sf_dir, "documents")
+    per = doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    z = F.sum(F.pow(F.col("n_tokens"), _MIX_ALPHA)).over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens"), _MIX_ALPHA) / z, 6).alias("mix_weight"),
+    )

@@ -276,3 +276,48 @@ def test_temporal_joins_are_hash_joins(spark):
     for q in (Q.q_asof_join_view_value, Q.q_range_join_click_burst):
         p = plan(q(spark, SF_DIR))
         assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    # the ≤1024-row hashed-bigram weight table must broadcast into the
+    # per-doc scoring join — shuffling the 100 TB (doc, bucket) side for
+    # the lookup would be a full extra pass; and the only SinglePartition
+    # exchange allowed is the window over the tiny bucket histogram
+    p = plan(Q.q_dsir_importance(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # both histogram branches must canonicalize to the same subtree so the
+    # corpus explode+aggregate executes once (AQE exchange reuse) — pinned
+    # by executing and checking the final adaptive plan
+    df = Q.q_dsir_importance(spark, SF_DIR)
+    df.collect()
+    assert "ReusedExchange" in plan(df, mode="simple")
+
+
+def test_semdedup_pairs_join_within_cluster(spark):
+    # SemDeDup's whole point: pairs come from an equi-join on the cluster
+    # id (candidate volume sum_c |c|^2), never an all-pairs cross join.
+    # The only nested-loop join allowed is the k-row centroid broadcast.
+    p = plan(Q.q_semdedup(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "BroadcastNestedLoop" not in ln]
+    assert any("cluster" in ln for ln in joins), p
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Inner" in ln  # centroid attach, build side is k rows
+
+
+def test_line_dedup_rebuild_two_key_shuffles(spark):
+    # segment groupBy + per-doc rebuild groupBy; never a join back to the
+    # full segment stream (the winners ARE the rebuild input)
+    p = plan(Q.q_line_dedup_rebuild(spark, SF_DIR))
+    assert p.count("hashpartitioning") == 2, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    # the normalizer must come from a window over the aggregated
+    # |sources|-row table, not a second .agg() branch that rescans the
+    # corpus: exactly one FileScan of documents in the plan
+    p = plan(Q.q_source_mixture_weights(spark, SF_DIR), mode="simple")
+    assert p.count("FileScan") == 1, p

@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": Q.q_dsir_importance,
         "semdedup": Q.q_semdedup,
         "source_mixture_weights": Q.q_source_mixture_weights,
+        "winnowing_candidates": Q.q_winnowing_candidates,
+        "lang_id_confusion": Q.q_lang_id_confusion,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

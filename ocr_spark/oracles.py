@@ -1434,3 +1434,56 @@ SELECT source, n_docs, n_tokens,
        round(pow(n_tokens, 0.7) / z, 6) AS mix_weight
 FROM per, z
 """
+
+ORACLES["winnowing_candidates"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+           i -> ('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 8))::BIGINT)
+         ELSE [] END AS h
+  FROM toks
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(h) - 4 + 2),
+           p -> list_min(h[CAST(p AS INT) : CAST(p AS INT) + 3])))) AS fingerprint
+  FROM hs WHERE len(h) >= 4
+), kept AS (
+  SELECT * FROM fps WHERE fingerprint NOT IN (
+    SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) > 100)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b USING (fingerprint)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+ORDER BY containment DESC, doc_a, doc_b LIMIT 20
+"""
+
+ORACLES["lang_id_confusion"] = r"""
+WITH padded AS (
+  SELECT lang, ' ' || text || ' ' AS p,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), guessed AS (
+  SELECT lang,
+         CASE WHEN round(((length(p) - length(regexp_replace(p, ' the ', ' ', 'g'))) / 4.0
+                 + (length(p) - length(regexp_replace(p, ' a ', ' ', 'g'))) / 2.0)
+                 / n_tokens, 6) >= 0.05
+              THEN 'en-like' ELSE 'other' END AS lang_guess
+  FROM padded
+), cells AS (
+  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+  FROM guessed GROUP BY 1, 2
+)
+SELECT lang, lang_guess, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY lang), 6) AS frac_of_lang
+FROM cells
+"""

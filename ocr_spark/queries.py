@@ -2357,3 +2357,83 @@ def q_source_mixture_weights(spark, sf_dir):
         "n_tokens",
         F.round(F.pow(F.col("n_tokens"), _MIX_ALPHA) / z, 6).alias("mix_weight"),
     )
+
+
+_WINNOW_MAX_DF = 100  # drop fingerprints shared by more than this many docs
+
+
+def q_winnowing_candidates(spark, sf_dir):
+    """MOSS-style overlap candidate pairs over winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003 §5): self-equi-join documents on
+    shared selected hashes, score each pair by containment
+    n_shared / min(|fp_a|, |fp_b|) — the local-fingerprinting analog of
+    ngram_jaccard_pairs, with the winnowing guarantee that any shared
+    token run of length >= w + k - 1 surfaces at least one shared hash.
+
+    Distributed shape: same discipline as the shingle path — the
+    fingerprint stream shuffles once; a document-frequency cap drops
+    boilerplate fingerprints (df > _WINNOW_MAX_DF, broadcast anti-join)
+    BEFORE the self-join so a hash shared by k docs can't emit k^2
+    candidate rows; top-20 compiles to TakeOrderedAndProject, never a
+    global sort."""
+    fps = q_winnowing_fingerprint(spark, sf_dir)
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _WINNOW_MAX_DF)
+        .select("fingerprint")
+    )
+    fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    inter = (
+        a.join(b, "fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+    )
+    return (
+        joined.orderBy(
+            F.col("containment").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        )
+        .limit(20)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Lang-ID gate evaluation: confusion matrix of the stopword-density
+    heuristic against the corpus's labeled ``lang`` column, with
+    per-label row fractions — the standard tune-the-cheap-classifier
+    loop for web-corpus filtering (label a sample, cross-tab, read the
+    per-language accept rate before committing the gate corpus-wide).
+
+    Distributed shape: narrow per-row scoring on the scan, then ONE
+    partial-aggregated groupBy over a |langs| x |guesses| cell space;
+    per-label totals come from a window over the tiny aggregate (never
+    a corpus rescan)."""
+    from ocr_spark.functions import stopword_ratio
+
+    doc = _t(spark, sf_dir, "documents")
+    guess = F.when(stopword_ratio("text") >= 0.05, "en-like").otherwise("other")
+    cells = (
+        doc.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.round(F.col("n_docs") / tot, 6).alias("frac_of_lang"),
+    )

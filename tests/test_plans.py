@@ -321,3 +321,33 @@ def test_mixture_weights_single_corpus_scan(spark):
     # corpus: exactly one FileScan of documents in the plan
     p = plan(Q.q_source_mixture_weights(spark, SF_DIR), mode="simple")
     assert p.count("FileScan") == 1, p
+
+
+def test_winnowing_candidates_df_cap_precedes_self_join(spark):
+    # same discipline as the shingle path: the hot-fingerprint broadcast
+    # anti-join must sit inside the pair-producing inner join's subtree,
+    # and the top-20 must compile to TakeOrderedAndProject, not a global
+    # sort over all candidate pairs
+    p = plan(Q.q_winnowing_candidates(spark, SF_DIR), mode="simple")
+    lines = p.splitlines()
+    anti_idx = next((i for i, ln in enumerate(lines) if "LeftAnti" in ln), None)
+    inner_idx = next(
+        (
+            i
+            for i, ln in enumerate(lines)
+            if "Join" in ln and "Inner" in ln and "LeftAnti" not in ln
+        ),
+        None,
+    )
+    assert anti_idx is not None and "BroadcastHashJoin" in lines[anti_idx]
+    assert inner_idx is not None and anti_idx > inner_idx, p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_lang_id_confusion_single_aggregate(spark):
+    # one partial-aggregated cross-tab; the per-label normalizer is a
+    # window over the tiny cell table, never a corpus rescan
+    p = plan(Q.q_lang_id_confusion(spark, SF_DIR), mode="simple")
+    assert p.count("FileScan") == 1, p
+    assert "CartesianProduct" not in p

@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_weights": Q.q_source_mixture_weights,
         "winnowing_candidates": Q.q_winnowing_candidates,
         "lang_id_confusion": Q.q_lang_id_confusion,
+        "vocab_oov_rate": Q.q_vocab_oov_rate,
+        "prefix_dedup": Q.q_prefix_dedup,
+        "iqr_length_outliers": Q.q_iqr_length_outliers,
+        "zipf_slope": Q.q_zipf_slope,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

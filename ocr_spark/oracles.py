@@ -1466,6 +1466,61 @@ JOIN sizes sb ON inter.doc_b = sb.doc_id
 ORDER BY containment DESC, doc_a, doc_b LIMIT 20
 """
 
+ORACLES["vocab_oov_rate"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+), vocab AS (
+  SELECT w, 1 AS hit FROM (
+    SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT 16)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(v.hit) AS BIGINT) AS n_oov,
+       round(CAST(count(*) - count(v.hit) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY doc_id
+"""
+
+ORACLES["prefix_dedup"] = r"""
+WITH pre AS (
+  SELECT doc_id,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ') AS prefix
+  FROM documents
+)
+SELECT doc_id,
+       doc_id = min(doc_id) OVER (PARTITION BY prefix) AS kept,
+       CAST(count(*) OVER (PARTITION BY prefix) AS BIGINT) AS group_size
+FROM pre
+"""
+
+ORACLES["iqr_length_outliers"] = r"""
+WITH fences AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       (n_chars < q1 - 1.5 * (q3 - q1) OR n_chars > q3 + 1.5 * (q3 - q1)) AS is_outlier
+FROM documents d JOIN fences f ON d.lang = f.lang
+"""
+
+ORACLES["zipf_slope"] = r"""
+WITH counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+  GROUP BY w ORDER BY c DESC, w LIMIT 1000
+), xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM counts
+)
+SELECT round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS n_head_words
+FROM xy
+"""
+
 ORACLES["lang_id_confusion"] = r"""
 WITH padded AS (
   SELECT lang, ' ' || text || ' ' AS p,

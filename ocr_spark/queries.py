@@ -2410,6 +2410,141 @@ def q_winnowing_candidates(spark, sf_dir):
     )
 
 
+_VOCAB_TOP = 16  # head-vocabulary size (tiny corpus vocab; production: 32-64k)
+
+
+def q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the top-V corpus vocabulary
+    by frequency, then score every document's out-of-vocabulary token
+    rate — the standard pre-tokenizer-training health check (a corpus
+    slice with high OOV against the planned vocab wastes sequence
+    length on UNK/bytes fallback).
+
+    Distributed shape: the vocabulary is a bounded top-V of the word
+    histogram (partial-aggregated groupBy + TakeOrdered, deterministic
+    freq-then-word tie-break) and BROADCASTS into the per-doc scoring
+    join, so the corpus side shuffles only once, on doc_id. In
+    production the vocab is trained once and persists; here it derives
+    from the same corpus for a self-contained oracle."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_VOCAB_TOP)
+        .select("w", F.lit(1).alias("hit"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.count("*") - F.count("hit")).cast("bigint").alias("n_oov"),
+            F.round((F.count("*") - F.count("hit")) / F.count("*"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+_PREFIX_LEN = 10  # leading tokens forming the dedup key
+
+
+def q_prefix_dedup(spark, sf_dir):
+    """Prefix dedup: mark every document whose first 10 tokens match an
+    earlier document's (boilerplate headers, mirrored intros — the
+    CCNet 'leading duplicate' case that exact full-text dedup misses).
+    Keeps the lowest doc_id per prefix group.
+
+    Distributed shape: ONE shuffle — a window min over
+    partitionBy(prefix); no join back to the corpus and no second pass
+    (the group winner is computed where the group lives). At 100 TB the
+    key would be sha2(prefix) to bound shuffle width; group sizes are
+    naturally small once boilerplate is capped upstream."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    pre = doc.select(
+        "doc_id",
+        F.expr(
+            f"array_join(slice(split(trim(text), '\\\\s+'), 1, {_PREFIX_LEN}), ' ')"
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix")
+    return pre.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"),
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+    )
+
+
+def q_iqr_length_outliers(spark, sf_dir):
+    """Robust length-outlier gate: per-language interquartile fences
+    (Tukey 1.5×IQR) over character length — the distribution-aware
+    upgrade of a fixed min/max length filter, per-language because CJK
+    chars carry ~2-3× the information of Latin chars.
+
+    Distributed shape: ONE per-lang aggregation produces q1/q3 (a
+    |langs|-row table) which BROADCASTS back onto the scan for flagging
+    — the corpus shuffles once on lang for the percentile agg and never
+    again. Exact interpolated percentiles here (oracle parity); the
+    100 TB variant swaps in percentile_approx's t-digest, same plan
+    shape, as in doclen_percentiles."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    fences = (
+        doc.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.25)").alias("q1"),
+            F.expr("percentile(n_chars, 0.75)").alias("q3"),
+        )
+        .select(
+            "lang",
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    return (
+        doc.join(F.broadcast(fences), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the head vocabulary: log-log OLS slope of
+    frequency vs rank for the top-1000 words (natural corpora fit
+    slope ≈ -1; a corpus whose slope collapses toward 0 is
+    machine-generated/templated — a cheap corpus-health statistic).
+
+    Distributed shape: the word histogram partial-aggregates, the head
+    is a bounded TakeOrdered (freq-then-word tie-break), and the OLS
+    runs as covar_pop/var_pop over that ≤1000-row table on a single
+    task — the corpus itself is touched exactly once."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    counts = (
+        doc.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(1000)
+    )
+    xy = counts.select(
+        F.log(F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc())).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.round(F.expr("covar_pop(x, y) / var_pop(x)"), 6).alias("zipf_slope"),
+        F.count("*").cast("bigint").alias("n_head_words"),
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

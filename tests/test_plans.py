@@ -345,6 +345,32 @@ def test_winnowing_candidates_df_cap_precedes_self_join(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_vocab_oov_scoring_join_broadcasts(spark):
+    # the bounded top-V vocab must broadcast into the per-doc scoring
+    # join — the corpus side shuffles once (doc_id agg), never on the
+    # join key
+    p = plan(Q.q_vocab_oov_rate(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p, p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # vocab head, not a global sort
+
+
+def test_prefix_dedup_is_single_shuffle_no_join(spark):
+    # window min over partitionBy(prefix): group winners are computed
+    # where the group lives — one Exchange, no join back to the corpus
+    p = plan(Q.q_prefix_dedup(spark, SF_DIR))
+    assert p.count("hashpartitioning") == 1, p
+    assert "Join" not in p
+
+
+def test_iqr_fences_broadcast_back(spark):
+    # the |langs|-row fence table broadcasts onto the scan; the corpus
+    # shuffles once for the percentile agg and never for the flag join
+    p = plan(Q.q_iqr_length_outliers(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+
+
 def test_lang_id_confusion_single_aggregate(spark):
     # one partial-aggregated cross-tab; the per-label normalizer is a
     # window over the tiny cell table, never a corpus rescan

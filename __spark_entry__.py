@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dedup": Q.q_prefix_dedup,
         "iqr_length_outliers": Q.q_iqr_length_outliers,
         "zipf_slope": Q.q_zipf_slope,
+        "intra_doc_segment_dedup": Q.q_intra_doc_segment_dedup,
+        "source_pair_overlap": Q.q_source_pair_overlap,
+        "tpch_q10ish": Q.q_tpch_q10ish,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

@@ -1521,6 +1521,62 @@ SELECT round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
 FROM xy
 """
 
+ORACLES["intra_doc_segment_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), segs AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+           i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')) AS s
+  FROM toks
+)
+-- DuckDB's list_distinct does not preserve order; keep first occurrences
+-- via an index-stable filter to mirror Spark's order-preserving
+-- array_distinct
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_segments,
+       CAST(len(list_filter(s, (x, i) -> list_position(s, x) = i)) AS BIGINT) AS n_kept,
+       array_to_string(list_filter(s, (x, i) -> list_position(s, x) = i), ' ') AS dedup_text
+FROM segs
+"""
+
+ORACLES["source_pair_overlap"] = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+    FROM toks
+  )
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.source < b.source GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.src_a = sa.source
+JOIN sizes sb ON inter.src_b = sb.source
+"""
+
+ORACLES["tpch_q10ish"] = r"""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
 ORACLES["lang_id_confusion"] = r"""
 WITH padded AS (
   SELECT lang, ' ' || text || ' ' AS p,

@@ -2545,6 +2545,105 @@ def q_zipf_slope(spark, sf_dir):
     )
 
 
+def q_intra_doc_segment_dedup(spark, sf_dir):
+    """Intra-document dedup (the CCNet within-doc pass that precedes
+    corpus-level dedup): drop repeated 10-token segments WITHIN each
+    document, keeping first occurrence in order, and rebuild the text.
+    Catches templated pages that repeat their own boilerplate — invisible
+    to cross-doc keep-first dedup, which sees each doc once.
+
+    Distributed shape: pure narrow per-row array math on the scan —
+    ZERO shuffles at any corpus size (Spark's array_distinct preserves
+    first-occurrence order; the oracle mirrors with an index-stable
+    list_filter since DuckDB's list_distinct does not preserve order)."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    segs = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),"
+            " i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"
+        ).alias("segs"),
+    )
+    return segs.select(
+        "doc_id",
+        F.size("segs").cast("bigint").alias("n_segments"),
+        F.size(F.array_distinct("segs")).cast("bigint").alias("n_kept"),
+        F.array_join(F.array_distinct("segs"), " ").alias("dedup_text"),
+    )
+
+
+def q_source_pair_overlap(spark, sf_dir):
+    """Corpus-composition analysis: pairwise shingle-set Jaccard between
+    SOURCES (crawls/dumps/feeds) — the provenance-level overlap matrix
+    used to decide which acquisitions are redundant before paying for
+    full document-level dedup between them.
+
+    Distributed shape: the (source, shingle) stream is distinct-reduced
+    first (per-shingle fan-out bounded by |sources|, so the self-join
+    emits at most |sources|^2 rows per shingle REGARDLESS of how many
+    documents share it — unlike doc-level pair generation, no DF cap is
+    needed); output is exactly |sources| choose 2 rows."""
+    sh = (
+        _shingles_df(spark, sf_dir)
+        .join(
+            _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+        )
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n_sh", "na"), "src_a")
+        .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n_sh", "nb"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_tpch_q10ish(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in a quarter — the 4-table join (lineitem x orders x customer
+    x nation) with selective date/flag predicates pushed to the scans,
+    partial-aggregated revenue, and a TakeOrdered top-k (never a global
+    sort). The 25-row nation dim broadcasts; AQE picks broadcast for
+    customer when it fits."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return joined.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

@@ -371,6 +371,29 @@ def test_iqr_fences_broadcast_back(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_intra_doc_dedup_is_narrow(spark):
+    # within-doc segment dedup is pure per-row array math: no key
+    # shuffle anywhere (the only Exchange allowed is _t_spread's gated
+    # round-robin scan widening, which a wide production scan skips)
+    p = plan(Q.q_intra_doc_segment_dedup(spark, SF_DIR))
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p and "Aggregate" not in p
+
+
+def test_source_pair_overlap_no_cartesian(spark):
+    # pair generation is an equi-join on shingle over the distinct
+    # (source, shingle) stream — bounded fan-out, never a cross join
+    p = plan(Q.q_source_pair_overlap(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q10ish_broadcasts_and_takeordered(spark):
+    p = plan(Q.q_tpch_q10ish(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_lang_id_confusion_single_aggregate(spark):
     # one partial-aggregated cross-tab; the per-label normalizer is a
     # window over the tiny cell table, never a corpus rescan

@@ -160,7 +160,12 @@ def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
             f2.result()
         return time.perf_counter() - t0
 
-    secs = min(one_run() for _ in range(3))
+    # min-of-5: this sandbox's shared host has noise windows where ANY
+    # phase (extract, write, rollup) intermittently runs 3-10x slow for
+    # minutes at a time (verified against fixed code: the same probe
+    # alternates 2s and 15s extracts across windows). Five runs give
+    # ~2.5x better odds that at least one lands clean than three.
+    secs = min(one_run() for _ in range(5))
     turns = spark.read.parquet(snap).count()
     shutil.rmtree(snap, ignore_errors=True)
     return turns, secs

@@ -1577,6 +1577,22 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
+ORACLES["merge_upsert"] = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), updates AS (
+  SELECT doc_id, text || ' [rev2]' AS text FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'new: ' || text AS text FROM base WHERE doc_id % 13 = 0
+)
+SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+       CASE WHEN u.text IS NULL THEN 'keep'
+            WHEN b.text IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       coalesce(u.text, b.text) AS text
+FROM base b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+"""
+
 ORACLES["lang_id_confusion"] = r"""
 WITH padded AS (
   SELECT lang, ' ' || text || ' ' AS p,

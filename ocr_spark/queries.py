@@ -2644,6 +2644,47 @@ def q_tpch_q10ish(spark, sf_dir):
     return joined.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Iceberg ``MERGE INTO`` analog (CDC upsert) — the table-maintenance
+    operation that keeps a 10^12-turn corpus current: a change batch
+    (revisions + brand-new docs, derived deterministically here: every
+    doc_id%7==0 arrives revised, every doc_id%13==0 also lands as a new
+    doc under doc_id+100000) full-outer-joins the base on the key and
+    each row is classified insert / update / keep; the output IS the
+    merged table plus its action audit column.
+
+    Distributed shape: one key shuffle per side into a single join — the
+    copy-on-write MERGE plan. At Iceberg scale the engine would prune
+    untouched files first (join against the update keys' min/max) so
+    only affected data files rewrite; the snapshot store in pipeline.py
+    models the commit side of that. AQE picks broadcast when the change
+    batch is small — the common CDC case."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    updates = (
+        doc.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
+        .unionByName(
+            doc.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.lit("new: "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    b = doc.alias("b")
+    u = updates.alias("u")
+    return (
+        b.join(u, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("u.text").isNull(), "keep")
+            .when(F.col("b.text").isNull(), "insert")
+            .otherwise("update")
+            .alias("action"),
+            F.coalesce(F.col("u.text"), F.col("b.text")).alias("text"),
+        )
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

@@ -1577,6 +1577,40 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
+ORACLES["gopher_repetition_battery"] = r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), segd AS (
+  SELECT doc_id, n_chars, t,
+         list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+           i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')) AS segs
+  FROM base
+), narrow AS (
+  SELECT doc_id, n_chars,
+         round(1 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs), 6) AS dup_seg_frac,
+         round(CAST(list_sum(list_transform(segs, s -> length(s)))
+                    - list_sum(list_transform(list_distinct(segs), s -> length(s)))
+                    AS DOUBLE) / greatest(n_chars, 1), 6) AS dup_seg_char_frac,
+         CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+         ELSE [] END AS grams
+  FROM segd
+), counts AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g FROM narrow)
+  GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, max(struct_pack(c := c, g := g)) AS top FROM counts GROUP BY doc_id
+)
+SELECT n.doc_id, n.dup_seg_frac, n.dup_seg_char_frac,
+       CAST(coalesce(top.c, 0) AS BIGINT) AS top3_count,
+       round(coalesce(top.c, 0) * length(coalesce(top.g, ''))
+             / greatest(n.n_chars, 1), 6) AS top3_char_frac
+FROM narrow n LEFT JOIN top ON n.doc_id = top.doc_id
+"""
+
 ORACLES["merge_upsert"] = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents

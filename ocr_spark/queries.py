@@ -2685,6 +2685,88 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_gopher_repetition_battery(spark, sf_dir):
+    """The rest of Gopher's repetition gates (Rae et al. 2021, §A1.1;
+    repetition_filter covers the top-bigram token fraction): per doc,
+    the duplicate-segment fraction (segments = 10-token runs, the
+    line/paragraph analog for this corpus), the duplicate-segment
+    CHARACTER fraction (chars inside repeat occurrences / total chars),
+    and the top-3-gram character fraction (chars covered by the most
+    frequent word 3-gram).
+
+    Distributed shape: segment stats are pure narrow array math on the
+    scan; the 3-gram mode needs (doc_id, gram) counts — one
+    partial-aggregated shuffle on a well-spread composite key, then a
+    per-doc max(struct) reduction (deterministic count-then-gram
+    tie-break, mirrored exactly in the oracle) joined back to the
+    narrow side on doc_id."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    base = doc.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    )
+    segs = base.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),"
+            " i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"
+        ).alias("segs"),
+        F.expr(
+            "case when size(toks) >= 3 then transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+            " element_at(toks, i + 2))) else cast(array() as array<string>) end"
+        ).alias("grams"),
+    )
+    narrow = segs.select(
+        "doc_id",
+        "n_chars",
+        "grams",
+        F.round(
+            1 - F.size(F.array_distinct("segs")) / F.size("segs"), 6
+        ).alias("dup_seg_frac"),
+        # chars inside repeat occurrences: total seg chars minus each
+        # distinct segment counted once (+1 separator per seg, as joined)
+        F.round(
+            F.expr(
+                "(aggregate(segs, 0L, (a, s) -> a + length(s))"
+                " - aggregate(array_distinct(segs), 0L, (a, s) -> a + length(s)))"
+            )
+            / F.greatest(F.col("n_chars"), F.lit(1)),
+            6,
+        ).alias("dup_seg_char_frac"),
+    )
+    counts = (
+        narrow.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("c", "g")).alias("top"))
+        .select(
+            "doc_id",
+            F.col("top.c").cast("bigint").alias("top3_count"),
+            F.col("top.g").alias("top3_gram"),
+        )
+    )
+    return (
+        narrow.drop("grams")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_seg_frac",
+            "dup_seg_char_frac",
+            F.coalesce("top3_count", F.lit(0)).alias("top3_count"),
+            F.round(
+                F.coalesce(F.col("top3_count"), F.lit(0))
+                * F.length(F.coalesce("top3_gram", F.lit("")))
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("top3_char_frac"),
+        )
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

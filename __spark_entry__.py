@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10ish": Q.q_tpch_q10ish,
         "merge_upsert": Q.q_merge_upsert,
         "gopher_repetition_battery": Q.q_gopher_repetition_battery,
+        "funnel_analysis": Q.q_funnel_analysis,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

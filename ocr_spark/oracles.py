@@ -1611,6 +1611,25 @@ SELECT n.doc_id, n.dup_seg_frac, n.dup_seg_char_frac,
 FROM narrow n LEFT JOIN top ON n.doc_id = top.doc_id
 """
 
+ORACLES["funnel_analysis"] = r"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS c
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(list_reduce(list_prepend(0, list(c ORDER BY ts, event_id)),
+           (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
+                            WHEN acc = 1 AND x = 2 THEN 2
+                            WHEN acc = 2 AND x = 3 THEN 3
+                            ELSE acc END) AS BIGINT) AS funnel_depth
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events, funnel_depth, funnel_depth = 3 AS converted FROM agg
+"""
+
 ORACLES["merge_upsert"] = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents

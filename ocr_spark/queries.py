@@ -2767,6 +2767,52 @@ def q_gopher_repetition_battery(spark, sf_dir):
     )
 
 
+def q_funnel_analysis(spark, sf_dir):
+    """Ordered-sequence funnel per user: the greedy earliest
+    view -> click -> purchase progression (each stage must strictly
+    follow the previous completed stage in time) — the standard product
+    funnel, and a stand-in for any ordered-pattern match over an event
+    stream (session outcome labeling, tool-use success chains).
+
+    Distributed shape: ONE shuffle — groupBy(user_id) collects each
+    user's (ts, event_id, stage-code) structs, array_sort recovers time
+    order after the shuffle, and a codegen'd fold computes the reached
+    stage; state per user is one int, memory bounded by the longest
+    user history (the same collect-then-sort pattern as the ordered
+    rollup). The oracle folds the identical transition function via
+    list_reduce with a prepended init."""
+    ev = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    agg = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), code.alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.collect_list("s").alias("ss"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    depth = F.expr(
+        "aggregate(array_sort(ss), 0, (acc, x) ->"
+        " case when acc = 0 and x.c = 1 then 1"
+        " when acc = 1 and x.c = 2 then 2"
+        " when acc = 2 and x.c = 3 then 3 else acc end)"
+    ).cast("bigint")
+    return agg.select(
+        "user_id",
+        "n_events",
+        depth.alias("funnel_depth"),
+        (depth == 3).alias("converted"),
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

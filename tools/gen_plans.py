@@ -157,6 +157,38 @@ def main() -> None:
             "whole-stage codegen next to the scan.",
             plan(Q.q_t5_cleanup_normalize(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Winnowing overlap candidates: DF cap below the pair join",
+            "Same discipline as the shingle path applied to local "
+            "fingerprints: hot fingerprints (df > cap) leave via a "
+            "broadcast LeftAnti BEFORE the self-equi-join, so a "
+            "boilerplate hash shared by k docs cannot emit k^2 candidate "
+            "rows; the top-20 compiles to TakeOrderedAndProject.",
+            plan(Q.q_winnowing_candidates(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Intra-doc segment dedup: zero key shuffles",
+            "Within-document repeated-segment removal is pure per-row "
+            "array math (order-preserving array_distinct) — no Exchange "
+            "beyond the gated scan-widening round-robin, at any corpus "
+            "size.",
+            plan(Q.q_intra_doc_segment_dedup(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Funnel / ordered-pattern match: one shuffle + codegen'd fold",
+            "groupBy(user) collects (ts, id, stage) structs, array_sort "
+            "recovers time order post-shuffle, and the stage progression "
+            "is a fold with one int of state — the collect-then-sort "
+            "pattern of the ordered rollup applied to sequence matching.",
+            plan(Q.q_funnel_analysis(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "CDC merge-upsert: single full-outer key join",
+            "The Iceberg MERGE INTO shape: one key shuffle per side into "
+            "a full-outer join classifying insert/update/keep; AQE "
+            "broadcasts small change batches (the common CDC case).",
+            plan(Q.q_merge_upsert(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

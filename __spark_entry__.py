@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": Q.q_merge_upsert,
         "gopher_repetition_battery": Q.q_gopher_repetition_battery,
         "funnel_analysis": Q.q_funnel_analysis,
+        "char_ngram_lang_id": Q.q_char_ngram_lang_id,
+        "quality_rank_by_source": Q.q_quality_rank_by_source,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

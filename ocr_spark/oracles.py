@@ -1630,6 +1630,51 @@ WITH ev AS (
 SELECT user_id, n_events, funnel_depth, funnel_depth = 3 AS converted FROM agg
 """
 
+ORACLES["char_ngram_lang_id"] = r"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text)), i -> substr(text, CAST(i AS INT), 2))) AS b
+  FROM documents
+), dcounts AS (
+  SELECT doc_id, b, count(*) AS dc FROM grams GROUP BY doc_id, b
+), prof AS (
+  SELECT lang, b, count(*) AS lc FROM grams GROUP BY lang, b
+), tot AS (
+  SELECT lang, sum(lc) AS t FROM prof GROUP BY lang
+), profile AS (
+  SELECT p.lang, p.b, ln((lc + 1) / CAST(t + 4096 AS DOUBLE)) AS lp,
+         ln(1.0 / CAST(t + 4096 AS DOUBLE)) AS lp0
+  FROM prof p JOIN tot USING (lang)
+), floors AS (
+  SELECT DISTINCT lang, lp0 FROM profile
+), scored AS (
+  SELECT d.doc_id, f.lang, round(sum(d.dc * coalesce(pr.lp, f.lp0)), 4) AS score
+  FROM dcounts d CROSS JOIN floors f
+  LEFT JOIN profile pr ON pr.lang = f.lang AND pr.b = d.b
+  GROUP BY d.doc_id, f.lang
+), best AS (
+  SELECT doc_id, max(struct_pack(score := score, lang := lang)) AS top
+  FROM scored GROUP BY doc_id
+)
+SELECT b.doc_id, b.top.lang AS pred_lang, d.lang AS true_lang,
+       b.top.lang = d.lang AS correct
+FROM best b JOIN documents d ON b.doc_id = d.doc_id
+"""
+
+ORACLES["quality_rank_by_source"] = """
+WITH scored AS (
+  SELECT doc_id, source,
+         round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+               * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text)), 6) AS quality
+  FROM documents
+)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6)
+         AS quality_pct_rank
+FROM scored
+"""
+
 ORACLES["merge_upsert"] = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents

@@ -2813,6 +2813,91 @@ def q_funnel_analysis(spark, sf_dir):
     )
 
 
+_CNG_SMOOTH = 4096  # add-one smoothing denominator constant
+
+
+def q_char_ngram_lang_id(spark, sf_dir):
+    """Character-n-gram language ID (the Cavnar-Trenkle / fastText-style
+    upgrade of the stopword heuristic): train per-language char-bigram
+    naive-Bayes profiles from the labeled corpus, score every document
+    against every language, predict the argmax. Completes the lang-id
+    family: heuristic (stopword density), script (codepoint class),
+    statistical (this).
+
+    Distributed shape: profiles are a bounded table (char-bigram vocab x
+    |langs|) built by ONE partial-aggregated pass and BROADCAST twice
+    (floor table + profile) into the scoring join; the corpus-sized
+    (doc, bigram) stream shuffles once on its composite key, fans out
+    only x|langs|, and reduces to one row per (doc, lang) then per doc.
+    Argmax is a max(struct) with a round(4)-then-lang tie-break mirrored
+    exactly in the oracle (unrounded doubles summed in different orders
+    could flip a near-tie across engines)."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    grams = doc.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            # the length guard matters: Spark's sequence(1, 0) is DESCENDING
+            F.expr(
+                "case when length(text) >= 2 then"
+                " transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("b"),
+    )
+    dcounts = grams.groupBy("doc_id", "b").agg(F.count("*").alias("dc"))
+    profile = grams.groupBy("lang", "b").agg(F.count("*").alias("lc"))
+    wl = Window.partitionBy("lang")
+    profile = profile.select(
+        "lang",
+        "b",
+        F.log((F.col("lc") + 1) / (F.sum("lc").over(wl) + _CNG_SMOOTH)).alias("lp"),
+        F.log(1.0 / (F.sum("lc").over(wl) + _CNG_SMOOTH)).alias("lp0"),
+    )
+    floors = profile.select("lang", "lp0").distinct()
+    scored = (
+        dcounts.crossJoin(F.broadcast(floors))
+        .join(F.broadcast(profile.select("lang", "b", "lp")), ["lang", "b"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum(F.col("dc") * F.coalesce("lp", "lp0")), 4).alias("score"))
+    )
+    best = scored.groupBy("doc_id").agg(F.max(F.struct("score", "lang")).alias("top"))
+    return (
+        best.select("doc_id", F.col("top.lang").alias("pred_lang"))
+        .join(doc.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            F.col("lang").alias("true_lang"),
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+def q_quality_rank_by_source(spark, sf_dir):
+    """Rank-based quality normalization per source: percent_rank of the
+    quality score WITHIN each source — the calibration step before
+    cross-source mixture selection (absolute quality scores are not
+    comparable across crawls; selecting a per-source top-X% is).
+
+    Distributed shape: one window shuffle on source; the (quality,
+    doc_id) ordering is fully deterministic so ranks are exact and
+    reproducible. At scale with few giant sources the window would run
+    over per-source bucketed output (operators/bucketing.py) to avoid
+    one reducer per source; rank semantics are unchanged."""
+    from ocr_spark.functions import quality_score
+
+    doc = _t(spark, sf_dir, "documents")
+    scored = doc.select("doc_id", "source", quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pct_rank"),
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_topk": Q.q_ann_bucketed_topk,
         "ivf_cluster_sizes": Q.q_ivf_cluster_sizes,
         "ivf_search_topk": Q.q_ivf_search_topk,
+        "ivf_search_multiprobe": Q.q_ivf_search_multiprobe,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

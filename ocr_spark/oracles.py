@@ -357,6 +357,7 @@ QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
 """
 
 
+
 # ---------------------------------------------------------------------------
 # dedup & fingerprinting, part 2
 # ---------------------------------------------------------------------------
@@ -729,6 +730,18 @@ WITH {_IVF_ASSIGN}, q AS (
 SELECT vec_id,
        round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
 FROM assigned, q
+WHERE vec_id <> 0 AND cluster = qc
+QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
+"""
+
+ORACLES["ivf_search_multiprobe"] = f"""
+WITH {_IVF_ASSIGN}, qp AS (
+  SELECT c0 AS qc, embedding AS qe FROM scored WHERE vec_id = 0
+  QUALIFY row_number() OVER (ORDER BY dist ASC, c0 ASC) <= 2
+)
+SELECT vec_id,
+       round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
+FROM assigned, qp
 WHERE vec_id <> 0 AND cluster = qc
 QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 5
 """

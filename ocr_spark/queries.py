@@ -1084,9 +1084,9 @@ def q_rolling_hash_fingerprint(spark, sf_dir):
 _IVF_K = 8
 
 
-def _ivf_assignments(spark, sf_dir):
-    """Deterministic simplified IVF train: init clusters by vec_id % k,
-    centroids = element-wise means, one Lloyd reassignment by L2.
+def _ivf_scored(spark, sf_dir):
+    """Every (vector, centroid) L2 distance after the deterministic IVF
+    train (init clusters by vec_id % k, centroids = element-wise means).
 
     Scale shape: centroids are k tiny rows -> broadcast join against the
     vector table (never a shuffle of the vectors); the element-wise mean
@@ -1113,7 +1113,12 @@ def _ivf_assignments(spark, sf_dir):
         " (cast(x as double) - c)), cast(0.0 as double), (acc, v) -> acc + v)"
     )
     centroids = centroids.withColumnRenamed("c0", "cc")
-    scored = emb.drop("c0").join(F.broadcast(centroids)).withColumn("dist", F.expr(dist))
+    return emb.drop("c0").join(F.broadcast(centroids)).withColumn("dist", F.expr(dist))
+
+
+def _ivf_assignments(spark, sf_dir):
+    """One Lloyd reassignment by L2: each vector's nearest centroid."""
+    scored = _ivf_scored(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cc").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1150,6 +1155,43 @@ def q_ivf_search_topk(spark, sf_dir):
     )
     return (
         scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "cosine")
+    )
+
+
+def q_ivf_search_multiprobe(spark, sf_dir):
+    """IVF multiprobe (nprobe=2): search the query's TWO nearest
+    centroids' inverted lists — the standard recall knob for IVF indexes
+    (a query near a cluster boundary misses true neighbors assigned to
+    the runner-up centroid under nprobe=1).
+
+    Distributed shape: the probe set is 2 tiny rows (query embedding x
+    probe cluster) BROADCAST into an equi-join on cluster id, so search
+    cost is the 2 probed lists, never the corpus; exact cosine +
+    TakeOrdered on the candidates only. nprobe generalizes by changing
+    the rank cutoff — the plan is unchanged."""
+    scored = _ivf_scored(spark, sf_dir)
+    assigned = _ivf_assignments(spark, sf_dir)
+    wq = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cc").asc())
+    probes = (
+        scored.filter(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("embedding").alias("q_embedding"),
+            F.col("cc").alias("q_cluster"),
+        )
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("cluster") == F.col("q_cluster"))
+        .withColumn(
+            "cosine", F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4)
+        )
+    )
+    return (
+        cand.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(5)
         .select("vec_id", "cosine")
     )

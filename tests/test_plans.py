@@ -394,6 +394,28 @@ def test_tpch_q10ish_broadcasts_and_takeordered(spark):
     assert "CartesianProduct" not in p
 
 
+def test_char_ngram_profiles_broadcast(spark):
+    # the bounded char-bigram profile (and per-lang floor) tables must
+    # broadcast into the scoring join; the only nested-loop join allowed
+    # is the |langs|-row floor fan-out
+    p = plan(Q.q_char_ngram_lang_id(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Inner" in ln or "Cross" in ln  # tiny floors side
+
+
+def test_ivf_multiprobe_broadcasts_probes(spark):
+    # the 2-row probe set broadcasts into the cluster equi-join; top-5
+    # compiles to TakeOrderedAndProject over probed candidates only
+    p = plan(Q.q_ivf_search_multiprobe(spark, SF_DIR), mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    joins = [ln for ln in p.splitlines() if "BroadcastHashJoin" in ln]
+    assert any("cluster" in ln for ln in joins), p
+
+
 def test_lang_id_confusion_single_aggregate(spark):
     # one partial-aggregated cross-tab; the per-label normalizer is a
     # window over the tiny cell table, never a corpus rescan

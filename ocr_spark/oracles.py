@@ -1688,6 +1688,25 @@ SELECT doc_id, source, quality,
 FROM scored
 """
 
+ORACLES["curation_gate_funnel"] = r"""
+WITH flagged AS (
+  SELECT doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS g_dedup,
+         lang = 'en' AS g_lang,
+         round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+               * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text)), 6) >= 0.3 AS g_quality,
+         len(regexp_split_to_array(trim(text), '\s+')) <= 200 AS g_len
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE g_dedup) AS BIGINT) AS pass_dedup,
+       CAST(count(*) FILTER (WHERE g_lang) AS BIGINT) AS pass_lang,
+       CAST(count(*) FILTER (WHERE g_quality) AS BIGINT) AS pass_quality,
+       CAST(count(*) FILTER (WHERE g_len) AS BIGINT) AS pass_len,
+       CAST(count(*) FILTER (WHERE g_dedup AND g_lang AND g_quality AND g_len) AS BIGINT) AS pass_all
+FROM flagged
+"""
+
 ORACLES["merge_upsert"] = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents

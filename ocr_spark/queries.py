@@ -2940,6 +2940,39 @@ def q_quality_rank_by_source(spark, sf_dir):
     )
 
 
+def q_curation_gate_funnel(spark, sf_dir):
+    """Gate-funnel report over the standard curation chain (the ablation
+    table every corpus paper publishes): per-gate pass counts and the
+    joint survival count for exact-dedup-keep, language, quality, and
+    length — computed in ONE pass so the gates are measured on the same
+    snapshot of the corpus.
+
+    Distributed shape: one window over the content hash (the dedup
+    first-occurrence flag) then a single partial-aggregated global
+    reduction of boolean counters — no joins, no per-gate rescans; at
+    100 TB this is strictly cheaper than running the four gate queries
+    separately."""
+    from ocr_spark.functions import quality_score, token_count
+
+    doc = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    flagged = doc.select(
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("g_dedup"),
+        (F.col("lang") == "en").alias("g_lang"),
+        (quality_score("text") >= 0.3).alias("g_quality"),
+        (token_count("text") <= 200).alias("g_len"),
+    )
+    cnt = lambda c: F.expr(f"count_if({c})").cast("bigint")  # noqa: E731
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt("g_dedup").alias("pass_dedup"),
+        cnt("g_lang").alias("pass_lang"),
+        cnt("g_quality").alias("pass_quality"),
+        cnt("g_len").alias("pass_len"),
+        cnt("g_dedup and g_lang and g_quality and g_len").alias("pass_all"),
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

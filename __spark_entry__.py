@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngram_lang_id": Q.q_char_ngram_lang_id,
         "quality_rank_by_source": Q.q_quality_rank_by_source,
         "curation_gate_funnel": Q.q_curation_gate_funnel,
+        "bpe_train": Q.q_bpe_train,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

@@ -1707,6 +1707,55 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM flagged
 """
 
+def _bpe_train_sql(steps: int = 6) -> str:
+    """Unrolled BPE training: the iterative Spark loop's K rounds as K
+    chained CTE levels (count pairs -> best -> replace-merge), with the
+    merge applied by the same delimiter-wrapped string replace."""
+    sep = "\x1e"
+    d2 = sep + sep
+    out = [
+        r"""WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+  GROUP BY w
+), v0 AS ("""
+        + f"""
+  SELECT freq, '{sep}' || array_to_string(list_transform(range(1, length(w) + 1),
+      i -> substr(w, CAST(i AS INT), 1)), '{d2}') || '{sep}' AS s
+  FROM words
+)"""
+    ]
+    for k in range(steps):
+        out.append(
+            f""", p{k} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(freq) AS c
+  FROM (
+    SELECT freq,
+           unnest(CASE WHEN len(sy) > 1 THEN list_transform(range(1, len(sy)),
+             i -> struct_pack(l := sy[CAST(i AS INT)], r := sy[CAST(i AS INT) + 1]))
+             ELSE [] END) AS pr
+    FROM (SELECT freq, str_split(trim(s, '{sep}'), '{d2}') AS sy FROM v{k})
+  ) GROUP BY pr.l, pr.r
+), b{k} AS (
+  SELECT {k} AS step, l, r, l || r AS merged, CAST(c AS BIGINT) AS pair_count
+  FROM p{k} ORDER BY c DESC, l, r LIMIT 1
+), v{k + 1} AS (
+  SELECT freq, replace(s, '{sep}' || b.l || '{d2}' || b.r || '{sep}',
+                          '{sep}' || b.l || b.r || '{sep}') AS s
+  FROM v{k}, b{k} b
+)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(steps))
+    out.append(
+        f"""
+SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right", merged, pair_count
+FROM ({unions})"""
+    )
+    return "".join(out)
+
+
+ORACLES["bpe_train"] = _bpe_train_sql()
+
 ORACLES["merge_upsert"] = r"""
 WITH base AS (
   SELECT doc_id, text FROM documents

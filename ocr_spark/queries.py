@@ -2973,6 +2973,86 @@ def q_curation_gate_funnel(spark, sf_dir):
     )
 
 
+_BPE_TRAIN_STEPS = 6
+_BPE_SEP = "\x1e"  # record-separator; never appears in the \S+ tokens
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    full iterative loop, not just the one-step statistic in
+    bpe_top_merges: 6 rounds of count-adjacent-pairs -> pick the most
+    frequent (count-then-pair tie-break) -> merge every non-overlapping
+    occurrence corpus-wide. Output is the learned merge table.
+
+    Distributed shape: after ONE corpus pass reduces to (distinct word,
+    freq) — the working set real BPE trainers iterate on, vocab-sized,
+    not corpus-sized — each round is a partial-aggregated pair count
+    plus a narrow per-word merge. The merge applies BPE's greedy
+    left-to-right non-overlapping rule via string replace over a
+    delimiter-wrapped symbol encoding (<sep>sym<sep> per symbol, so a
+    pair pattern can never straddle symbol boundaries and consecutive
+    merges don't share delimiters); the oracle unrolls the identical 6
+    rounds in SQL. The per-round best-pair collect is a 1-row driver
+    scalar (iteration control, like dedup_clusters' convergence
+    check)."""
+    doc = _t(spark, sf_dir, "documents")
+    words = (
+        doc.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    sep = _BPE_SEP
+    # encode each word as <sep>c<sep><sep>c<sep>... (every symbol
+    # individually wrapped)
+    v = words.select(
+        "freq",
+        F.expr(
+            f"concat('{sep}', array_join(transform(sequence(1, length(w)),"
+            f" i -> substr(w, i, 1)), '{sep}{sep}'), '{sep}')"
+        ).alias("s"),
+    ).cache()
+    syms = f"split(btrim(s, '{sep}'), '{sep}{sep}')"
+    pairs_expr = (
+        f"case when size({syms}) > 1 then"
+        f" transform(sequence(1, size({syms}) - 1),"
+        f" i -> struct(element_at({syms}, i) as l, element_at({syms}, i + 1) as r))"
+        f" else cast(array() as array<struct<l:string,r:string>>) end"
+    )
+    merges = []
+    for step in range(_BPE_TRAIN_STEPS):
+        pairs = v.select("freq", F.explode(F.expr(pairs_expr)).alias("p"))
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step, l, r, l + r, c))
+        pat = f"{sep}{l}{sep}{sep}{r}{sep}"
+        rep = f"{sep}{l}{r}{sep}"
+        nxt = v.select(
+            "freq",
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+        ).cache()
+        nxt.count()  # materialize before dropping the parent
+        v.unpersist()
+        v = nxt
+    v.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    ).select(
+        F.col("step").cast("bigint").alias("step"),
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Lang-ID gate evaluation: confusion matrix of the stopword-density
     heuristic against the corpus's labeled ``lang`` column, with

@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rank_by_source": Q.q_quality_rank_by_source,
         "curation_gate_funnel": Q.q_curation_gate_funnel,
         "bpe_train": Q.q_bpe_train,
+        "bpe_encode": Q.q_bpe_encode,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
         "overlapping_chunks": Q.q_overlapping_chunks,

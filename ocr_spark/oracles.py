@@ -1707,10 +1707,12 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM flagged
 """
 
-def _bpe_train_sql(steps: int = 6) -> str:
+def _bpe_train_sql(steps: int = 6, mode: str = "merges") -> str:
     """Unrolled BPE training: the iterative Spark loop's K rounds as K
     chained CTE levels (count pairs -> best -> replace-merge), with the
-    merge applied by the same delimiter-wrapped string replace."""
+    merge applied by the same delimiter-wrapped string replace.
+    mode='merges' emits the learned merge table; mode='encode' applies
+    the final vocab state back to the corpus tokens."""
     sep = "\x1e"
     d2 = sep + sep
     out = [
@@ -1720,7 +1722,7 @@ def _bpe_train_sql(steps: int = 6) -> str:
   GROUP BY w
 ), v0 AS ("""
         + f"""
-  SELECT freq, '{sep}' || array_to_string(list_transform(range(1, length(w) + 1),
+  SELECT w, freq, '{sep}' || array_to_string(list_transform(range(1, length(w) + 1),
       i -> substr(w, CAST(i AS INT), 1)), '{d2}') || '{sep}' AS s
   FROM words
 )"""
@@ -1740,21 +1742,40 @@ def _bpe_train_sql(steps: int = 6) -> str:
   SELECT {k} AS step, l, r, l || r AS merged, CAST(c AS BIGINT) AS pair_count
   FROM p{k} ORDER BY c DESC, l, r LIMIT 1
 ), v{k + 1} AS (
-  SELECT freq, replace(s, '{sep}' || b.l || '{d2}' || b.r || '{sep}',
+  SELECT w, freq, replace(s, '{sep}' || b.l || '{d2}' || b.r || '{sep}',
                           '{sep}' || b.l || b.r || '{sep}') AS s
   FROM v{k}, b{k} b
 )"""
         )
-    unions = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(steps))
-    out.append(
-        f"""
+    if mode == "encode":
+        out.append(
+            f"""
+, word_syms AS (
+  SELECT w, CAST(len(str_split(trim(s, '{sep}'), '{d2}')) AS BIGINT) AS n_syms
+  FROM v{steps}
+), toks AS ("""
+            + r"""
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS syms_per_word
+FROM toks JOIN word_syms USING (w)
+GROUP BY doc_id"""
+        )
+    else:
+        unions = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(steps))
+        out.append(
+            f"""
 SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right", merged, pair_count
 FROM ({unions})"""
-    )
+        )
     return "".join(out)
 
 
 ORACLES["bpe_train"] = _bpe_train_sql()
+ORACLES["bpe_encode"] = _bpe_train_sql(mode="encode")
 
 ORACLES["merge_upsert"] = r"""
 WITH base AS (

@@ -2995,6 +2995,24 @@ def q_bpe_train(spark, sf_dir):
     rounds in SQL. The per-round best-pair collect is a 1-row driver
     scalar (iteration control, like dedup_clusters' convergence
     check)."""
+    merges, v = _bpe_train_state(spark, sf_dir)
+    v.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    ).select(
+        F.col("step").cast("bigint").alias("step"),
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+    )
+
+
+def _bpe_train_state(spark, sf_dir):
+    """Run the BPE training loop; returns (merge list, final cached
+    vocab state (w, freq, s)) — q_bpe_train reports the merges,
+    q_bpe_encode applies the final state back to the corpus. Caller
+    unpersists the returned frame."""
     doc = _t(spark, sf_dir, "documents")
     words = (
         doc.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
@@ -3005,6 +3023,7 @@ def q_bpe_train(spark, sf_dir):
     # encode each word as <sep>c<sep><sep>c<sep>... (every symbol
     # individually wrapped)
     v = words.select(
+        "w",
         "freq",
         F.expr(
             f"concat('{sep}', array_join(transform(sequence(1, length(w)),"
@@ -3035,22 +3054,52 @@ def q_bpe_train(spark, sf_dir):
         pat = f"{sep}{l}{sep}{sep}{r}{sep}"
         rep = f"{sep}{l}{r}{sep}"
         nxt = v.select(
+            "w",
             "freq",
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
         ).cache()
         nxt.count()  # materialize before dropping the parent
         v.unpersist()
         v = nxt
-    v.unpersist()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_count bigint"
-    ).select(
-        F.col("step").cast("bigint").alias("step"),
-        "left",
-        "right",
-        "merged",
-        "pair_count",
+    return merges, v
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merges back to the corpus (train -> encode
+    round trip): per document, the token count after segmentation with
+    the 6 trained merges — the statistic that prices a corpus in model
+    tokens under the trained tokenizer (vs the whitespace count).
+
+    Distributed shape: training's final vocab state already holds each
+    distinct word's post-merge symbol count — vocab-sized, so it
+    BROADCASTS into the corpus token stream; one corpus shuffle
+    (doc_id) for the per-doc reduction. The oracle unrolls the same 6
+    rounds and applies the same final state."""
+    _, v = _bpe_train_state(spark, sf_dir)
+    sep = _BPE_SEP
+    word_syms = v.select(
+        "w",
+        F.expr(f"size(split(btrim(s, '{sep}'), '{sep}{sep}'))")
+        .cast("bigint")
+        .alias("n_syms"),
     )
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    out = (
+        toks.join(F.broadcast(word_syms), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.round(F.sum("n_syms") / F.count("*"), 6).alias("syms_per_word"),
+        )
+    )
+    # materialize before unpersisting the state the plan depends on
+    out = out.localCheckpoint()
+    v.unpersist()
+    return out
 
 
 def q_lang_id_confusion(spark, sf_dir):

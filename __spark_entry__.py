@@ -251,6 +251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cluster_sizes": Q.q_ivf_cluster_sizes,
         "ivf_search_topk": Q.q_ivf_search_topk,
         "ivf_search_multiprobe": Q.q_ivf_search_multiprobe,
+        # transcript training-prep (documents-as-transcripts adapter)
+        "turn_span_offsets": Q.q_turn_span_offsets,
+        "loss_mask_summary": Q.q_loss_mask_summary,
+        "role_alternation_check": Q.q_role_alternation_check,
+        "conv_truncate_tail": Q.q_conv_truncate_tail,
+        "incremental_dedup_new_docs": Q.q_incremental_dedup_new_docs,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -1814,3 +1814,115 @@ SELECT lang, lang_guess, n_docs,
              / sum(n_docs) OVER (PARTITION BY lang), 6) AS frac_of_lang
 FROM cells
 """
+
+# --------------------------------------------------------------------------
+# transcript training-prep operators (documents-as-transcripts adapter: one
+# conversation per source, docs as turns in doc_id order; the classifier /
+# cleanup CTEs are kept in lockstep with extract_udf_text_parity above)
+# --------------------------------------------------------------------------
+
+_TRANSCRIPT_CTE = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text,
+         regexp_matches(text,
+           '<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b',
+           'i') AS is_html
+  FROM documents
+), ok AS (
+  SELECT conv_id FROM t GROUP BY conv_id HAVING bool_and(NOT is_html)
+), cleaned AS (
+  SELECT t.conv_id, turn_idx,
+         trim(regexp_replace(regexp_replace(text, '\n\s*\n\s*\n+', chr(10) || chr(10), 'g'),
+                             '[ \t]+', ' ', 'g'),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS ct
+  FROM t JOIN ok USING (conv_id)
+), kept AS (
+  SELECT conv_id, turn_idx, ct FROM cleaned WHERE ct <> ''
+)
+"""
+
+ORACLES["turn_span_offsets"] = _TRANSCRIPT_CTE + r"""
+SELECT conv_id, turn_idx,
+       CAST(coalesce(sum(length(ct) + 2) OVER w, 0) AS BIGINT) AS char_start,
+       CAST(coalesce(sum(length(ct) + 2) OVER w, 0) + length(ct) AS BIGINT) AS char_end
+FROM kept
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+ORACLES["loss_mask_summary"] = _TRANSCRIPT_CTE + r"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE turn_idx % 2 = 1) AS BIGINT) AS n_trainable_turns,
+       CAST(coalesce(sum(length(ct)) FILTER (WHERE turn_idx % 2 = 1), 0) AS BIGINT) AS trainable_chars,
+       CAST(sum(length(ct)) AS BIGINT) AS total_chars,
+       round(CAST(coalesce(sum(length(ct)) FILTER (WHERE turn_idx % 2 = 1), 0) AS DOUBLE)
+             / CAST(sum(length(ct)) AS DOUBLE), 6) AS trainable_frac
+FROM kept
+GROUP BY conv_id
+"""
+
+ORACLES["role_alternation_check"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS r
+  FROM documents
+), lagged AS (
+  SELECT conv_id,
+         CAST(r = lag(r) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INTEGER) AS viol
+  FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(viol), 0) AS BIGINT) AS n_violations,
+       coalesce(sum(viol), 0) = 0 AS alternates_ok
+FROM lagged
+GROUP BY conv_id
+"""
+
+ORACLES["conv_truncate_tail"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), marked AS (
+  SELECT conv_id, turn_idx, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+  FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE rsum <= 512) AS BIGINT) AS kept_turns,
+       CAST(coalesce(sum(n_tok) FILTER (WHERE rsum <= 512), 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(min(turn_idx) FILTER (WHERE rsum <= 512), -1) AS INTEGER) AS first_kept_turn
+FROM marked
+GROUP BY conv_id
+"""
+
+ORACLES["incremental_dedup_new_docs"] = r"""
+WITH frozen AS (
+  SELECT DISTINCT sha256(text) AS fp FROM documents WHERE doc_id % 10 < 8
+), incoming AS (
+  SELECT source, sha256(text) AS fp FROM documents WHERE doc_id % 10 >= 8
+), new AS (
+  SELECT i.source, i.fp
+  FROM incoming i LEFT JOIN frozen f USING (fp)
+  WHERE f.fp IS NULL
+)
+SELECT i.source,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(coalesce(any_value(n.n_new), 0) AS BIGINT) AS n_new,
+       CAST(coalesce(any_value(n.n_new_unique), 0) AS BIGINT) AS n_new_unique,
+       CAST(count(*) - coalesce(any_value(n.n_new), 0) AS BIGINT) AS n_dup_vs_corpus
+FROM incoming i
+LEFT JOIN (
+  SELECT source, count(*) AS n_new, count(DISTINCT fp) AS n_new_unique
+  FROM new GROUP BY source
+) n USING (source)
+GROUP BY i.source
+"""

@@ -3129,3 +3129,236 @@ def q_lang_id_confusion(spark, sf_dir):
         "n_docs",
         F.round(F.col("n_docs") / tot, 6).alias("frac_of_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transcript training-prep operators (documents recast as transcripts so the
+# driver's DuckDB oracle can value-check them; the same code runs unchanged
+# over the real transcripts table)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of the extraction classifier's HTML predicate (kept in lockstep
+# with ocr_spark/oracle/extract.py); used only to build oracle SQL strings.
+_HTML_TAG_SQL = (
+    r"'<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer"
+    r"|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b'"
+)
+
+
+def doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the BASELINE input shape
+    ``(conv_id, turn_idx, role, text, tool, ts)`` — one conversation per
+    source, docs as turns in doc_id order. Used by every transcript-shaped
+    query below so the driver can oracle-check them; production code runs
+    the identical plan over the real transcripts table."""
+    doc = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return doc.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def _extracted_text_turns(spark, sf_dir):
+    """REAL vectorized extract() over documents-as-transcripts, restricted
+    to all-plain-text conversations (the SQL-expressible subset) with blank
+    turns dropped — the shared prefix of the span-offset queries."""
+    from ocr_spark.operators.extract import extract
+
+    ext = extract(doc_transcripts(spark, sf_dir))
+    keep = (
+        ext.groupBy("conv_id")
+        .agg(F.expr("bool_and(kind = 'text')").alias("all_text"))
+        .filter("all_text")
+        .select("conv_id")
+    )
+    return (
+        ext.join(keep, "conv_id")
+        .filter("extracted_text is not null and trim(extracted_text) != ''")
+        .select("conv_id", "turn_idx", "extracted_text")
+    )
+
+
+def q_turn_span_offsets(spark, sf_dir):
+    """Per-turn character-span offsets into the ordered conversation
+    rollup — the north-star's "extracted main-text and character-span
+    offsets per (conv_id, turn_idx)" deliverable, through the REAL
+    mapInArrow extraction UDF.
+
+    Invariant (pinned by tests/test_spark_parity.py):
+    ``full_text[char_start:char_end] == extracted_text`` where full_text
+    is the '\\n\\n'-joined rollup of the same turns (conv_text semantics:
+    blank turns skipped, turn_idx order).
+
+    Distributed shape: one window keyed by conv_id — per-conversation
+    state only, no global sort, cost linear in turns/conv (bounded by the
+    10^4-turn skew archetype); the DuckDB oracle re-derives the classifier
+    + cleanup + running offset declaratively, so a hash match proves the
+    UDF path end-to-end."""
+    kept = _extracted_text_turns(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.length("extracted_text") + F.lit(2)).over(w), F.lit(0)
+    ).cast("bigint")
+    return kept.select(
+        "conv_id",
+        "turn_idx",
+        start.alias("char_start"),
+        (start + F.length("extracted_text")).cast("bigint").alias("char_end"),
+    )
+
+
+def q_loss_mask_summary(spark, sf_dir):
+    """SFT loss-masking summary: alternate turn roles (even turn_idx =
+    user / prompt, odd = assistant / completion), train only on assistant
+    characters, and report per-conversation trainable fractions — the
+    aggregate a data loader needs to budget per-conv loss weight.
+
+    Distributed shape: narrow per-row arithmetic on the extract output,
+    then ONE partial-aggregated groupBy(conv_id) — the mask never
+    materializes per-token rows."""
+    kept = _extracted_text_turns(spark, sf_dir)
+    is_train = (F.col("turn_idx") % 2 == 1).cast("int")
+    per_turn = kept.select(
+        "conv_id",
+        F.length("extracted_text").cast("bigint").alias("n_chars"),
+        is_train.alias("train"),
+    )
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.sum("train").cast("bigint").alias("n_trainable_turns"),
+            F.sum(F.col("n_chars") * F.col("train")).cast("bigint").alias("trainable_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_trainable_turns",
+            "trainable_chars",
+            "total_chars",
+            F.round(F.col("trainable_chars") / F.col("total_chars"), 6).alias(
+                "trainable_frac"
+            ),
+        )
+    )
+
+
+def q_role_alternation_check(spark, sf_dir):
+    """Transcript QA gate: flag conversations whose turns do not
+    alternate roles (consecutive same-role turns — truncated tool loops,
+    merged messages). Roles are derived content-keyed (md5(text) mod 3 →
+    user/assistant/tool) so the check has violations to find on the
+    adapter table; on the real transcripts table the ``role`` column is
+    used directly.
+
+    Distributed shape: one lag window per conv_id (per-conv state, no
+    global sort) feeding one partial-aggregated groupBy."""
+    t = doc_transcripts(spark, sf_dir)
+    role = F.expr(
+        "element_at(array('user', 'assistant', 'tool'),"
+        " cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 3 as int) + 1)"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = t.select("conv_id", "turn_idx", role.alias("r")).select(
+        "conv_id",
+        (F.col("r") == F.lag("r").over(w)).cast("int").alias("viol"),
+    )
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.coalesce(F.sum("viol"), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+        .withColumn("alternates_ok", F.col("n_violations") == 0)
+    )
+
+
+_TRUNC_TOKEN_BUDGET = 512
+
+
+def q_conv_truncate_tail(spark, sf_dir):
+    """Context-window tail truncation: per conversation, keep the maximal
+    SUFFIX of turns whose total whitespace-token count fits the budget
+    (512) — the standard "most recent context wins" SFT prep. Emits per
+    conv the kept-turn window and token spend so the slice is replayable.
+
+    Distributed shape: per-turn token counts are narrow arithmetic on the
+    scan; ONE descending-window running sum per conv_id (per-conv state);
+    ONE partial-aggregated groupBy. A turn that alone exceeds the budget
+    is dropped like any other over-budget turn (no partial-turn slicing
+    at this operator — that belongs to sequence_packing)."""
+    t = doc_transcripts(spark, sf_dir)
+    toks = t.select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = toks.withColumn("rsum", F.sum("n_tok").over(w)).withColumn(
+        "keep", (F.col("rsum") <= _TRUNC_TOKEN_BUDGET).cast("int")
+    )
+    return (
+        marked.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.sum("keep").cast("bigint").alias("kept_turns"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep") == 1, F.col("n_tok"))), F.lit(0)
+            ).cast("bigint").alias("kept_tokens"),
+            F.coalesce(
+                F.min(F.when(F.col("keep") == 1, F.col("turn_idx"))), F.lit(-1)
+            ).cast("int").alias("first_kept_turn"),
+        )
+    )
+
+
+def q_incremental_dedup_new_docs(spark, sf_dir):
+    """Incremental corpus ingestion dedup: given a frozen corpus (doc_id
+    mod 10 < 8) and an incoming batch (the rest), count per source how
+    many incoming docs are duplicates of the corpus vs genuinely new, and
+    how many distinct new fingerprints land — the nightly-crawl-append
+    shape every production corpus runs.
+
+    Distributed shape: both sides project to (source, sha2-256) BEFORE
+    the anti-join, so shuffle width is ~72 bytes/row no matter how large
+    the documents are; the frozen side is distinct-reduced (partial agg)
+    first. At 100 TB Spark's runtime bloom-filter join injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) additionally
+    prefilters the incoming side before the shuffle; correctness never
+    depends on it (exact anti-join semantics)."""
+    doc = _t(spark, sf_dir, "documents")
+    fp = F.sha2(F.col("text"), 256).alias("fp")
+    frozen = (
+        doc.filter(F.col("doc_id") % 10 < 8)
+        .select(fp)
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    # single incoming scan: mark each row via LEFT join, aggregate once
+    # (a left_anti + separate per-source count would rescan the table)
+    marked = (
+        doc.filter(F.col("doc_id") % 10 >= 8)
+        .select("source", fp)
+        .join(frozen, "fp", "left")
+    )
+    new_fp = F.when(F.col("in_corpus").isNull(), F.col("fp"))
+    return marked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_incoming"),
+        F.count(new_fp).cast("bigint").alias("n_new"),
+        F.countDistinct(new_fp).cast("bigint").alias("n_new_unique"),
+        F.count("in_corpus").cast("bigint").alias("n_dup_vs_corpus"),
+    )

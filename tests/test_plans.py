@@ -422,3 +422,35 @@ def test_lang_id_confusion_single_aggregate(spark):
     p = plan(Q.q_lang_id_confusion(spark, SF_DIR), mode="simple")
     assert p.count("FileScan") == 1, p
     assert "CartesianProduct" not in p
+
+
+def test_span_offset_window_is_per_conversation(spark):
+    # running char offsets: ONE window keyed by conv_id (per-conv state,
+    # never a SinglePartition global sort); the all-plain-text keep set
+    # broadcasts onto the extract stream
+    p = plan(Q.q_turn_span_offsets(spark, SF_DIR), mode="simple")
+    assert "SinglePartition" not in p, p
+    assert "windowspecdefinition(conv_id" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_incremental_dedup_two_scans_only(spark):
+    # one incoming scan + one frozen scan: the LEFT mark-join + single
+    # conditional aggregate replaces left_anti + a separate rescan for
+    # per-source totals; both scans are column-pruned and the doc_id
+    # split predicate reaches the scan
+    p = plan(Q.q_incremental_dedup_new_docs(spark, SF_DIR))
+    assert n_ops(p, "Scan parquet") == 2, p
+    assert "CartesianProduct" not in p
+    assert p.count("ReadSchema: struct<doc_id:bigint,text:string,source:string>") == 1
+    assert p.count("ReadSchema: struct<doc_id:bigint,text:string>") == 1
+
+
+def test_truncate_tail_agg_reuses_window_partitioning(spark):
+    # the descending running sum and the per-conv aggregate share the
+    # conv_id partitioning: no extra Exchange between Window and the
+    # final HashAggregate (partial/final pair collapses onto it)
+    p = plan(Q.q_conv_truncate_tail(spark, SF_DIR), mode="simple")
+    assert "SinglePartition" not in p
+    win = p.index("Window [sum")
+    assert "Exchange" not in p[:win], "no exchange between agg and window:\n" + p

@@ -4,6 +4,7 @@ partitioning, dedupe-join plan, or salting (the north rule's per-turn
 text-equality invariant)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from ocr_spark import fixtures
 from ocr_spark.operators.aggregate import conv_text, conv_text_salted, partition_metrics
@@ -109,3 +110,35 @@ def test_ordering_stable_under_shuffled_input(spark, golden):
     assert keys == sorted(golden.keys())
     for r in got:
         assert r["extracted_text"] == golden[(r["conv_id"], r["turn_idx"])][0]["extracted_text"]
+
+
+def test_turn_span_offsets_slice_rollup_text(spark):
+    """The north-star span invariant: for every kept turn,
+    full_text[char_start:char_end] == extracted_text, where full_text is
+    the conv_text rollup of the same turns."""
+    import ocr_spark.queries as Q
+    from ocr_spark.operators.aggregate import conv_text
+
+    sf = "/root/testdata/sf0.001"
+    spans = {
+        (r["conv_id"], r["turn_idx"]): (r["char_start"], r["char_end"])
+        for r in Q.q_turn_span_offsets(spark, sf).collect()
+    }
+    assert spans, "no spans produced"
+    turns = {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in Q._extracted_text_turns(spark, sf).collect()
+    }
+    full = {
+        r["conv_id"]: r["full_text"]
+        for r in conv_text(Q._extracted_text_turns(spark, sf)
+                           .withColumn("kind", F.lit("text"))).collect()
+    }
+    assert set(spans) == set(turns)
+    for (cid, tix), (s, e) in spans.items():
+        assert full[cid][s:e] == turns[(cid, tix)], (cid, tix)
+    # spans of consecutive kept turns are separated by exactly '\n\n'
+    for cid, text in full.items():
+        ends = sorted((s, e) for (c, _), (s, e) in spans.items() if c == cid)
+        for (s1, e1), (s2, e2) in zip(ends, ends[1:]):
+            assert text[e1:s2] == "\n\n", cid

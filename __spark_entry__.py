@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_alternation_check": Q.q_role_alternation_check,
         "conv_truncate_tail": Q.q_conv_truncate_tail,
         "incremental_dedup_new_docs": Q.q_incremental_dedup_new_docs,
+        "chat_template_spans": Q.q_chat_template_spans,
+        "conv_dedup_exact": Q.q_conv_dedup_exact,
+        "reward_pairs": Q.q_reward_pairs,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -1926,3 +1926,62 @@ LEFT JOIN (
 ) n USING (source)
 GROUP BY i.source
 """
+
+ORACLES["chat_template_spans"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role,
+         length(text) AS tlen
+  FROM documents
+)
+SELECT conv_id, turn_idx, role,
+       CAST(coalesce(sum(length(role) + tlen + 6) OVER w, 0)
+            + 5 + length(role) AS BIGINT) AS text_start,
+       CAST(coalesce(sum(length(role) + tlen + 6) OVER w, 0)
+            + 5 + length(role) + tlen AS BIGINT) AS text_end,
+       role = 'assistant' AS trainable
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+ORACLES["conv_dedup_exact"] = r"""
+WITH c AS (
+  SELECT source AS conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         sha256(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS conv_fp
+  FROM documents
+  GROUP BY source
+)
+SELECT conv_fp,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS keep_conv_id,
+       CAST(min(n_turns) AS BIGINT) AS n_turns
+FROM c
+GROUP BY conv_fp
+"""
+
+ORACLES["reward_pairs"] = r"""
+WITH s AS (
+  SELECT source, doc_id,
+         round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+               * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text)), 6) AS q
+  FROM documents
+), r AS (
+  SELECT source, doc_id, q,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rb,
+         row_number() OVER (PARTITION BY source ORDER BY q ASC, doc_id ASC) AS rw
+  FROM s
+)
+SELECT b.source,
+       CAST(b.doc_id AS BIGINT) AS chosen_doc_id,
+       b.q AS chosen_quality,
+       CAST(w.doc_id AS BIGINT) AS rejected_doc_id,
+       w.q AS rejected_quality,
+       round(b.q - w.q, 6) AS quality_gap
+FROM (SELECT * FROM r WHERE rb = 1) b
+JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
+WHERE b.doc_id <> w.doc_id
+"""

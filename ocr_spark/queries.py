@@ -3150,11 +3150,20 @@ def doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(conv_id, turn_idx, role, text, tool, ts)`` — one conversation per
     source, docs as turns in doc_id order. Used by every transcript-shaped
     query below so the driver can oracle-check them; production code runs
-    the identical plan over the real transcripts table."""
+    the identical plan over the real transcripts table.
+
+    The rename-to-conv_id happens BEFORE the row_number window so the
+    window's Exchange is hashpartitioning(conv_id): every downstream
+    conv-keyed window/groupBy then reuses this one shuffle instead of
+    re-exchanging on the alias (pinned by
+    tests/test_plans.py::test_adapter_partitioning_is_reused)."""
     doc = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return doc.select(
-        F.col("source").alias("conv_id"),
+    renamed = doc.select(
+        F.col("source").alias("conv_id"), F.col("doc_id"), F.col("text")
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    return renamed.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.col("text"),
@@ -3361,4 +3370,125 @@ def q_incremental_dedup_new_docs(spark, sf_dir):
         F.count(new_fp).cast("bigint").alias("n_new"),
         F.countDistinct(new_fp).cast("bigint").alias("n_new_unique"),
         F.count("in_corpus").cast("bigint").alias("n_dup_vs_corpus"),
+    )
+
+
+# content-keyed role derivation shared by the transcript QA / SFT-prep
+# queries (md5(text) mod 3 -> user/assistant/tool); on a real transcripts
+# table the stored ``role`` column replaces this expression verbatim
+_ROLE_EXPR = (
+    "element_at(array('user', 'assistant', 'tool'),"
+    " cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 3 as int) + 1)"
+)
+
+
+def q_chat_template_spans(spark, sf_dir):
+    """SFT chat-template rendering offsets: each conversation renders as
+    the turn_idx-ordered concat of ``<|role|>\\n{text}\\n`` units; emit per
+    turn the [text_start, text_end) character span of the PAYLOAD inside
+    that rendering plus the loss-mask flag (train on assistant turns
+    only). This is what a data loader needs to convert the rendered
+    string + tokenizer offset-mapping into a token-level loss mask
+    without re-searching for turn boundaries.
+
+    Invariant (pinned by tests/test_spark_parity.py):
+    ``rendered[text_start:text_end] == text`` and the 5+len(role) chars
+    before each span are exactly the ``<|role|>\\n`` header.
+
+    Distributed shape: span arithmetic is a closed form over turn
+    lengths — ONE running-sum window keyed by conv_id (per-conversation
+    state, no global sort, no rendering materialized); the rendered
+    string itself never shuffles."""
+    t = doc_transcripts(spark, sf_dir)
+    base = t.select(
+        "conv_id",
+        "turn_idx",
+        F.expr(_ROLE_EXPR).alias("role"),
+        F.length("text").alias("tlen"),
+    )
+    # unit = "<|" + role + "|>\n" (5+len(role)) + text + "\n"
+    unit = F.length("role") + F.col("tlen") + F.lit(6)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum(unit).over(w), F.lit(0)) + 5 + F.length("role")
+    ).cast("bigint")
+    return base.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        start.alias("text_start"),
+        (start + F.col("tlen")).cast("bigint").alias("text_end"),
+        (F.col("role") == "assistant").alias("trainable"),
+    )
+
+
+def q_conv_dedup_exact(spark, sf_dir):
+    """Conversation-level exact dedup: fingerprint each conversation by
+    the sha2-256 of its turn_idx-ordered '\\n\\n'-joined turn texts and
+    reduce duplicates to one representative (lowest conv_id). Transcript
+    corpora are full of re-run agent sessions and re-submitted chats that
+    are byte-identical end-to-end; doc-level dedup misses them because
+    each turn is 'different enough' in context.
+
+    Distributed shape: shuffle #1 groups turns by conv_id (per-conv
+    state bounded by conversation length — the same bound as the conv_text
+    rollup); shuffle #2 groups the ~conv-cardinality fingerprint table.
+    The full turn text shuffles exactly once; at 100 TB the fingerprint
+    table is ~10^8 rows of 64-byte hashes — trivially aggregable."""
+    t = doc_transcripts(spark, sf_dir)
+    conv = t.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sha2(
+            F.concat_ws(
+                "\n\n",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(turn_idx, text))),"
+                    " x -> x.text)"
+                ),
+            ),
+            256,
+        ).alias("conv_fp"),
+    )
+    return conv.groupBy("conv_fp").agg(
+        F.count("*").cast("bigint").alias("n_convs"),
+        F.min("conv_id").alias("keep_conv_id"),
+        F.min("n_turns").cast("bigint").alias("n_turns"),
+    )
+
+
+def q_reward_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model training: per
+    source (≙ prompt group), pick the highest-quality doc as ``chosen``
+    and the lowest as ``rejected`` (quality_score heuristic, doc_id
+    tie-break), dropping degenerate groups where both ends coincide.
+
+    Distributed shape: NO window, no sort — both extremes come out of a
+    single partial-aggregated groupBy via lexicographic struct min/max
+    (tie-break encoded as a negated doc_id field in the max), so the
+    shuffle carries one pre-reduced row per (partition, source). A
+    row_number formulation would sort every group twice."""
+    from ocr_spark.functions import quality_score
+
+    doc = _t(spark, sf_dir, "documents")
+    scored = doc.select(
+        "source", "doc_id", quality_score("text").alias("q")
+    )
+    agg = scored.groupBy("source").agg(
+        F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id"))).alias("best"),
+        F.min(F.struct(F.col("q"), F.col("doc_id"))).alias("worst"),
+    )
+    return (
+        agg.select(
+            "source",
+            (-F.col("best.neg_id")).cast("bigint").alias("chosen_doc_id"),
+            F.col("best.q").alias("chosen_quality"),
+            F.col("worst.doc_id").cast("bigint").alias("rejected_doc_id"),
+            F.col("worst.q").alias("rejected_quality"),
+            F.round(F.col("best.q") - F.col("worst.q"), 6).alias("quality_gap"),
+        )
+        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
     )

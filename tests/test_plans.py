@@ -454,3 +454,39 @@ def test_truncate_tail_agg_reuses_window_partitioning(spark):
     assert "SinglePartition" not in p
     win = p.index("Window [sum")
     assert "Exchange" not in p[:win], "no exchange between agg and window:\n" + p
+
+
+def test_chat_template_spans_single_window_no_render(spark):
+    # closed-form span arithmetic: ONE conv_id-keyed window over turn
+    # LENGTHS — no global sort, and the rendered string never appears in
+    # the plan (no concat of the full conversation)
+    p = plan(Q.q_chat_template_spans(spark, SF_DIR), mode="simple")
+    assert "SinglePartition" not in p, p
+    assert p.count("Window [") == 2  # adapter row_number + span running sum
+    assert "windowspecdefinition(conv_id" in p
+
+
+def test_conv_dedup_two_exchanges(spark):
+    # turn texts shuffle exactly once (conv_id rollup); the second
+    # exchange carries only the conv-cardinality fingerprint table
+    p = plan(Q.q_conv_dedup_exact(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 2, p
+    assert "SinglePartition" not in p
+
+
+def test_reward_pairs_is_single_aggregate_no_window(spark):
+    # struct-min/max extremes: one partial-aggregated groupBy, zero
+    # window sorts (a row_number formulation would sort every group)
+    p = plan(Q.q_reward_pairs(spark, SF_DIR))
+    assert "Window" not in p, p
+    assert n_ops(p, "Exchange") == 1, p
+    assert "partial_min" in p and "partial_max" in p, p
+
+
+def test_adapter_partitioning_is_reused(spark):
+    # doc_transcripts renames source->conv_id BEFORE its row_number
+    # window, so a conv-keyed aggregate directly on the adapter reuses
+    # the window's Exchange: exactly ONE exchange end-to-end
+    df = Q.doc_transcripts(spark, SF_DIR).groupBy("conv_id").count()
+    p = plan(df)
+    assert n_ops(p, "Exchange") == 1, p

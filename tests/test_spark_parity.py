@@ -142,3 +142,34 @@ def test_turn_span_offsets_slice_rollup_text(spark):
         ends = sorted((s, e) for (c, _), (s, e) in spans.items() if c == cid)
         for (s1, e1), (s2, e2) in zip(ends, ends[1:]):
             assert text[e1:s2] == "\n\n", cid
+
+
+def test_chat_template_spans_slice_rendering(spark):
+    """Chat-template span invariant: rendering each conversation as the
+    concat of '<|role|>\\n{text}\\n' units, rendered[start:end] == text
+    and the 5+len(role) chars before each span are the header."""
+    import ocr_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    t = Q.doc_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", F.expr(Q._ROLE_EXPR).alias("role"), "text"
+    )
+    rows = t.collect()
+    rendered = {}
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        rendered[r["conv_id"]] = (
+            rendered.get(r["conv_id"], "") + f"<|{r['role']}|>\n{r['text']}\n"
+        )
+    texts = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"]) for r in rows}
+    spans = Q.q_chat_template_spans(spark, sf).collect()
+    assert len(spans) == len(rows)
+    n_train = 0
+    for r in spans:
+        role, text = texts[(r["conv_id"], r["turn_idx"])]
+        full = rendered[r["conv_id"]]
+        s, e = r["text_start"], r["text_end"]
+        assert full[s:e] == text, (r["conv_id"], r["turn_idx"])
+        assert full[s - 5 - len(role) : s] == f"<|{role}|>\n"
+        assert r["trainable"] == (role == "assistant")
+        n_train += r["trainable"]
+    assert 0 < n_train < len(spans)  # mask is non-trivial both ways

@@ -1985,3 +1985,43 @@ FROM (SELECT * FROM r WHERE rb = 1) b
 JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
 WHERE b.doc_id <> w.doc_id
 """
+
+
+def _km_round(i: int) -> str:
+    """One unrolled Lloyd round (means of a{i-1}'s assignment, snapped to
+    6 decimals like the Spark side, then nearest-centroid reassignment of
+    the full vector table)."""
+    return f"""d{i} AS (
+  SELECT c, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM a{i - 1}
+), m{i} AS (
+  SELECT c, pos, round(avg(x), 6) AS m FROM d{i} GROUP BY c, pos
+), c{i} AS (
+  SELECT c, list(m ORDER BY pos) AS centroid FROM m{i} GROUP BY c
+), s{i} AS (
+  SELECT e.vec_id, e.embedding, c.c,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           k -> (e.embedding[k]::DOUBLE - c.centroid[k])
+              * (e.embedding[k]::DOUBLE - c.centroid[k]))) AS dist
+  FROM a0 e, c{i} c
+), a{i} AS (
+  SELECT vec_id, embedding, c, dist FROM s{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) = 1
+)"""
+
+
+ORACLES["kmeans_train"] = (
+    "WITH a0 AS (\n"
+    "  SELECT vec_id, embedding, CAST(vec_id % 8 AS INT) AS c FROM embeddings\n"
+    "), "
+    + ", ".join(_km_round(i) for i in (1, 2, 3))
+    + """
+SELECT c AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+       round(sum(dist), 4) AS inertia
+FROM a3
+GROUP BY c
+"""
+)

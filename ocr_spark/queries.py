@@ -3492,3 +3492,71 @@ def q_reward_pairs(spark, sf_dir):
         )
         .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
     )
+
+
+_KM_K = 8  # clusters
+_KM_ITERS = 3  # unrolled Lloyd iterations (oracle unrolls the same 3)
+
+
+def q_kmeans_train(spark, sf_dir):
+    """Full iterative k-means TRAINING (Lloyd) over the embedding table —
+    the loop that produces ivf_*'s centroids rather than assuming them:
+    3 rounds of (per-cluster/dim mean -> nearest-centroid reassignment),
+    reporting per-cluster size and inertia of the final model.
+
+    Distributed shape (the MLlib shape): each round is ONE
+    partial-aggregated groupBy((cluster, dim)) over the exploded vectors
+    — the only shuffle, k*d rows out — then the k x d centroid matrix
+    (512 doubles) collects to the driver and re-enters the plan as a
+    LITERAL array-of-arrays, so reassignment is a narrow per-row
+    expression (argmin over k fold-computed L2 distances): the vector
+    table itself never shuffles, at any corpus size. The per-round
+    collect is iteration control, same as bpe_train's best-pair scalar.
+    Centroid means are snapped to 6 decimals each round in BOTH engines:
+    cross-engine float-summation-order drift (~1e-15) dies at the snap
+    instead of compounding across rounds and flipping boundary
+    assignments. Ties (equidistant centroids) break to the lowest
+    cluster id via array_position-of-min."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cur = emb.withColumn("cluster", (F.col("vec_id") % _KM_K).cast("int"))
+    dists_expr = None
+    for _ in range(_KM_ITERS):
+        cents = {
+            r["cluster"]: r["centroid"]
+            for r in cur.select(
+                "cluster", F.posexplode(F.col("embedding")).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("centroid")
+            )
+            .collect()
+        }
+        lit = "array({})".format(
+            ", ".join(
+                "array({})".format(", ".join(f"{v!r}d" for v in cents[c]))
+                for c in sorted(cents)
+            )
+        )
+        dists_expr = (
+            f"transform({lit}, c -> aggregate(zip_with(embedding, c,"
+            " (x, cv) -> (cast(x as double) - cv) * (cast(x as double) - cv)),"
+            " cast(0.0 as double), (a, v) -> a + v))"
+        )
+        cur = emb.withColumn(
+            "cluster",
+            F.expr(
+                f"cast(array_position({dists_expr},"
+                f" array_min({dists_expr})) - 1 as int)"
+            ),
+        )
+    final = cur.withColumn("dist", F.expr(f"array_min({dists_expr})"))
+    return final.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        F.round(F.sum("dist"), 4).alias("inertia"),
+    )

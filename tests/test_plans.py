@@ -490,3 +490,13 @@ def test_adapter_partitioning_is_reused(spark):
     df = Q.doc_transcripts(spark, SF_DIR).groupBy("conv_id").count()
     p = plan(df)
     assert n_ops(p, "Exchange") == 1, p
+
+
+def test_kmeans_assignment_never_shuffles_vectors(spark):
+    # final model plan: scan -> narrow literal-centroid argmin -> ONE
+    # k-row aggregate exchange; the vector table itself never shuffles
+    # and no per-vector window appears
+    p = plan(Q.q_kmeans_train(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1, p
+    assert n_ops(p, "Window") == 0, p
+    assert n_ops(p, "Scan parquet") == 1, p

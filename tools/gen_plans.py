@@ -189,6 +189,45 @@ def main() -> None:
             "broadcasts small change batches (the common CDC case).",
             plan(Q.q_merge_upsert(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Chat-template spans: closed-form offsets, rendering never built",
+            "Per-turn payload offsets into the '<|role|>\\n{text}\\n' SFT "
+            "rendering come from ONE conv-keyed running-sum window over "
+            "turn LENGTHS — the rendered string itself never materializes "
+            "or shuffles, and the adapter's row_number Exchange (keyed "
+            "conv_id after the pre-window rename) is the only turn-stream "
+            "shuffle in the plan.",
+            plan(Q.q_chat_template_spans(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Incremental corpus-append dedup: fingerprints before the join",
+            "Both the frozen corpus and the incoming batch reduce to "
+            "72-byte (source, sha2) rows BEFORE any join, the frozen side "
+            "is distinct-reduced map-side, and one LEFT mark-join + a "
+            "single conditional aggregate replaces left_anti plus a "
+            "second per-source rescan: two scans total, shuffle width "
+            "independent of document size.",
+            plan(Q.q_incremental_dedup_new_docs(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "k-means training: literal-centroid argmin, vectors never shuffle",
+            "Each Lloyd round aggregates (cluster, dim) means "
+            "(partial-aggregated, k*d rows out) and re-enters the k x d "
+            "centroid matrix as a driver-collected LITERAL, so "
+            "reassignment is a narrow per-row argmin over k fold-computed "
+            "distances — the final model plan holds ONE k-row Exchange "
+            "and the vector table itself never shuffles at any corpus "
+            "size (the MLlib shape).",
+            plan(Q.q_kmeans_train(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Reward pairs: struct-extreme aggregation, no window",
+            "Per-source chosen/rejected extremes come from lexicographic "
+            "struct min/max inside one partial-aggregated groupBy "
+            "(tie-break encoded as a negated doc_id field) — no "
+            "row_number window, so no per-group sort of the corpus.",
+            plan(Q.q_reward_pairs(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

@@ -116,16 +116,15 @@ def _ensure_input(spark, n_convs: int) -> str:
     return path
 
 
-def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
-    """Run the flagship extraction pipeline; returns (turns, seconds).
+def _extraction_runner(spark, input_path: str, cpus: int):
+    """Build the flagship extraction run closure; returns (one_run, snap).
 
-    Measured as the best of 3 full runs — the same policy the relational
-    queries use below, and the steady-state shape of the target workload
-    (a long-running cluster job runs this DAG thousands of times; the
-    first run's one-time costs — python worker spin-up, whole-stage
-    codegen compile of each distinct plan, JIT — are amortized to zero).
-    The first run IS a complete warmup: every measured plan, on the full
-    input, byte-for-byte.
+    Timing policy is best-of-N full runs — the steady-state shape of the
+    target workload (a long-running cluster job runs this DAG thousands
+    of times; the first run's one-time costs — python worker spin-up,
+    whole-stage codegen compile of each distinct plan, JIT — are
+    amortized to zero). The first run IS a complete warmup: every
+    measured plan, on the full input, byte-for-byte.
     """
     from ocr_spark.operators.aggregate import conv_text_salted, partition_metrics
     from ocr_spark.operators.extract import extract
@@ -160,11 +159,20 @@ def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
             f2.result()
         return time.perf_counter() - t0
 
-    # min-of-5: this sandbox's shared host has noise windows where ANY
-    # phase (extract, write, rollup) intermittently runs 3-10x slow for
-    # minutes at a time (verified against fixed code: the same probe
-    # alternates 2s and 15s extracts across windows). Five runs give
-    # ~2.5x better odds that at least one lands clean than three.
+    return one_run, snap
+
+
+def _extraction_job(spark, input_path: str, cpus: int) -> tuple[int, float]:
+    """Consecutive best-of-5 extraction measurement (scaling mode and
+    --extract-only; run_bench uses the time-spread variant below).
+
+    min-of-5: this sandbox's shared host has noise windows where ANY
+    phase (extract, write, rollup) intermittently runs 3-10x slow for
+    minutes at a time (verified against fixed code: the same probe
+    alternates 2s and 15s extracts across windows). Five runs give
+    ~2.5x better odds that at least one lands clean than three.
+    """
+    one_run, snap = _extraction_runner(spark, input_path, cpus)
     secs = min(one_run() for _ in range(5))
     turns = spark.read.parquet(snap).count()
     shutil.rmtree(snap, ignore_errors=True)
@@ -183,21 +191,39 @@ def run_bench() -> dict:
 
     n_convs = max(40, int(sf * 40000))
     input_path = _ensure_input(spark, n_convs)
-    turns, secs = _extraction_job(spark, input_path, cpus)
+
+    # Noise windows on this shared host last MINUTES, so consecutive
+    # best-of-N can land entirely inside one slow window and report a
+    # 3-10x pessimistic number for fixed code (observed: the identical
+    # extract job measuring 3.4 s in one bench invocation and 17 s
+    # min-of-5 in another). Spread the attempts ACROSS the whole bench —
+    # extract runs bracket the two relational sweeps — so the set of
+    # attempts spans several minutes and the min has a fair shot at a
+    # clean window for every entry.
+    one_run, snap = _extraction_runner(spark, input_path, cpus)
+    extract_times = [one_run(), one_run()]
+
+    def sweep(reps: int) -> None:
+        for name in RELATIONAL_QUERIES:
+            fn = getattr(Q, f"q_{name}")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+
+    sweep(2)
+    extract_times.append(one_run())
+    sweep(1)
+    extract_times += [one_run(), one_run()]
+
+    secs = min(extract_times)
+    turns = spark.read.parquet(snap).count()
+    shutil.rmtree(snap, ignore_errors=True)
+    timings.update({k: round(v, 3) for k, v in timings.items()})
     timings["extract_pipeline"] = round(secs, 3)
     turns_per_sec = turns / secs if secs > 0 else 0.0
-
-    # min-of-3 per query: the sandbox shares a host, and a single load
-    # spike from another tenant would otherwise swing a query 2-3x
-    for name in RELATIONAL_QUERIES:
-        fn = getattr(Q, f"q_{name}")
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {

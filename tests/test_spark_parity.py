@@ -173,3 +173,33 @@ def test_chat_template_spans_slice_rendering(spark):
         assert r["trainable"] == (role == "assistant")
         n_train += r["trainable"]
     assert 0 < n_train < len(spans)  # mask is non-trivial both ways
+
+
+def test_conv_truncate_tail_budget_and_maximality(spark):
+    """The kept suffix fits the 512-token budget AND is maximal: for any
+    conversation where some turn was dropped, extending the kept window
+    by the next-earlier qualifying turn would bust the budget."""
+    import ocr_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    toks = {
+        # mirror F.size(F.split(F.trim(x), r"\s+")): a blank string still
+        # splits to one (empty) token on the Spark side
+        (r["conv_id"], r["turn_idx"]): len(r["text"].strip().split()) or 1
+        for r in Q.doc_transcripts(spark, sf).collect()
+    }
+    out = {r["conv_id"]: r for r in Q.q_conv_truncate_tail(spark, sf).collect()}
+    assert out
+    for cid, r in out.items():
+        conv = sorted(ti for (c, ti) in toks if c == cid)
+        # suffix-sum per turn, newest first, mirroring the operator
+        rsum, kept, first_kept = 0, 0, -1
+        for ti in reversed(conv):
+            rsum += toks[(cid, ti)]
+            if rsum <= Q._TRUNC_TOKEN_BUDGET:
+                kept += 1
+                first_kept = ti
+        assert r["n_turns"] == len(conv)
+        assert r["kept_turns"] == kept, cid
+        assert r["first_kept_turn"] == first_kept, cid
+        assert r["kept_tokens"] <= Q._TRUNC_TOKEN_BUDGET

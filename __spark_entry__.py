@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup_exact": Q.q_conv_dedup_exact,
         "reward_pairs": Q.q_reward_pairs,
         "kmeans_train": Q.q_kmeans_train,
+        "ccnet_lm_buckets": Q.q_ccnet_lm_buckets,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2025,3 +2025,26 @@ FROM a3
 GROUP BY c
 """
 )
+
+
+ORACLES["ccnet_lm_buckets"] = f"""
+WITH scores AS ({ORACLES["bigram_lm_score"]}),
+sl AS (
+  SELECT d.lang, s.doc_id, s.avg_logprob AS s
+  FROM scores s JOIN documents d USING (doc_id)
+), cuts AS (
+  SELECT lang,
+         quantile_cont(s, {1 / 3!r}) AS q33,
+         quantile_cont(s, {2 / 3!r}) AS q66
+  FROM sl GROUP BY lang
+)
+SELECT sl.lang,
+       CASE WHEN sl.s > c.q66 THEN 'head'
+            WHEN sl.s > c.q33 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(sl.s), 6) AS avg_score,
+       CAST(min(sl.doc_id) AS BIGINT) AS min_doc_id
+FROM sl JOIN cuts c USING (lang)
+GROUP BY 1, 2
+"""

@@ -3560,3 +3560,41 @@ def q_kmeans_train(spark, sf_dir):
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
         F.round(F.sum("dist"), 4).alias("inertia"),
     )
+
+
+def q_ccnet_lm_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split documents into head/middle/tail terciles of the
+    corpus-trained bigram-LM score — the partition CCNet uses to select
+    head (most fluent) data for training mixtures.
+
+    Distributed shape: the scale-correct CUTOFF-BROADCAST formulation,
+    not a per-lang ntile (a global sort per language funnels whole
+    languages through single tasks at 100 TB): per-lang tercile cutoffs
+    come from ONE partial-aggregated groupBy(lang) (exact interpolated
+    percentile here; swap percentile_approx's mergeable t-digest at
+    100 TB — plan shape unchanged), the |langs|-row cutoff table
+    broadcasts back onto the score stream, and bucket assignment is
+    narrow per-row arithmetic. Boundary rule: score > q66 ⇒ head,
+    > q33 ⇒ middle, else tail, on the ROUNDED (4-decimal) score both
+    engines share, so assignment never hinges on sub-round float
+    drift. Docs with <2 tokens have no bigram score and are out of
+    scope, as in bigram_lm_score."""
+    scored = q_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sl = scored.join(lang, "doc_id")
+    cuts = sl.groupBy("lang").agg(
+        F.expr(f"percentile(avg_logprob, {1 / 3!r}D)").alias("q33"),
+        F.expr(f"percentile(avg_logprob, {2 / 3!r}D)").alias("q66"),
+    )
+    bucketed = sl.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("avg_logprob") > F.col("q66"), F.lit("head"))
+        .when(F.col("avg_logprob") > F.col("q33"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 6).alias("avg_score"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reward_pairs": Q.q_reward_pairs,
         "kmeans_train": Q.q_kmeans_train,
         "ccnet_lm_buckets": Q.q_ccnet_lm_buckets,
+        "bm25_topk": Q.q_bm25_topk,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2048,3 +2048,36 @@ SELECT sl.lang,
 FROM sl JOIN cuts c USING (lang)
 GROUP BY 1, 2
 """
+
+
+ORACLES["bm25_topk"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+  FROM t
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               unnest(toks) AS term FROM t)
+  WHERE term IN ('spark', 'table', 'hash', 'merge', 'window')
+  GROUP BY doc_id, dl, term
+), idf AS (
+  SELECT term,
+         ln((s.n_docs - CAST(count(*) AS DOUBLE) + 0.5)
+            / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+  FROM tf, stats s
+  GROUP BY term, s.n_docs
+)
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       round(sum(i.idf * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))),
+             6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN idf i USING (term), stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""

@@ -3598,3 +3598,79 @@ def q_ccnet_lm_buckets(spark, sf_dir):
         F.round(F.avg("avg_logprob"), 6).alias("avg_score"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+_BM25_TERMS = ("spark", "table", "hash", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 sparse retrieval (Robertson/Sparck-Jones, the Lucene
+    scoring function): rank documents against a fixed query
+    (``_BM25_TERMS``) with Lucene's idf = ln((N - df + 0.5)/(df + 0.5)
+    + 1) and the k1/b saturation/length normalization — the retrieval
+    half of retrieval-augmented training-data pipelines.
+
+    Distributed shape: the posting-list formulation. The query-term
+    filter lands directly on the exploded token stream (narrow, before
+    any shuffle), so only tokens matching the |query|-sized term set
+    survive to the (doc, term) tf aggregation — corpus tokens that
+    miss the query never shuffle. Corpus stats (N, avgdl) are a 1-row
+    aggregate cross-joined back (broadcast by size), per-term idf is a
+    |query|-row broadcast, and the head is TakeOrderedAndProject, not
+    a global sort. At 100 TB with a real query workload the same plan
+    runs per query-batch with the term set as a broadcast table."""
+    from ocr_spark.functions import tokens
+
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", tokens("text").alias("toks"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + F.lit(1.0)))
+            / (
+                F.col("tf")
+                + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "bm25", "n_terms_hit"
+    )

@@ -2081,3 +2081,49 @@ GROUP BY tf.doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 20
 """
+
+
+def _logreg_round(i: int) -> str:
+    """One unrolled batch-GD round: score every row with w{i-1}'s
+    weight list (deterministic left-to-right fold, like kmeans), then
+    w{i} = round(w{i-1} - lr * avg(err * x), 6) per dimension — the
+    identical update+snap the Spark aggregate applies."""
+    return f"""s{i} AS (
+  SELECT e.vec_id, e.y,
+         1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 66),
+             k -> e.xb[k] * w.wl[k])))) AS p
+  FROM e, wl{i - 1} w
+), w{i} AS (
+  SELECT ex.pos, round(w.w - 10.0 * avg((s.p - s.y) * ex.x), 6) AS w
+  FROM (SELECT vec_id, generate_subscripts(xb, 1) AS pos,
+               unnest(xb) AS x FROM e) ex
+  JOIN s{i} s USING (vec_id)
+  JOIN w{i - 1} w USING (pos)
+  GROUP BY ex.pos, w.w
+), wl{i} AS (SELECT list(w ORDER BY pos) AS wl FROM w{i})"""
+
+
+ORACLES["logreg_train"] = (
+    """WITH e AS (
+  SELECT vec_id, list_concat(embedding::DOUBLE[], [1.0]) AS xb,
+         CAST(label % 2 AS DOUBLE) AS y
+  FROM embeddings
+), w0 AS (
+  SELECT CAST(r AS INT) AS pos, 0.0 AS w FROM range(1, 66) t(r)
+), wl0 AS (SELECT list(w ORDER BY pos) AS wl FROM w0), """
+    + ", ".join(_logreg_round(i) for i in (1, 2, 3))
+    + """, sf AS (
+  SELECT e.vec_id, e.y,
+         1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 66),
+             k -> e.xb[k] * w.wl[k])))) AS p
+  FROM e, wl3 w
+)
+SELECT CAST(y AS INT) AS y_true,
+       p >= 0.5 AS pred,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(p), 6) AS avg_p,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM sf
+GROUP BY 1, 2
+"""
+)

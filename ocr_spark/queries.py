@@ -3674,3 +3674,81 @@ def q_bm25_topk(spark, sf_dir):
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "bm25", "n_terms_hit"
     )
+
+
+_LOGREG_LR = 10.0
+_LOGREG_ROUNDS = 3
+_LOGREG_DIMS = 65  # 64 embedding dims + bias-as-feature
+
+
+def q_logreg_train(spark, sf_dir):
+    """Full iterative logistic-regression TRAINING (batch gradient
+    descent) of a binary quality classifier over the embedding table
+    (target: label parity) — the supervised twin of kmeans_train, i.e.
+    the loop that produces hashed_ngram_classifier-style scorer weights
+    instead of assuming them. Reports the trained model's confusion
+    matrix over the training set.
+
+    Distributed shape (the MLlib LogisticRegression shape): each GD
+    round is ONE partial-aggregated groupBy(dim) over the posexploded
+    feature stream — d+1 rows out, map-side combined — after a narrow
+    per-row sigmoid whose weight vector enters the plan as a
+    driver-collected LITERAL (65 doubles), so the vector table itself
+    never shuffles at any corpus size. Bias is folded in as a constant
+    1.0 feature so one aggregation serves the whole gradient. The
+    per-round collect is iteration control, same as kmeans_train.
+    Weight updates are computed AND snapped (round 6) inside the Spark
+    aggregate — never in Python — so both engines apply the identical
+    HALF_UP rounding and cross-engine float-summation drift (~1e-15)
+    dies at the snap instead of compounding across rounds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"), F.array(F.lit(1.0))
+        ).alias("xb"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+    w = [0.0] * _LOGREG_DIMS
+    p_expr = None
+    for _ in range(_LOGREG_ROUNDS):
+        w_lit = "array({})".format(", ".join(f"{v!r}d" for v in w))
+        z = (
+            f"aggregate(zip_with(xb, {w_lit}, (x, wv) -> x * wv),"
+            " cast(0.0 as double), (a, v) -> a + v)"
+        )
+        p_expr = f"(1.0d / (1.0d + exp(-({z}))))"
+        new_w = (
+            base.select(
+                F.expr(p_expr).alias("p"),
+                "y",
+                F.posexplode("xb").alias("pos", "x"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.element_at(F.expr(w_lit), F.col("pos") + F.lit(1))
+                    - F.lit(_LOGREG_LR)
+                    * F.avg((F.col("p") - F.col("y")) * F.col("x")),
+                    6,
+                ).alias("w")
+            )
+            .collect()
+        )
+        w = [r["w"] for r in sorted(new_w, key=lambda r: r["pos"])]
+    w_lit = "array({})".format(", ".join(f"{v!r}d" for v in w))
+    z = (
+        f"aggregate(zip_with(xb, {w_lit}, (x, wv) -> x * wv),"
+        " cast(0.0 as double), (a, v) -> a + v)"
+    )
+    p_expr = f"(1.0d / (1.0d + exp(-({z}))))"
+    scored = base.select(
+        "vec_id", F.col("y").cast("int").alias("y_true"), F.expr(p_expr).alias("p")
+    )
+    return scored.withColumn("pred", F.col("p") >= F.lit(0.5)).groupBy(
+        "y_true", "pred"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p"), 6).alias("avg_p"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )

@@ -500,3 +500,26 @@ def test_kmeans_assignment_never_shuffles_vectors(spark):
     assert n_ops(p, "Exchange") == 1, p
     assert n_ops(p, "Window") == 0, p
     assert n_ops(p, "Scan parquet") == 1, p
+
+
+def test_bm25_filters_before_shuffle_and_takes_ordered(spark):
+    # posting-list shape: the query-term isin filter must be a plain
+    # Filter on the exploded token stream (pre-Exchange, narrow), corpus
+    # stats and idf must broadcast, and the head must be TakeOrdered,
+    # never a global Sort+Limit
+    p = plan(Q.q_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert n_ops(p, "BroadcastExchange") >= 2, p
+    assert "term#" in p, p  # the isin filter survives into the plan
+    # no cartesian/nested-loop join of the corpus against itself
+    assert "CartesianProduct" not in p, p
+
+
+def test_logreg_gradient_single_aggregate_no_vector_shuffle(spark):
+    # final model plan (kmeans twin): scan -> narrow literal-weight
+    # sigmoid -> ONE tiny confusion-matrix aggregate exchange; the
+    # feature vectors never shuffle and no window appears
+    p = plan(Q.q_logreg_train(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1, p
+    assert n_ops(p, "Window") == 0, p
+    assert n_ops(p, "Scan parquet") == 1, p

@@ -221,6 +221,37 @@ def main() -> None:
             plan(Q.q_kmeans_train(spark, SF_DIR), mode="simple"),
         ),
         (
+            "CCNet LM buckets: broadcast per-lang cutoffs, no per-lang sort",
+            "Per-language head/middle/tail tercile cutoffs come from ONE "
+            "partial-aggregated groupBy(lang); the |langs|-row cutoff "
+            "table broadcasts back onto the score stream so bucket "
+            "assignment is narrow per-row arithmetic — never the per-lang "
+            "global sort an ntile formulation would force through single "
+            "tasks at 100 TB.",
+            plan(Q.q_ccnet_lm_buckets(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "BM25 retrieval: posting-list plan, pre-shuffle term filter",
+            "The query-term isin filter lands on the exploded token "
+            "stream BEFORE any exchange, so corpus tokens that miss the "
+            "query never shuffle; corpus stats (1 row) and per-term idf "
+            "(|query| rows) broadcast; the head is TakeOrderedAndProject, "
+            "never a global sort.",
+            plan(Q.q_bm25_topk(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Logistic-regression training: literal-weight sigmoid, "
+            "vectors never shuffle",
+            "Each batch-GD round scores rows with a narrow sigmoid whose "
+            "65-double weight vector is a driver-collected literal, then "
+            "aggregates the gradient in ONE partial-aggregated "
+            "groupBy(dim) (d+1 rows out, bias folded in as a constant "
+            "feature); the final model plan holds one tiny "
+            "confusion-matrix Exchange and the feature vectors never "
+            "shuffle at any corpus size.",
+            plan(Q.q_logreg_train(spark, SF_DIR), mode="simple"),
+        ),
+        (
             "Reward pairs: struct-extreme aggregation, no window",
             "Per-source chosen/rejected extremes come from lexicographic "
             "struct min/max inside one partial-aggregated groupBy "

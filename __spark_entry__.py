@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_lm_buckets": Q.q_ccnet_lm_buckets,
         "bm25_topk": Q.q_bm25_topk,
         "logreg_train": Q.q_logreg_train,
+        "tool_call_stats": Q.q_tool_call_stats,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

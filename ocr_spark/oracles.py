@@ -2127,3 +2127,37 @@ FROM sf
 GROUP BY 1, 2
 """
 )
+
+
+ORACLES["tool_call_stats"] = r"""
+WITH t AS (
+  SELECT source AS conv_id, text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), calls AS (
+  SELECT conv_id, text,
+         '{"name":"tool_' || CAST(('0x' || substr(md5(text), 9, 4))::BIGINT % 5 AS VARCHAR)
+         || '","ok":'
+         || CASE WHEN ('0x' || substr(md5(text), 13, 2))::BIGINT % 4 = 0
+                 THEN 'false' ELSE 'true' END
+         || ',"n_args":'
+         || CAST(('0x' || substr(md5(text), 15, 2))::BIGINT % 4 + 1 AS VARCHAR)
+         || '}' AS payload
+  FROM t WHERE role = 'tool'
+), parsed AS (
+  SELECT conv_id,
+         json_extract_string(payload, '$.name') AS tool_name,
+         CAST(json_extract(payload, '$.ok') AS BOOLEAN) AS ok,
+         CAST(json_extract(payload, '$.n_args') AS INTEGER) AS n_args,
+         length(text) AS result_chars
+  FROM calls
+)
+SELECT tool_name,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(avg(CAST(ok AS DOUBLE)), 6) AS success_rate,
+       round(avg(n_args), 6) AS avg_args,
+       round(avg(result_chars), 6) AS avg_result_chars
+FROM parsed
+GROUP BY tool_name
+"""

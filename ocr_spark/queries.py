@@ -3752,3 +3752,51 @@ def q_logreg_train(spark, sf_dir):
         F.round(F.avg("p"), 6).alias("avg_p"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+def q_tool_call_stats(spark, sf_dir):
+    """Agent-trace tool-call telemetry: parse the JSON tool payload of
+    every tool turn and aggregate per tool name — call volume,
+    conversation reach, success rate, arg-count and result-size means.
+    This is the observability rollup an agent-transcript pipeline runs
+    before deciding which tool traces to keep for training.
+
+    The payload here is synthesized deterministically from the turn
+    content (content-keyed md5 fields, same convention as _ROLE_EXPR)
+    because the sandbox adapter's ``tool`` column is blank; on a real
+    transcripts table the stored payload replaces the synthesis and the
+    plan from the parse down is IDENTICAL. Distributed shape: the
+    role filter and get_json_object parse are narrow row-local
+    expressions (JVM-side, inside codegen — no UDF), so the only
+    Exchange is the final per-tool-name aggregate, partial-aggregated
+    to |tools| rows."""
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
+    calls = t.filter(F.col("role") == "tool").withColumn(
+        "payload",
+        F.concat(
+            F.lit('{"name":"tool_'),
+            (F.expr(h.format(9, 4)) % 5).cast("string"),
+            F.lit('","ok":'),
+            F.when(F.expr(h.format(13, 2)) % 4 == 0, F.lit("false")).otherwise(
+                F.lit("true")
+            ),
+            F.lit(',"n_args":'),
+            (F.expr(h.format(15, 2)) % 4 + 1).cast("string"),
+            F.lit("}"),
+        ),
+    )
+    parsed = calls.select(
+        "conv_id",
+        F.get_json_object("payload", "$.name").alias("tool_name"),
+        F.get_json_object("payload", "$.ok").cast("boolean").alias("ok"),
+        F.get_json_object("payload", "$.n_args").cast("int").alias("n_args"),
+        F.length("text").alias("result_chars"),
+    )
+    return parsed.groupBy("tool_name").agg(
+        F.count("*").cast("bigint").alias("n_calls"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.round(F.avg(F.col("ok").cast("double")), 6).alias("success_rate"),
+        F.round(F.avg("n_args"), 6).alias("avg_args"),
+        F.round(F.avg("result_chars"), 6).alias("avg_result_chars"),
+    )

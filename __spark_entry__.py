@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": Q.q_bm25_topk,
         "logreg_train": Q.q_logreg_train,
         "tool_call_stats": Q.q_tool_call_stats,
+        "conv_sessionize": Q.q_conv_sessionize,
+        "sft_pairs": Q.q_sft_pairs,
+        "context_assembly": Q.q_context_assembly,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2161,3 +2161,70 @@ SELECT tool_name,
 FROM parsed
 GROUP BY tool_name
 """
+
+
+ORACLES["conv_sessionize"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         ('0x' || substr(md5(text), 17, 2))::BIGINT % 45 + 1 AS gap
+  FROM documents
+), b AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx = 0 THEN 0 WHEN gap > 30 THEN 1 ELSE 0 END AS is_break
+  FROM t
+), s AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(is_break) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_idx
+  FROM b
+)
+SELECT conv_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(turn_idx) AS INTEGER) AS first_turn_idx,
+       CAST(max(turn_idx) AS INTEGER) AS last_turn_idx
+FROM s
+GROUP BY conv_id, session_idx
+"""
+
+ORACLES["sft_pairs"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), p AS (
+  SELECT conv_id, turn_idx, text, role,
+         last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt_text
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       prompt_text IS NOT NULL AS has_prompt,
+       CAST(coalesce(length(prompt_text), 0) AS BIGINT) AS prompt_chars,
+       CAST(length(text) AS BIGINT) AS response_chars,
+       md5(coalesce(prompt_text, '') || chr(30) || text) AS pair_fp
+FROM p
+WHERE role = 'assistant'
+"""
+
+ORACLES["context_assembly"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), c AS (
+  SELECT conv_id, turn_idx,
+         coalesce(list(text) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS ctx
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(len(ctx) AS INTEGER) AS n_context,
+       CAST(coalesce(list_sum(list_transform(ctx, x -> length(x))), 0) AS BIGINT) AS context_chars,
+       md5(coalesce(array_to_string(ctx, chr(10) || chr(10)), '')) AS context_fp
+FROM c
+"""

@@ -3800,3 +3800,114 @@ def q_tool_call_stats(spark, sf_dir):
         F.round(F.avg("n_args"), 6).alias("avg_args"),
         F.round(F.avg("result_chars"), 6).alias("avg_result_chars"),
     )
+
+
+def q_conv_sessionize(spark, sf_dir):
+    """Session segmentation of agent conversations: split each
+    conversation into sessions wherever the inter-turn idle gap exceeds
+    30 minutes (the agent-trace analog of web sessionization), emitting
+    one row per (conversation, session) with its turn range. Long
+    multi-day agent traces must be split this way before context
+    assembly or they blow the training context window.
+
+    The per-turn gap is synthesized content-keyed (1 + md5 % 45
+    minutes) because the sandbox adapter's ts is constant; on a real
+    transcripts table ``ts - lag(ts)`` replaces the synthesis verbatim.
+    Distributed shape: gap -> break flag -> running session index ->
+    per-session rollup is ONE conv-keyed window partition chain plus
+    the final (conv, session) aggregate — per-conversation state only,
+    no global sort, and every window reuses the adapter's
+    hashpartitioning(conv_id) Exchange."""
+    t = doc_transcripts(spark, sf_dir)
+    gap = (
+        F.expr("cast(conv(substr(md5(text), 17, 2), 16, 10) as bigint)") % 45
+        + 1
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = t.select(
+        "conv_id",
+        "turn_idx",
+        # first turn of a conversation never opens a new session
+        F.when(F.col("turn_idx") == 0, F.lit(0))
+        .when(gap > 30, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_break"),
+    )
+    sess = turns.withColumn(
+        "session_idx",
+        F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("first_turn_idx"),
+        F.max("turn_idx").cast("int").alias("last_turn_idx"),
+    )
+
+
+def q_sft_pairs(spark, sf_dir):
+    """SFT (prompt, response) pair extraction: every assistant turn
+    paired with the NEAREST PRECEDING user turn in its conversation —
+    not simply the previous row, because agent traces interleave tool
+    turns between the user's ask and the assistant's answer. This is
+    the pair-mining pass that turns raw transcripts into supervised
+    fine-tuning examples.
+
+    Distributed shape: one conditional last_value(ignore nulls) window
+    over the conv-keyed partitioning (reusing the adapter's Exchange),
+    then a narrow filter to assistant turns — no join, no global sort;
+    pair identity ships as an md5 fingerprint so downstream pair-level
+    dedup never shuttles full texts."""
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prompt = F.last(
+        F.when(F.col("role") == "user", F.col("text")), ignorenulls=True
+    ).over(w)
+    paired = t.withColumn("prompt_text", prompt).filter(
+        F.col("role") == "assistant"
+    )
+    return paired.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("prompt_text").isNotNull().alias("has_prompt"),
+        F.coalesce(F.length("prompt_text"), F.lit(0))
+        .cast("bigint")
+        .alias("prompt_chars"),
+        F.length("text").cast("bigint").alias("response_chars"),
+        F.md5(
+            F.concat(F.coalesce(F.col("prompt_text"), F.lit("")), F.lit("\x1e"), F.col("text"))
+        ).alias("pair_fp"),
+    )
+
+
+def q_context_assembly(spark, sf_dir):
+    """Bounded-context assembly: for every turn, gather the previous
+    up-to-3 turns as its replay context (the eval-harness / RL-replay
+    view of a transcript) and emit the context's size plus an md5
+    fingerprint of the '\\n\\n'-joined window so the assembled string is
+    value-checked without shipping it.
+
+    Distributed shape: ONE bounded-frame window (ROWS BETWEEN 3
+    PRECEDING AND 1 PRECEDING) over the conv-keyed partitioning — state
+    per conversation is 3 turns regardless of conversation length, so
+    the operator survives million-turn agent traces where an unbounded
+    collect would not."""
+    t = doc_transcripts(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-3, -1)
+    )
+    ctx = F.collect_list("text").over(w)
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.size(ctx).cast("int").alias("n_context"),
+        F.aggregate(
+            ctx, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        ).alias("context_chars"),
+        F.md5(F.array_join(ctx, "\n\n")).alias("context_fp"),
+    )

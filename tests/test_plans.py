@@ -523,3 +523,28 @@ def test_logreg_gradient_single_aggregate_no_vector_shuffle(spark):
     assert n_ops(p, "Exchange") == 1, p
     assert n_ops(p, "Window") == 0, p
     assert n_ops(p, "Scan parquet") == 1, p
+
+
+def test_sessionize_single_conv_exchange(spark):
+    # gap -> break -> running session index all ride ONE conv-keyed
+    # window partitioning; only the final (conv, session) rollup may
+    # add an Exchange on top of the adapter's
+    p = plan(Q.q_conv_sessionize(spark, SF_DIR))
+    assert n_ops(p, "Exchange") <= 2, p
+    assert n_ops(p, "Scan parquet") == 1, p
+
+
+def test_sft_pairs_no_join_single_window(spark):
+    # nearest-preceding-user pairing is a conditional last_value window,
+    # never a self-join of the transcript table
+    p = plan(Q.q_sft_pairs(spark, SF_DIR))
+    assert n_ops(p, "SortMergeJoin") == 0 and n_ops(p, "BroadcastHashJoin") == 0, p
+    assert n_ops(p, "Exchange") == 1, p
+
+
+def test_context_assembly_bounded_frame(spark):
+    # the replay context must be a bounded ROWS frame (constant state
+    # per conversation), reusing the adapter's conv partitioning
+    p = plan(Q.q_context_assembly(spark, SF_DIR))
+    assert "specifiedwindowframe(RowFrame, -3, -1)" in p, p
+    assert n_ops(p, "Exchange") == 1, p

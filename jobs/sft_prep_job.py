@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""spark-submit entry point for SFT training-pair preparation.
+
+    spark-submit --master <cluster> --py-files ocr_spark.zip \
+        jobs/sft_prep_job.py --input /path/transcripts_parquet \
+        --output /path/sft_pairs [--max-gap-s 1800] [--context-k 3]
+
+Runs the transcript training-prep chain over a BASELINE-shaped
+transcripts table ``(conv_id, turn_idx, role, text, tool, ts)``:
+idle-gap sessionization -> bounded context assembly -> (prompt,
+response) pair mining -> exact pair dedup keyed on the 32-byte pair
+fingerprint (keep the first occurrence by (conv_id, turn_idx), so full
+texts never re-shuffle for dedup). Writes the deduped pairs parquet and
+prints one JSON metrics line (turns in, sessions, pairs mined, pairs
+kept). Every window in the chain shares one hashpartitioning(conv_id)
+Exchange; the dedup adds the only other key shuffle, on fingerprints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--output", required=True, help="output dir for pairs")
+    ap.add_argument("--max-gap-s", type=int, default=1800)
+    ap.add_argument("--context-k", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName("ocr_spark_sft_prep")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ocr_spark.transcript_prep import (
+        assemble_context,
+        sessionize,
+        sft_pairs,
+    )
+
+    t0 = time.time()
+    transcripts = spark.read.parquet(args.input)
+    sessioned = sessionize(transcripts, max_gap_s=args.max_gap_s)
+    with_ctx = assemble_context(sessioned, k=args.context_k)
+    pairs = sft_pairs(with_ctx, keep=("session_idx", "context_fp"))
+    # exact pair dedup on the fingerprint; deterministic keep-first
+    deduped = (
+        pairs.groupBy("pair_fp")
+        .agg(
+            F.min(
+                F.struct(
+                    "conv_id",
+                    "turn_idx",
+                    "session_idx",
+                    "context_fp",
+                    "prompt_text",
+                    "response_text",
+                )
+            ).alias("keep"),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+        .select("keep.*", "pair_fp", "n_dups")
+    )
+    deduped.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    stats = {
+        "turns_in": transcripts.count(),
+        "sessions": sessioned.select("conv_id", "session_idx")
+        .distinct()
+        .count(),
+        "pairs_mined": pairs.count(),
+        "pairs_kept": out.count(),
+        "wall_s": round(time.time() - t0, 1),
+        "output": args.output,
+    }
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3769,11 +3769,15 @@ def q_tool_call_stats(spark, sf_dir):
     role filter and get_json_object parse are narrow row-local
     expressions (JVM-side, inside codegen — no UDF), so the only
     Exchange is the final per-tool-name aggregate, partial-aggregated
-    to |tools| rows."""
+    to |tools| rows. The parse+rollup is transcript_prep.tool_call_stats
+    — the production function a real transcripts table calls on its
+    stored tool column."""
+    from ocr_spark import transcript_prep
+
     t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
     h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
     calls = t.filter(F.col("role") == "tool").withColumn(
-        "payload",
+        "tool",
         F.concat(
             F.lit('{"name":"tool_'),
             (F.expr(h.format(9, 4)) % 5).cast("string"),
@@ -3786,20 +3790,7 @@ def q_tool_call_stats(spark, sf_dir):
             F.lit("}"),
         ),
     )
-    parsed = calls.select(
-        "conv_id",
-        F.get_json_object("payload", "$.name").alias("tool_name"),
-        F.get_json_object("payload", "$.ok").cast("boolean").alias("ok"),
-        F.get_json_object("payload", "$.n_args").cast("int").alias("n_args"),
-        F.length("text").alias("result_chars"),
-    )
-    return parsed.groupBy("tool_name").agg(
-        F.count("*").cast("bigint").alias("n_calls"),
-        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
-        F.round(F.avg(F.col("ok").cast("double")), 6).alias("success_rate"),
-        F.round(F.avg("n_args"), 6).alias("avg_args"),
-        F.round(F.avg("result_chars"), 6).alias("avg_result_chars"),
-    )
+    return transcript_prep.tool_call_stats(calls)
 
 
 def q_conv_sessionize(spark, sf_dir):
@@ -3810,38 +3801,30 @@ def q_conv_sessionize(spark, sf_dir):
     multi-day agent traces must be split this way before context
     assembly or they blow the training context window.
 
-    The per-turn gap is synthesized content-keyed (1 + md5 % 45
-    minutes) because the sandbox adapter's ts is constant; on a real
-    transcripts table ``ts - lag(ts)`` replaces the synthesis verbatim.
-    Distributed shape: gap -> break flag -> running session index ->
-    per-session rollup is ONE conv-keyed window partition chain plus
-    the final (conv, session) aggregate — per-conversation state only,
-    no global sort, and every window reuses the adapter's
-    hashpartitioning(conv_id) Exchange."""
+    The turn timestamps are synthesized content-keyed (running sum of
+    1 + md5 % 45 minute gaps) because the sandbox adapter's ts is
+    constant; session logic proper is transcript_prep.sessionize /
+    session_stats — the production functions a real transcripts table
+    calls on its stored ts. Distributed shape: ts -> gap -> break flag
+    -> running session index -> per-session rollup is ONE conv-keyed
+    window partition chain plus the final (conv, session) aggregate —
+    per-conversation state only, no global sort, every window reusing
+    the adapter's hashpartitioning(conv_id) Exchange."""
+    from ocr_spark import transcript_prep
+
     t = doc_transcripts(spark, sf_dir)
-    gap = (
+    gap_s = (
         F.expr("cast(conv(substr(md5(text), 17, 2), 16, 10) as bigint)") % 45
         + 1
-    )
+    ) * 60
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    turns = t.select(
-        "conv_id",
-        "turn_idx",
-        # first turn of a conversation never opens a new session
-        F.when(F.col("turn_idx") == 0, F.lit(0))
-        .when(gap > 30, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_break"),
+    with_ts = t.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.sum(gap_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ),
     )
-    sess = turns.withColumn(
-        "session_idx",
-        F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
-    )
-    return sess.groupBy("conv_id", "session_idx").agg(
-        F.count("*").cast("bigint").alias("n_turns"),
-        F.min("turn_idx").cast("int").alias("first_turn_idx"),
-        F.max("turn_idx").cast("int").alias("last_turn_idx"),
-    )
+    return transcript_prep.session_stats(with_ts, max_gap_s=1800)
 
 
 def q_sft_pairs(spark, sf_dir):
@@ -3856,30 +3839,22 @@ def q_sft_pairs(spark, sf_dir):
     over the conv-keyed partitioning (reusing the adapter's Exchange),
     then a narrow filter to assistant turns — no join, no global sort;
     pair identity ships as an md5 fingerprint so downstream pair-level
-    dedup never shuttles full texts."""
+    dedup never shuttles full texts. Pair mining proper is
+    transcript_prep.sft_pairs — the production function a real
+    transcripts table calls on its stored role column."""
+    from ocr_spark import transcript_prep
+
     t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prompt = F.last(
-        F.when(F.col("role") == "user", F.col("text")), ignorenulls=True
-    ).over(w)
-    paired = t.withColumn("prompt_text", prompt).filter(
-        F.col("role") == "assistant"
-    )
-    return paired.select(
+    pairs = transcript_prep.sft_pairs(t)
+    return pairs.select(
         "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "turn_idx",
         F.col("prompt_text").isNotNull().alias("has_prompt"),
         F.coalesce(F.length("prompt_text"), F.lit(0))
         .cast("bigint")
         .alias("prompt_chars"),
-        F.length("text").cast("bigint").alias("response_chars"),
-        F.md5(
-            F.concat(F.coalesce(F.col("prompt_text"), F.lit("")), F.lit("\x1e"), F.col("text"))
-        ).alias("pair_fp"),
+        F.length("response_text").cast("bigint").alias("response_chars"),
+        "pair_fp",
     )
 
 
@@ -3894,20 +3869,18 @@ def q_context_assembly(spark, sf_dir):
     PRECEDING AND 1 PRECEDING) over the conv-keyed partitioning — state
     per conversation is 3 turns regardless of conversation length, so
     the operator survives million-turn agent traces where an unbounded
-    collect would not."""
+    collect would not. Assembly proper is
+    transcript_prep.assemble_context — the production function."""
+    from ocr_spark import transcript_prep
+
     t = doc_transcripts(spark, sf_dir)
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(-3, -1)
-    )
-    ctx = F.collect_list("text").over(w)
-    return t.select(
+    ctx = transcript_prep.assemble_context(t, k=3)
+    return ctx.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.size(ctx).cast("int").alias("n_context"),
+        F.size("context").cast("int").alias("n_context"),
         F.aggregate(
-            ctx, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+            "context", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
         ).alias("context_chars"),
-        F.md5(F.array_join(ctx, "\n\n")).alias("context_fp"),
+        "context_fp",
     )

@@ -1,0 +1,136 @@
+"""Transcript training-prep transforms over the BASELINE table shape
+``(conv_id, turn_idx, role, text, tool, ts)``.
+
+These are the production DataFrame -> DataFrame functions behind the
+registry's transcript queries (queries.py derives synthetic
+role/gap/payload columns from the sandbox documents table and then calls
+THESE, so the driver's DuckDB oracle checks the exact code a real
+transcripts table runs). Every transform keys its windows on
+``conv_id`` ordered by ``turn_idx`` — per-conversation state only, no
+global sort — so one hashpartitioning(conv_id) Exchange serves a whole
+chain of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _conv_window() -> Window:
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def sessionize(t: DataFrame, max_gap_s: int = 1800) -> DataFrame:
+    """Add a ``session_idx`` column: a new session starts wherever the
+    idle gap ``ts - lag(ts)`` exceeds ``max_gap_s`` seconds (web-style
+    sessionization applied to agent traces — long multi-day traces must
+    be split before context assembly or they blow the context window).
+
+    Shape: lag + running sum over ONE conv-keyed window partitioning;
+    first turn of a conversation (lag NULL) never opens a new session.
+    """
+    w = _conv_window()
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_break = F.when(gap > max_gap_s, F.lit(1)).otherwise(F.lit(0))
+    return t.withColumn(
+        "session_idx",
+        F.sum(is_break)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+
+
+def session_stats(t: DataFrame, max_gap_s: int = 1800) -> DataFrame:
+    """Per-(conversation, session) rollup of ``sessionize``: turn count
+    and turn-index range — the partition-of-record for session-scoped
+    downstream passes."""
+    return (
+        sessionize(t, max_gap_s=max_gap_s)
+        .groupBy("conv_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.min("turn_idx").cast("int").alias("first_turn_idx"),
+            F.max("turn_idx").cast("int").alias("last_turn_idx"),
+        )
+    )
+
+
+def sft_pairs(t: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Mine (prompt, response) SFT pairs: every assistant turn paired
+    with the NEAREST PRECEDING user turn in its conversation — not the
+    previous row, because agent traces interleave tool turns between the
+    user's ask and the assistant's answer.
+
+    Shape: one conditional last_value(ignore nulls) window on the
+    conv-keyed partitioning, then a narrow assistant filter — no join.
+    ``pair_fp`` (md5 over prompt + 0x1e + response) is the pair identity
+    downstream dedup keys on, so full texts never re-shuffle. ``keep``
+    names extra columns of ``t`` (e.g. session_idx, context_fp) to carry
+    through onto each pair row."""
+    w = _conv_window().rowsBetween(Window.unboundedPreceding, -1)
+    prompt = F.last(
+        F.when(F.col("role") == "user", F.col("text")), ignorenulls=True
+    ).over(w)
+    return (
+        t.withColumn("prompt_text", prompt)
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            "prompt_text",
+            F.col("text").alias("response_text"),
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col("prompt_text"), F.lit("")),
+                    F.lit("\x1e"),
+                    F.col("text"),
+                )
+            ).alias("pair_fp"),
+            *keep,
+        )
+    )
+
+
+def assemble_context(t: DataFrame, k: int = 3) -> DataFrame:
+    """Attach each turn's replay context: the previous up-to-``k`` turns
+    as an array column plus an md5 fingerprint of the '\\n\\n'-joined
+    window (the eval-harness / RL-replay view of a transcript).
+
+    Shape: ONE bounded ROWS frame (``k PRECEDING AND 1 PRECEDING``) on
+    the conv-keyed partitioning — per-conversation state is k turns
+    regardless of trace length, so this survives million-turn traces
+    where an unbounded collect would not."""
+    w = _conv_window().rowsBetween(-k, -1)
+    ctx = F.collect_list("text").over(w)
+    return t.withColumn("context", ctx).withColumn(
+        "context_fp", F.md5(F.array_join("context", "\n\n"))
+    )
+
+
+def tool_call_stats(t: DataFrame, payload: Column | str = "tool") -> DataFrame:
+    """Per-tool telemetry over JSON tool payloads of the form
+    ``{"name": ..., "ok": ..., "n_args": ...}``: call volume,
+    conversation reach, success rate, arg-count and result-size means —
+    the observability rollup an agent-transcript pipeline runs before
+    selecting tool traces for training. Turns whose payload doesn't
+    parse (no ``$.name``) are excluded.
+
+    Shape: get_json_object is a narrow JVM-side expression (no UDF);
+    the only Exchange is the final |tools|-row partial-aggregated
+    groupBy."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    parsed = t.select(
+        "conv_id",
+        F.get_json_object(p, "$.name").alias("tool_name"),
+        F.get_json_object(p, "$.ok").cast("boolean").alias("ok"),
+        F.get_json_object(p, "$.n_args").cast("int").alias("n_args"),
+        F.length("text").alias("result_chars"),
+    ).filter(F.col("tool_name").isNotNull())
+    return parsed.groupBy("tool_name").agg(
+        F.count("*").cast("bigint").alias("n_calls"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.round(F.avg(F.col("ok").cast("double")), 6).alias("success_rate"),
+        F.round(F.avg("n_args"), 6).alias("avg_args"),
+        F.round(F.avg("result_chars"), 6).alias("avg_result_chars"),
+    )

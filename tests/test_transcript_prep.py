@@ -1,0 +1,172 @@
+"""Unit tests for the production transcript training-prep transforms
+(`ocr_spark.transcript_prep`) over crafted conversations with known
+session boundaries, interleaved tool turns, and context windows — plus
+an end-to-end spark-submit run of jobs/sft_prep_job.py.
+
+The registry queries route through these same functions (the DuckDB
+harness value-checks them at sf0.01); here we pin the semantics the
+synthesized-column adapters can't reach: real timestamp gaps, real
+role interleavings, and the job surface.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+
+from ocr_spark import fixtures
+from ocr_spark.transcript_prep import (
+    assemble_context,
+    session_stats,
+    sessionize,
+    sft_pairs,
+    tool_call_stats,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _conv(spark, rows):
+    """rows: (conv_id, turn_idx, role, text, tool, ts_offset_s)"""
+    base = dt.datetime(2026, 1, 1)
+    data = [
+        (c, i, r, x, tool, base + dt.timedelta(seconds=off))
+        for (c, i, r, x, tool, off) in rows
+    ]
+    return spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_sessionize_breaks_on_gap_boundary(spark):
+    t = _conv(
+        spark,
+        [
+            ("c1", 0, "user", "a", "", 0),
+            ("c1", 1, "assistant", "b", "", 1800),  # gap 1800 == max: no break
+            ("c1", 2, "user", "c", "", 3601),  # gap 1801 > max: break
+            ("c1", 3, "assistant", "d", "", 3610),
+            ("c2", 0, "user", "e", "", 0),  # new conv never breaks
+        ],
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_idx"]
+        for r in sessionize(t, max_gap_s=1800).collect()
+    }
+    assert got == {
+        ("c1", 0): 0,
+        ("c1", 1): 0,
+        ("c1", 2): 1,
+        ("c1", 3): 1,
+        ("c2", 0): 0,
+    }
+    stats = {
+        (r["conv_id"], r["session_idx"]): (
+            r["n_turns"],
+            r["first_turn_idx"],
+            r["last_turn_idx"],
+        )
+        for r in session_stats(t, max_gap_s=1800).collect()
+    }
+    assert stats == {
+        ("c1", 0): (2, 0, 1),
+        ("c1", 1): (2, 2, 3),
+        ("c2", 0): (1, 0, 0),
+    }
+
+
+def test_sft_pairs_skip_tool_turns_to_nearest_user(spark):
+    t = _conv(
+        spark,
+        [
+            ("c1", 0, "user", "ask1", "", 0),
+            ("c1", 1, "tool", "toolout", '{"name":"t"}', 10),
+            ("c1", 2, "assistant", "ans1", "", 20),  # pairs with ask1, not toolout
+            ("c1", 3, "user", "ask2", "", 30),
+            ("c1", 4, "assistant", "ans2", "", 40),
+            ("c2", 0, "assistant", "orphan", "", 0),  # no preceding user
+        ],
+    )
+    rows = {r["response_text"]: r for r in sft_pairs(t).collect()}
+    assert rows["ans1"]["prompt_text"] == "ask1"
+    assert rows["ans2"]["prompt_text"] == "ask2"
+    assert rows["orphan"]["prompt_text"] is None
+    # fingerprints are distinct and deterministic
+    assert len({r["pair_fp"] for r in rows.values()}) == 3
+    # keep= carries passthrough columns
+    kept = sft_pairs(t.withColumn("extra", t.turn_idx * 2), keep=("extra",))
+    assert {r["extra"] for r in kept.collect()} == {4, 8, 0}
+
+
+def test_assemble_context_bounded_and_ordered(spark):
+    t = _conv(
+        spark,
+        [("c1", i, "user", f"t{i}", "", i * 10) for i in range(5)],
+    )
+    got = {r["turn_idx"]: r["context"] for r in assemble_context(t, k=3).collect()}
+    assert got[0] == []
+    assert got[1] == ["t0"]
+    assert got[3] == ["t0", "t1", "t2"]
+    assert got[4] == ["t1", "t2", "t3"]  # bounded at k=3, frame order
+
+
+def test_tool_call_stats_parses_and_skips_unparseable(spark):
+    t = _conv(
+        spark,
+        [
+            ("c1", 0, "tool", "res-a", '{"name":"search","ok":true,"n_args":2}', 0),
+            ("c1", 1, "tool", "res-bb", '{"name":"search","ok":false,"n_args":4}', 1),
+            ("c2", 0, "tool", "res-c", '{"name":"fetch","ok":true,"n_args":1}', 0),
+            ("c2", 1, "tool", "notjson", "oops", 1),  # excluded
+        ],
+    )
+    got = {r["tool_name"]: r for r in tool_call_stats(t).collect()}
+    assert set(got) == {"search", "fetch"}
+    assert got["search"]["n_calls"] == 2
+    assert got["search"]["n_convs"] == 1
+    assert got["search"]["success_rate"] == 0.5
+    assert got["search"]["avg_args"] == 3.0
+    assert got["search"]["avg_result_chars"] == 5.5
+    assert got["fetch"]["n_calls"] == 1
+
+
+def test_sft_prep_job_spark_submit(spark, tmp_path):
+    from tools.make_pyfiles import build
+
+    input_dir = str(tmp_path / "transcripts")
+    fixtures.transcripts_df(spark, 10).write.parquet(input_dir)
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    out_dir = str(tmp_path / "pairs")
+
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "sft_prep_job.py"),
+        "--input", input_dir,
+        "--output", out_dir,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    out = spark.read.parquet(out_dir)
+    assert summary["pairs_kept"] == out.count()
+    assert summary["pairs_mined"] >= summary["pairs_kept"] > 0
+    # fixture ts gaps are 7 s < 1800 s: every conversation is 1 session
+    assert summary["sessions"] == 10
+    # dedup kept exactly one row per fingerprint
+    assert out.select("pair_fp").distinct().count() == out.count()
+    assert {f.name for f in out.schema.fields} >= {
+        "conv_id",
+        "turn_idx",
+        "session_idx",
+        "context_fp",
+        "prompt_text",
+        "response_text",
+        "pair_fp",
+        "n_dups",
+    }

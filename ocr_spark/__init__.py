@@ -34,6 +34,11 @@ def __getattr__(name):
         "observed_extraction": ("ocr_spark.pipeline", "observed_extraction"),
         "snapshots_df": ("ocr_spark.pipeline", "snapshots_df"),
         "expire_snapshots": ("ocr_spark.pipeline", "expire_snapshots"),
+        "sessionize": ("ocr_spark.transcript_prep", "sessionize"),
+        "session_stats": ("ocr_spark.transcript_prep", "session_stats"),
+        "sft_pairs": ("ocr_spark.transcript_prep", "sft_pairs"),
+        "assemble_context": ("ocr_spark.transcript_prep", "assemble_context"),
+        "tool_call_stats": ("ocr_spark.transcript_prep", "tool_call_stats"),
         # NOTE: no "curate" alias — it would collide with the
         # ocr_spark.curate submodule (python replaces the package
         # attribute with the module object on first submodule import,

@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_sessionize": Q.q_conv_sessionize,
         "sft_pairs": Q.q_sft_pairs,
         "context_assembly": Q.q_context_assembly,
+        "pagerank": Q.q_pagerank,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

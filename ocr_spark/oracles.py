@@ -2228,3 +2228,47 @@ SELECT conv_id, turn_idx,
        md5(coalesce(array_to_string(ctx, chr(10) || chr(10)), '')) AS context_fp
 FROM c
 """
+
+
+def _pr_round(i: int) -> str:
+    """One unrolled PageRank power iteration: contributions flow along
+    the edge table (rank/outdeg, outdeg fixed at 2 by construction),
+    aggregate per destination, then damp + snap to 10 decimals exactly
+    like the Spark round."""
+    return f"""r{i} AS (
+  SELECT d.doc_id,
+         round(0.15 / nn.n + 0.85 * coalesce(s.contrib, 0.0), 10) AS rank
+  FROM documents d
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum(r.rank / 2.0) AS contrib
+    FROM e JOIN r{i - 1} r ON e.src = r.doc_id
+    GROUP BY e.dst
+  ) s ON d.doc_id = s.dst
+)"""
+
+
+ORACLES["pagerank"] = (
+    """WITH nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), e AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT
+           % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 9, 8))::BIGINT
+           % (SELECT count(*) FROM documents)
+  FROM documents
+), r0 AS (
+  SELECT doc_id, 1.0 / nn.n AS rank FROM documents, nn
+), """
+    + ", ".join(_pr_round(i) for i in (1, 2, 3))
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(rank, 6) AS pr
+FROM r3
+ORDER BY rank DESC, doc_id ASC
+LIMIT 20
+"""
+)

@@ -3884,3 +3884,67 @@ def q_context_assembly(spark, sf_dir):
         ).alias("context_chars"),
         "context_fp",
     )
+
+
+_PR_DAMPING = 0.85
+_PR_ROUNDS = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """Full iterative PageRank (3 unrolled power-iteration rounds,
+    damping 0.85) over a deterministic content-keyed link graph (each
+    document emits 2 out-links, targets md5-derived) — the link-analysis
+    half of web-corpus curation: rank-weighted sampling and seed-list
+    selection both key on it.
+
+    Distributed shape (the GraphX/Pregel shape expressed relationally):
+    each round is edges ⋈ ranks on src (both sides hash-partitioned on
+    the join key; at 100 TB the edge table is pre-partitioned ONCE by
+    src and every round reuses that layout) followed by ONE
+    partial-aggregated groupBy(dst) and a left join back onto the
+    vertex set for dangling/no-inlink vertices. Ranks stay a
+    DataFrame — never driver-collected — so the loop scales to any
+    vertex count; only the round COUNT is driver-side (fixed
+    iterations, like kmeans_train). Per-round ranks are snapped to 10
+    decimals in BOTH engines so cross-engine float-summation-order
+    drift dies at each snap; the damping base uses the literal 0.15
+    (not 1 - 0.85, which differs in the last ulp) for bit-identical
+    arithmetic."""
+    doc = _t(spark, sf_dir, "documents")
+    n = doc.count()
+    link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
+    edges = doc.select(
+        F.col("doc_id").alias("src"), (F.expr(link.format(1)) % n).alias("dst")
+    ).unionByName(
+        doc.select(
+            F.col("doc_id").alias("src"),
+            (F.expr(link.format(9)) % n).alias("dst"),
+        )
+    )
+    ranks = doc.select("doc_id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    for _ in range(_PR_ROUNDS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.lit(2.0)).alias("contrib"))
+        )
+        ranks = (
+            doc.select("doc_id")
+            .join(contribs, F.col("doc_id") == contribs.dst, "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(_PR_DAMPING) * F.coalesce("contrib", F.lit(0.0)),
+                    10,
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.round("rank", 6).alias("pr"),
+        )
+    )

@@ -548,3 +548,13 @@ def test_context_assembly_bounded_frame(spark):
     p = plan(Q.q_context_assembly(spark, SF_DIR))
     assert "specifiedwindowframe(RowFrame, -3, -1)" in p, p
     assert n_ops(p, "Exchange") == 1, p
+
+
+def test_pagerank_head_is_take_ordered_no_cartesian(spark):
+    # relational Pregel: every round is an equi-join + partial aggregate;
+    # the head must be TakeOrdered and nothing may degenerate into a
+    # cartesian/nested-loop join or a global window
+    p = plan(Q.q_pagerank(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert n_ops(p, "Window") == 0, p

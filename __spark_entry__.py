@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": Q.q_sft_pairs,
         "context_assembly": Q.q_context_assembly,
         "pagerank": Q.q_pagerank,
+        "skew_report": Q.q_skew_report,
+        "rank_weighted_sample": Q.q_rank_weighted_sample,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2272,3 +2272,50 @@ ORDER BY rank DESC, doc_id ASC
 LIMIT 20
 """
 )
+
+
+ORACLES["skew_report"] = r"""
+WITH per_key AS (
+  SELECT source AS conv_id,
+         CAST(count(*) AS DOUBLE) AS n_turns,
+         CAST(sum(length(text)) AS DOUBLE) AS n_chars
+  FROM documents
+  GROUP BY source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n_turns) AS BIGINT) AS max_turns,
+       round(avg(n_turns), 6) AS avg_turns,
+       round(quantile_cont(n_turns, 0.99), 6) AS p99_turns,
+       round(max(n_turns) / avg(n_turns), 6) AS turn_skew_factor,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(max(n_chars) / avg(n_chars), 6) AS char_skew_factor
+FROM per_key
+"""
+
+
+ORACLES["rank_weighted_sample"] = (
+    """WITH nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), e AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT
+           % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 9, 8))::BIGINT
+           % (SELECT count(*) FROM documents)
+  FROM documents
+), r0 AS (
+  SELECT doc_id, 1.0 / nn.n AS rank FROM documents, nn
+), """
+    + ", ".join(_pr_round(i) for i in (1, 2, 3))
+    + """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, round(r.rank, 6) AS pr
+FROM documents d
+JOIN r3 r USING (doc_id)
+CROSS JOIN nn
+WHERE ('0x' || substr(md5(d.text), 25, 8))::BIGINT / 4294967296.0
+      < r.rank * nn.n * 0.2
+"""
+)

@@ -3910,6 +3910,21 @@ def q_pagerank(spark, sf_dir):
     drift dies at each snap; the damping base uses the literal 0.15
     (not 1 - 0.85, which differs in the last ulp) for bit-identical
     arithmetic."""
+    ranks = _pagerank_ranks(spark, sf_dir)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.round("rank", 6).alias("pr"),
+        )
+    )
+
+
+def _pagerank_ranks(spark, sf_dir):
+    """The shared rank loop behind q_pagerank / q_rank_weighted_sample:
+    the full (doc_id, rank) DataFrame after _PR_ROUNDS damped power
+    iterations with the 10-decimal per-round snap."""
     doc = _t(spark, sf_dir, "documents")
     n = doc.count()
     link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
@@ -3940,11 +3955,56 @@ def q_pagerank(spark, sf_dir):
                 ).alias("rank"),
             )
         )
-    return (
-        ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
-        .limit(20)
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.round("rank", 6).alias("pr"),
-        )
+    return ranks
+
+
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnosis for the conversation-keyed shuffle — the
+    pre-flight report that decides whether a run needs salting (the
+    north rule's 'long agent traces' problem made measurable): per-key
+    turn/char loads reduced to max, mean, p99, and the max/mean skew
+    factor. At 100 TB this runs on a sample or on the previous run's
+    lineage metrics; the plan is two partial-aggregated aggregations
+    (per-key, then 1-row corpus summary) — no sort, no window."""
+    t = doc_transcripts(spark, sf_dir)
+    per_key = t.groupBy("conv_id").agg(
+        F.count("*").cast("double").alias("n_turns"),
+        F.sum(F.length("text")).cast("double").alias("n_chars"),
+    )
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("n_turns").cast("bigint").alias("max_turns"),
+        F.round(F.avg("n_turns"), 6).alias("avg_turns"),
+        F.round(F.expr("percentile(n_turns, 0.99D)"), 6).alias("p99_turns"),
+        F.round(F.max("n_turns") / F.avg("n_turns"), 6).alias("turn_skew_factor"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.max("n_chars") / F.avg("n_chars"), 6).alias("char_skew_factor"),
+    )
+
+
+def q_rank_weighted_sample(spark, sf_dir):
+    """Rank-weighted corpus sampling: keep each document with
+    probability proportional to its PageRank (seed-quality-weighted
+    selection, the link-analysis half of curation put to work).
+    Deterministic: the per-doc uniform draw is a content-keyed md5
+    unit, so the sample is reproducible across runs and engines —
+    keep iff unit < rank * N * 0.2 (expected keep rate 20% under a
+    uniform rank vector, upweighted for high-rank docs).
+
+    Distributed shape: the pagerank rounds (see q_pagerank) plus one
+    narrow per-row threshold — no new shuffle beyond the rank loop."""
+    ranks = _pagerank_ranks(spark, sf_dir)
+    doc = _t(spark, sf_dir, "documents")
+    n = doc.count()
+    unit = (
+        F.expr("cast(conv(substr(md5(text), 25, 8), 16, 10) as bigint)")
+        / F.lit(4294967296.0)
+    )
+    joined = doc.select("doc_id", "text").join(ranks, "doc_id")
+    kept = joined.filter(
+        unit < F.col("rank") * F.lit(float(n)) * F.lit(0.2)
+    )
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round("rank", 6).alias("pr"),
     )

@@ -252,6 +252,16 @@ def main() -> None:
             plan(Q.q_logreg_train(spark, SF_DIR), mode="simple"),
         ),
         (
+            "PageRank: relational Pregel, ranks never driver-collected",
+            "Each power iteration is edges ⋈ ranks on src + ONE "
+            "partial-aggregated groupBy(dst) + a left join back onto the "
+            "vertex set; ranks stay a DataFrame at every step, so the "
+            "loop scales to any vertex count. At 100 TB the edge table "
+            "is pre-partitioned once by src and every round reuses that "
+            "layout.",
+            plan(Q.q_pagerank(spark, SF_DIR), mode="simple"),
+        ),
+        (
             "Reward pairs: struct-extreme aggregation, no window",
             "Per-source chosen/rejected extremes come from lexicographic "
             "struct min/max inside one partial-aggregated groupBy "

@@ -170,3 +170,55 @@ def test_sft_prep_job_spark_submit(spark, tmp_path):
         "pair_fp",
         "n_dups",
     }
+
+
+def test_invariants_over_fixture_corpus(spark):
+    """Structural invariants on the generated corpus (skewed lengths,
+    dup turns, tool interleavings): sessions exactly partition each
+    conversation into contiguous turn ranges; pair mining yields one
+    pair per assistant turn whose prompt is the latest earlier user
+    turn; assembled context equals the trailing k-turn slice."""
+    t = fixtures.transcripts_df(spark, 30).cache()
+    rows = sorted(
+        ((r["conv_id"], r["turn_idx"], r["role"], r["text"]) for r in t.collect())
+    )
+    by_conv: dict = {}
+    for conv_id, idx, role, text in rows:
+        by_conv.setdefault(conv_id, []).append((idx, role, text))
+
+    # sessionize with a gap larger than the fixture's 7 s spacing:
+    # exactly one session per conversation, covering every turn
+    stats = session_stats(t, max_gap_s=1800).collect()
+    assert len(stats) == len(by_conv)
+    for r in stats:
+        turns = by_conv[r["conv_id"]]
+        assert r["session_idx"] == 0
+        assert r["n_turns"] == len(turns)
+        assert r["first_turn_idx"] == 0
+        assert r["last_turn_idx"] == len(turns) - 1
+
+    # sft_pairs: one row per assistant turn; prompt is the nearest
+    # preceding user turn's text (None when no user turn precedes)
+    pairs = {
+        (r["conv_id"], r["turn_idx"]): r["prompt_text"]
+        for r in sft_pairs(t).collect()
+    }
+    expected = {}
+    for conv_id, turns in by_conv.items():
+        last_user = None
+        for idx, role, text in turns:
+            if role == "assistant":
+                expected[(conv_id, idx)] = last_user
+            if role == "user":
+                last_user = text
+    assert pairs == expected
+
+    # assemble_context: trailing-3 slice in turn order
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["context"]
+        for r in assemble_context(t, k=3).collect()
+    }
+    for conv_id, turns in by_conv.items():
+        texts = [x for (_, _, x) in turns]
+        for idx, _, _ in turns:
+            assert got[(conv_id, idx)] == texts[max(0, idx - 3) : idx]

@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": Q.q_pagerank,
         "skew_report": Q.q_skew_report,
         "rank_weighted_sample": Q.q_rank_weighted_sample,
+        "dedup_weights": Q.q_dedup_weights,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

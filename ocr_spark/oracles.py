@@ -2319,3 +2319,18 @@ WHERE ('0x' || substr(md5(d.text), 25, 8))::BIGINT / 4294967296.0
       < r.rank * nn.n * 0.2
 """
 )
+
+
+ORACLES["dedup_weights"] = f"""
+WITH clus AS ({ORACLES["dedup_clusters"]}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+  FROM clus GROUP BY cluster_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(s.k, 1) AS BIGINT) AS cluster_size,
+       round(1.0 / coalesce(s.k, 1), 6) AS weight
+FROM documents d
+LEFT JOIN clus c ON d.doc_id = c.doc_id
+LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+"""

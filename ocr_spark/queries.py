@@ -4008,3 +4008,31 @@ def q_rank_weighted_sample(spark, sf_dir):
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.round("rank", 6).alias("pr"),
     )
+
+
+def q_dedup_weights(spark, sf_dir):
+    """Soft-dedup training weights: every document weighted 1/k where k
+    is its near-dup cluster size (docs outside any cluster keep weight
+    1.0) — the dedup-aware sampling alternative to hard-dropping
+    duplicates, so each duplicated content unit contributes one
+    document's worth of gradient in expectation.
+
+    Distributed shape: the label-propagation cluster loop (see
+    q_dedup_clusters) + ONE partial-aggregated cluster-size groupBy,
+    then two left equi-joins back onto the corpus id stream — the
+    cluster/size tables are pair-graph-sized (tiny next to the corpus),
+    so at 100 TB both joins broadcast."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    doc = _t(spark, sf_dir, "documents").select("doc_id")
+    joined = (
+        doc.join(clusters, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+    )
+    return joined.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.coalesce("k", F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.coalesce("k", F.lit(1)), 6).alias("weight"),
+    )

@@ -2334,3 +2334,36 @@ FROM documents d
 LEFT JOIN clus c ON d.doc_id = c.doc_id
 LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
 """
+
+
+ORACLES["vocab_drift_kl"] = r"""
+WITH toks AS (
+  SELECT ('0x' || substr(md5(source), 1, 8))::BIGINT % 2 = 0 AS is_old,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM toks GROUP BY token
+), vocab AS (
+  SELECT * FROM counts ORDER BY c_old + c_new DESC, token ASC LIMIT 400
+), tot AS (
+  SELECT CAST(sum(c_old) AS DOUBLE) AS n_old,
+         CAST(sum(c_new) AS DOUBLE) AS n_new,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+), scored AS (
+  SELECT token, c_old, c_new,
+         round((c_new + 1) / (t.n_new + t.v)
+               * ln(((c_new + 1) / (t.n_new + t.v))
+                    / ((c_old + 1) / (t.n_old + t.v))), 8) AS contrib
+  FROM vocab, tot t
+), kl AS (
+  SELECT round(sum(contrib), 6) AS kl_total FROM scored
+)
+SELECT token, c_old, c_new, contrib, k.kl_total
+FROM scored, kl k
+ORDER BY contrib DESC, token ASC
+LIMIT 20
+"""

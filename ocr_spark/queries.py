@@ -4036,3 +4036,62 @@ def q_dedup_weights(spark, sf_dir):
         F.coalesce("k", F.lit(1)).cast("bigint").alias("cluster_size"),
         F.round(F.lit(1.0) / F.coalesce("k", F.lit(1)), 6).alias("weight"),
     )
+
+
+_DRIFT_V = 400
+
+
+def q_vocab_drift_kl(spark, sf_dir):
+    """Corpus drift monitor: add-one-smoothed KL divergence between the
+    word distributions of two corpus snapshots (content-keyed halves of
+    the source space here; old vs new ingest batch in production),
+    reporting the top-20 drift-driving tokens plus the total KL — the
+    check a continuously-ingesting pipeline runs before letting a new
+    crawl into the training mixture.
+
+    Distributed shape: ONE token-count aggregate serves both halves
+    (conditional sums — never two corpus scans), the vocabulary is
+    bounded to the top-V head by TakeOrdered (V rows broadcast-sized
+    from then on), totals cross-join back as a 1-row broadcast, and the
+    head is TakeOrdered. Per-token contributions snap to 8 decimals
+    before the total sums them, so cross-engine sum-order drift cannot
+    reach the 6-decimal KL."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    is_old = (
+        F.expr("cast(conv(substr(md5(source), 1, 8), 16, 10) as bigint)") % 2
+        == 0
+    )
+    toks = doc.select(
+        is_old.alias("is_old"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_new"),
+    )
+    vocab = counts.orderBy(
+        F.desc(F.col("c_old") + F.col("c_new")), F.asc("token")
+    ).limit(_DRIFT_V)
+    totals = vocab.agg(
+        F.sum("c_old").cast("double").alias("n_old"),
+        F.sum("c_new").cast("double").alias("n_new"),
+        F.count("*").cast("double").alias("v"),
+    )
+    pn = (F.col("c_new") + F.lit(1)) / (F.col("n_new") + F.col("v"))
+    po = (F.col("c_old") + F.lit(1)) / (F.col("n_old") + F.col("v"))
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_old",
+        "c_new",
+        F.round(pn * F.log(pn / po), 8).alias("contrib"),
+    )
+    kl = scored.agg(F.round(F.sum("contrib"), 6).alias("kl_total"))
+    return (
+        scored.crossJoin(F.broadcast(kl))
+        .orderBy(F.desc("contrib"), F.asc("token"))
+        .limit(20)
+    )

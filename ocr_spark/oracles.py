@@ -2367,3 +2367,28 @@ FROM scored, kl k
 ORDER BY contrib DESC, token ASC
 LIMIT 20
 """
+
+
+ORACLES["embedding_quantize_error"] = r"""
+WITH xs AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), ranges AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM xs GROUP BY pos
+), q AS (
+  SELECT xs.pos, r.mn, r.mx,
+         CASE WHEN r.mx > r.mn
+              THEN round((xs.x - r.mn) / (r.mx - r.mn) * 255, 0)
+              ELSE 0.0 END AS code,
+         xs.x
+  FROM xs JOIN ranges r USING (pos)
+)
+SELECT pos - 1 AS pos,
+       round(min(mn), 6) AS dim_min,
+       round(max(mx), 6) AS dim_max,
+       round(avg(abs(x - (mn + code * (mx - mn) / 255.0))), 8) AS avg_abs_err,
+       round(max(abs(x - (mn + code * (mx - mn) / 255.0))), 8) AS max_abs_err
+FROM q
+GROUP BY pos
+"""

@@ -4095,3 +4095,42 @@ def q_vocab_drift_kl(spark, sf_dir):
         .orderBy(F.desc("contrib"), F.asc("token"))
         .limit(20)
     )
+
+
+def q_embedding_quantize_error(spark, sf_dir):
+    """Scalar (int8) quantization of the embedding table with
+    per-dimension reconstruction error — the compression step a
+    billion-vector ANN index applies before sharding (4x memory cut vs
+    float32; IVF/LSH shapes unchanged): per-dim min/max ranges, uniform
+    255-step codes, dequantized absolute error.
+
+    Distributed shape: ONE posexplode + partial-aggregated groupBy(dim)
+    computes the 64-row range table; it broadcasts back onto the same
+    exploded stream for the narrow quantize/dequantize arithmetic, and
+    the per-dim error rollup is the second (64-row) aggregate. Vectors
+    never shuffle — only (dim, stat) rows do. Constant dimensions
+    (max == min) code to 0 with zero error rather than dividing by the
+    empty range."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    ranges = xs.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    q = xs.join(F.broadcast(ranges), "pos")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255, 0),
+    ).otherwise(F.lit(0.0))
+    deq = F.col("mn") + code * (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    return (
+        q.select("pos", "mn", "mx", F.abs(F.col("x") - deq).alias("err"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.min("mn"), 6).alias("dim_min"),
+            F.round(F.max("mx"), 6).alias("dim_max"),
+            F.round(F.avg("err"), 8).alias("avg_abs_err"),
+            F.round(F.max("err"), 8).alias("max_abs_err"),
+        )
+    )

@@ -49,8 +49,16 @@ def main() -> None:
     )
 
     t0 = time.time()
-    transcripts = spark.read.parquet(args.input)
-    sessioned = sessionize(transcripts, max_gap_s=args.max_gap_s)
+    from pyspark.sql import Observation
+
+    obs = Observation("sft_prep")
+    transcripts = spark.read.parquet(args.input).observe(
+        obs, F.count(F.lit(1)).alias("turns_in")
+    )
+    # persisted: the session-count metric below re-reads this instead of
+    # re-running the window chain over the full input (MEMORY_AND_DISK,
+    # so it spills rather than evicts on big inputs)
+    sessioned = sessionize(transcripts, max_gap_s=args.max_gap_s).persist()
     with_ctx = assemble_context(sessioned, k=args.context_k)
     pairs = sft_pairs(with_ctx, keep=("session_idx", "context_fp"))
     # exact pair dedup on the fingerprint; deterministic keep-first
@@ -73,17 +81,25 @@ def main() -> None:
     )
     deduped.write.mode("overwrite").parquet(args.output)
 
+    # metrics WITHOUT re-running the transform chain: turns_in was
+    # observed during the write, sessions reads the persisted session
+    # frame, and pairs_mined is the sum of dedup multiplicities already
+    # sitting in the output
     out = spark.read.parquet(args.output)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("kept"), F.sum("n_dups").alias("mined")
+    ).first()
     stats = {
-        "turns_in": transcripts.count(),
+        "turns_in": obs.get["turns_in"],
         "sessions": sessioned.select("conv_id", "session_idx")
         .distinct()
         .count(),
-        "pairs_mined": pairs.count(),
-        "pairs_kept": out.count(),
+        "pairs_mined": int(agg["mined"] or 0),
+        "pairs_kept": agg["kept"],
         "wall_s": round(time.time() - t0, 1),
         "output": args.output,
     }
+    sessioned.unpersist()
     print(json.dumps(stats))
     spark.stop()
 

@@ -3910,7 +3910,7 @@ def q_pagerank(spark, sf_dir):
     drift dies at each snap; the damping base uses the literal 0.15
     (not 1 - 0.85, which differs in the last ulp) for bit-identical
     arithmetic."""
-    ranks = _pagerank_ranks(spark, sf_dir)
+    ranks, _ = _pagerank_ranks(spark, sf_dir)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(20)
@@ -3923,8 +3923,9 @@ def q_pagerank(spark, sf_dir):
 
 def _pagerank_ranks(spark, sf_dir):
     """The shared rank loop behind q_pagerank / q_rank_weighted_sample:
-    the full (doc_id, rank) DataFrame after _PR_ROUNDS damped power
-    iterations with the 10-decimal per-round snap."""
+    returns (ranks, n_docs) — the full (doc_id, rank) DataFrame after
+    _PR_ROUNDS damped power iterations with the 10-decimal per-round
+    snap, plus the vertex count so callers don't re-scan for it."""
     doc = _t(spark, sf_dir, "documents")
     n = doc.count()
     link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
@@ -3955,7 +3956,7 @@ def _pagerank_ranks(spark, sf_dir):
                 ).alias("rank"),
             )
         )
-    return ranks
+    return ranks, n
 
 
 def q_skew_report(spark, sf_dir):
@@ -3993,9 +3994,8 @@ def q_rank_weighted_sample(spark, sf_dir):
 
     Distributed shape: the pagerank rounds (see q_pagerank) plus one
     narrow per-row threshold — no new shuffle beyond the rank loop."""
-    ranks = _pagerank_ranks(spark, sf_dir)
+    ranks, n = _pagerank_ranks(spark, sf_dir)
     doc = _t(spark, sf_dir, "documents")
-    n = doc.count()
     unit = (
         F.expr("cast(conv(substr(md5(text), 25, 8), 16, 10) as bigint)")
         / F.lit(4294967296.0)
@@ -4056,6 +4056,8 @@ def q_vocab_drift_kl(spark, sf_dir):
     head is TakeOrdered. Per-token contributions snap to 8 decimals
     before the total sums them, so cross-engine sum-order drift cannot
     reach the 6-decimal KL."""
+    from ocr_spark.functions import tokens
+
     doc = _t_spread(spark, sf_dir, "documents")
     is_old = (
         F.expr("cast(conv(substr(md5(source), 1, 8), 16, 10) as bigint)") % 2
@@ -4063,7 +4065,7 @@ def q_vocab_drift_kl(spark, sf_dir):
     )
     toks = doc.select(
         is_old.alias("is_old"),
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        F.explode(tokens("text")).alias("token"),
     )
     counts = toks.groupBy("token").agg(
         F.sum(F.when(F.col("is_old"), 1).otherwise(0))

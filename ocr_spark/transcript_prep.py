@@ -29,9 +29,11 @@ def sessionize(t: DataFrame, max_gap_s: int = 1800) -> DataFrame:
 
     Shape: lag + running sum over ONE conv-keyed window partitioning;
     first turn of a conversation (lag NULL) never opens a new session.
-    """
+    Gaps are measured on the timestamp cast to double (fractional epoch
+    seconds) — unix_timestamp would truncate sub-second precision and
+    silently keep a 1800.9 s gap inside a 1800 s session."""
     w = _conv_window()
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     is_break = F.when(gap > max_gap_s, F.lit(1)).otherwise(F.lit(0))
     return t.withColumn(
         "session_idx",

@@ -29,7 +29,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _conv(spark, rows):
-    """rows: (conv_id, turn_idx, role, text, tool, ts_offset_s)"""
+    """rows: (conv_id, turn_idx, role, text, tool, ts_offset_s)
+    (offsets may be fractional — sub-second gaps are part of the
+    contract)"""
     base = dt.datetime(2026, 1, 1)
     data = [
         (c, i, r, x, tool, base + dt.timedelta(seconds=off))
@@ -49,6 +51,10 @@ def test_sessionize_breaks_on_gap_boundary(spark):
             ("c1", 2, "user", "c", "", 3601),  # gap 1801 > max: break
             ("c1", 3, "assistant", "d", "", 3610),
             ("c2", 0, "user", "e", "", 0),  # new conv never breaks
+            # sub-second precision: 1800.9 s gap must break a 1800 s
+            # session (unix_timestamp truncation would miss it)
+            ("c3", 0, "user", "f", "", 0),
+            ("c3", 1, "assistant", "g", "", 1800.9),
         ],
     )
     got = {
@@ -61,6 +67,8 @@ def test_sessionize_breaks_on_gap_boundary(spark):
         ("c1", 2): 1,
         ("c1", 3): 1,
         ("c2", 0): 0,
+        ("c3", 0): 0,
+        ("c3", 1): 1,
     }
     stats = {
         (r["conv_id"], r["session_idx"]): (
@@ -74,6 +82,8 @@ def test_sessionize_breaks_on_gap_boundary(spark):
         ("c1", 0): (2, 0, 1),
         ("c1", 1): (2, 2, 3),
         ("c2", 0): (1, 0, 0),
+        ("c3", 0): (1, 0, 0),
+        ("c3", 1): (1, 1, 1),
     }
 
 

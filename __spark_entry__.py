@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_weights": Q.q_dedup_weights,
         "vocab_drift_kl": Q.q_vocab_drift_kl,
         "embedding_quantize_error": Q.q_embedding_quantize_error,
+        "pmi_collocations": Q.q_pmi_collocations,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

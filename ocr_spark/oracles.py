@@ -2392,3 +2392,36 @@ SELECT pos - 1 AS pos,
 FROM q
 GROUP BY pos
 """
+
+
+ORACLES["pmi_collocations"] = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), words AS (
+  SELECT unnest(t) AS w FROM toks
+), grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i + 1])) AS w2
+  FROM toks
+), n1 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n1 FROM words
+), n2 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n2 FROM grams
+), c1 AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM words GROUP BY w
+), pairs AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+  FROM grams GROUP BY w1, w2
+  HAVING count(*) >= 5
+)
+SELECT p.w1, p.w2,
+       CAST(p.c12 AS BIGINT) AS n_pair,
+       round(ln((p.c12 / n2.n2) / ((a.c / n1.n1) * (b.c / n1.n1))), 6) AS pmi
+FROM pairs p
+JOIN c1 a ON a.w = p.w1
+JOIN c1 b ON b.w = p.w2
+CROSS JOIN n1
+CROSS JOIN n2
+ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
+LIMIT 20
+"""

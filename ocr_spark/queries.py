@@ -4136,3 +4136,64 @@ def q_embedding_quantize_error(spark, sf_dir):
             F.round(F.max("err"), 8).alias("max_abs_err"),
         )
     )
+
+
+_PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (word2phrase / Mikolov et al.'s phrase
+    detection statistic): top-20 adjacent word pairs by pointwise mutual
+    information ln(p(ab) / (p(a) p(b))) with a min-count gate — the pass
+    that decides which token pairs merge into phrases before vocabulary
+    construction.
+
+    Distributed shape: one scan feeds words and bigrams; corpus totals
+    are 1-row aggregates cross-joined back (broadcast), the min-count
+    gate cuts the pair table BEFORE its two unigram-count equi-joins
+    (so the joins see only candidate phrases, not the full bigram
+    stream), and the head is TakeOrdered. No scalar collect()s — totals
+    stay in-plan."""
+    from ocr_spark.functions import tokens
+
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(tokens("text").alias("toks"))
+    words = toks.select(F.explode("toks").alias("w"))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 2 then transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"
+                " else cast(array() as array<struct<w1:string,w2:string>>) end"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    n1 = words.agg(F.count("*").cast("double").alias("n1"))
+    n2 = grams.agg(F.count("*").cast("double").alias("n2"))
+    c1 = words.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    pairs = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    joined = (
+        pairs.join(c1.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("n_pair"),
+        F.round(
+            F.log(
+                (F.col("c12") / F.col("n2"))
+                / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(20)

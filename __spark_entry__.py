@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift_kl": Q.q_vocab_drift_kl,
         "embedding_quantize_error": Q.q_embedding_quantize_error,
         "pmi_collocations": Q.q_pmi_collocations,
+        "tool_cooccurrence": Q.q_tool_cooccurrence,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2425,3 +2425,32 @@ CROSS JOIN n2
 ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC
 LIMIT 20
 """
+
+
+ORACLES["tool_cooccurrence"] = r"""
+WITH t AS (
+  SELECT source AS conv_id, text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), used AS (
+  SELECT DISTINCT conv_id,
+         'tool_' || CAST(('0x' || substr(md5(text), 9, 4))::BIGINT % 5 AS VARCHAR) AS tool
+  FROM t WHERE role = 'tool'
+), nn AS (
+  SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n_convs FROM t
+), singles AS (
+  SELECT tool, CAST(count(*) AS DOUBLE) AS c FROM used GROUP BY tool
+), pairs AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b, CAST(count(*) AS DOUBLE) AS c_ab
+  FROM used a JOIN used b ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY a.tool, b.tool
+)
+SELECT p.tool_a, p.tool_b,
+       CAST(p.c_ab AS BIGINT) AS n_co,
+       round((p.c_ab / nn.n_convs)
+             / ((sa.c / nn.n_convs) * (sb.c / nn.n_convs)), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.tool = p.tool_a
+JOIN singles sb ON sb.tool = p.tool_b
+CROSS JOIN nn
+"""

@@ -4197,3 +4197,63 @@ def q_pmi_collocations(spark, sf_dir):
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(20)
+
+
+def q_tool_cooccurrence(spark, sf_dir):
+    """Tool co-use analysis over agent traces (the market-basket first
+    pass): for every pair of tools used within the same conversation,
+    the co-occurrence count and lift P(ab)/(P(a)P(b)) — what an
+    agent-capability curriculum uses to pick which tool combinations
+    need joint training coverage.
+
+    Distributed shape: the (conv, tool) stream is DISTINCT-reduced
+    first, so per-conversation fan-out in the pair self-join is bounded
+    at |tools| (5 here, dozens in production — never the turn count);
+    per-tool conversation counts and the conversation total ride back
+    as broadcasts (|tools| rows and 1 row). Pair identity is ordered
+    (a < b) so each pair is emitted exactly once — no dedup shuffle."""
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    h = "cast(conv(substr(md5(text), 9, 4), 16, 10) as bigint)"
+    used = (
+        t.filter(F.col("role") == "tool")
+        .select(
+            "conv_id",
+            F.concat(F.lit("tool_"), (F.expr(h) % 5).cast("string")).alias("tool"),
+        )
+        .distinct()
+    )
+    n_convs = t.select("conv_id").distinct().agg(
+        F.count("*").cast("double").alias("n_convs")
+    )
+    singles = used.groupBy("tool").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    a = used.select("conv_id", F.col("tool").alias("tool_a"))
+    b = used.select("conv_id", F.col("tool").alias("tool_b"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").cast("double").alias("c_ab"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(singles.select(F.col("tool").alias("tool_a"), F.col("c").alias("c_a"))),
+            "tool_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("tool").alias("tool_b"), F.col("c").alias("c_b"))),
+            "tool_b",
+        )
+        .crossJoin(F.broadcast(n_convs))
+    )
+    return joined.select(
+        "tool_a",
+        "tool_b",
+        F.col("c_ab").cast("bigint").alias("n_co"),
+        F.round(
+            (F.col("c_ab") / F.col("n_convs"))
+            / ((F.col("c_a") / F.col("n_convs")) * (F.col("c_b") / F.col("n_convs"))),
+            6,
+        ).alias("lift"),
+    )

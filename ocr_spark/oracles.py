@@ -2454,3 +2454,20 @@ JOIN singles sa ON sa.tool = p.tool_a
 JOIN singles sb ON sb.tool = p.tool_b
 CROSS JOIN nn
 """
+
+ORACLES["levenshtein_near_dup"] = r"""
+WITH keyed AS (
+  SELECT doc_id, trim(text) AS t,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' ') AS blk,
+         length(trim(text)) AS len
+  FROM documents
+), capped AS (
+  SELECT * FROM keyed WHERE blk IN (
+    SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 64)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
+FROM capped a JOIN capped b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 64
+WHERE levenshtein(a.t, b.t) <= 64
+"""

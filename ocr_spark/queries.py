@@ -4257,3 +4257,54 @@ def q_tool_cooccurrence(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3 (cont.): edit-distance verify / bloom decontam / count-min sketch
+# ---------------------------------------------------------------------------
+
+def q_levenshtein_near_dup(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: block, band, then verify.
+
+    The third verifier in the near-dup family (exact Jaccard:
+    `minhash_lsh_pairs`; hamming: `simhash_near_dup`): candidates must
+    share their first-3-token prefix block AND sit within a +-64-char
+    length band (|len_a - len_b| is a lower bound on edit distance, so
+    the band is a free pre-verify reject), then the survivors pay the
+    O(len^2) `levenshtein` builtin — JVM codegen on both engines.
+
+    100 TB shape: blocks with document frequency > 64 are dropped before
+    the self-join (the same boilerplate-prefix k^2 guard as the shingle
+    DF cap in `ngram_jaccard_pairs`); the quadratic term is bounded by
+    (capped block size)^2, never corpus^2, and the expensive verify runs
+    only on banded candidates. Blocking on a prefix is a recall POLICY
+    (edits inside the first 3 tokens escape this block) — production
+    stacks it with the MinHash/SimHash candidate sets, which have no
+    positional blind spot.
+    """
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("t")
+    )
+    keyed = doc.select(
+        "doc_id",
+        "t",
+        F.array_join(F.slice(F.split(F.col("t"), r"\s+"), 1, 3), " ").alias("blk"),
+        F.length("t").alias("len"),
+    )
+    blk_df = keyed.groupBy("blk").agg(F.count("*").alias("blk_df"))
+    capped = keyed.join(blk_df.filter(F.col("blk_df") <= 64).select("blk"), "blk")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= 64)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 64)
+    )

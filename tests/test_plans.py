@@ -558,3 +558,23 @@ def test_pagerank_head_is_take_ordered_no_cartesian(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert n_ops(p, "Window") == 0, p
+
+
+def test_levenshtein_block_cap_precedes_pair_join(spark):
+    # the block-DF cap (keep blocks with <= 64 docs) must be applied
+    # below the pair-producing self-join, and the expensive levenshtein
+    # verify must run on banded candidates only — never a cross join
+    p = plan(Q.q_levenshtein_near_dup(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    lines = p.splitlines()
+    pair_idx = next(
+        i for i, ln in enumerate(lines)
+        if "Join" in ln and "Inner" in ln and "doc_id" in ln
+    )
+    # the cap semi-join (blk_df <= 64) sits in the pair join's subtree
+    cap_idx = next(
+        (i for i, ln in enumerate(lines[pair_idx:], start=pair_idx)
+         if "Join" in ln and "blk" in ln and "doc_id" not in ln),
+        None,
+    )
+    assert cap_idx is not None, p

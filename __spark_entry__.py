@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": Q.q_pmi_collocations,
         "tool_cooccurrence": Q.q_tool_cooccurrence,
         "levenshtein_near_dup": Q.q_levenshtein_near_dup,
+        "bloom_decontam": Q.q_bloom_decontam,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2471,3 +2471,32 @@ FROM capped a JOIN capped b
   ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 64
 WHERE levenshtein(a.t, b.t) <= 64
 """
+
+ORACLES["bloom_decontam"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks
+  )
+), ks AS (SELECT unnest(range(0, 4)) AS j),
+evb AS (
+  SELECT DISTINCT ('0x' || substr(md5(j::VARCHAR || ':' || g), 1, 5))::BIGINT % 262144 AS pos
+  FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) CROSS JOIN ks
+),
+probes AS (
+  SELECT doc_id, g, ('0x' || substr(md5(j::VARCHAR || ':' || g), 1, 5))::BIGINT % 262144 AS pos
+  FROM grams CROSS JOIN ks WHERE doc_id % 97 <> 0
+),
+per_gram AS (
+  SELECT p.doc_id, p.g, count(evb.pos) AS hits
+  FROM probes p LEFT JOIN evb ON p.pos = evb.pos
+  GROUP BY p.doc_id, p.g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE hits = 4) AS BIGINT) AS n_maybe,
+       count(*) FILTER (WHERE hits = 4) > 0 AS bloom_contaminated
+FROM per_gram GROUP BY doc_id
+"""

@@ -4308,3 +4308,61 @@ def q_levenshtein_near_dup(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 64)
     )
+
+
+_BLOOM_BITS = 1 << 18  # Bloom filter width m (bits)
+_BLOOM_K = 4  # hash functions k
+
+
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter benchmark decontamination: the probabilistic twin of
+    `benchmark_decontam`. The eval set is summarized as the SET BITS of
+    a Bloom filter (k=4 md5-derived positions in m=2^18 bits); a
+    training gram is "maybe contaminated" iff all k of its positions are
+    set. No false negatives (every exact hit is flagged), bounded false
+    positives (~(1-e^{-kn/m})^k) — the superset property vs the exact
+    join is pinned in tests/test_hygiene_edge.py.
+
+    100 TB shape: where `benchmark_decontam` broadcasts the eval grams
+    themselves, this broadcasts a CONSTANT-SIZE summary — at most m
+    distinct bit positions regardless of eval-set size — so the
+    broadcast never grows past ~2 MB even if the blocklist corpus has
+    billions of grams; the training side still joins map-side with no
+    shuffle. This is the standard shape for fleet-wide URL / document
+    blocklists where the exact set outgrows the broadcast limit.
+    """
+    grams = _shingles_df(spark, sf_dir).withColumnRenamed("shingle", "g")
+
+    def pos(j):
+        return F.expr(
+            f"cast(conv(substr(md5(concat('{j}:', g)), 1, 5), 16, 10) as bigint)"
+            f" % {_BLOOM_BITS}"
+        )
+
+    ev_bits = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+        .select(F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .select(
+            "doc_id",
+            "g",
+            F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("pos"),
+        )
+    )
+    per_gram = (
+        probes.join(F.broadcast(ev_bits), "pos", "left")
+        .groupBy("doc_id", "g")
+        .agg(F.count("hit").alias("hits"))
+    )
+    flagged = (F.col("hits") == _BLOOM_K).cast("int")
+    return per_gram.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(flagged).cast("bigint").alias("n_maybe"),
+        (F.sum(flagged) > 0).alias("bloom_contaminated"),
+    )

@@ -108,3 +108,23 @@ def test_matches_duckdb_oracle_on_edge_corpus(spark, docs_dir):
     )
     oracle_rows = sorted(tuple(t) for t in con.execute(ORACLES["pii_scrub"]).fetchall())
     assert spark_rows == oracle_rows
+
+
+def test_bloom_decontam_is_superset_of_exact(spark):
+    """Bloom membership has NO false negatives: every gram the exact
+    decontam join flags must also be flagged by the filter, per doc —
+    so n_maybe >= n_hits and exact-contaminated implies bloom-flagged.
+    (False positives are allowed; that's the m/k trade.)"""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: r
+        for r in Q.q_benchmark_decontam(spark, sf).collect()
+    }
+    bloom = {r["doc_id"]: r for r in Q.q_bloom_decontam(spark, sf).collect()}
+    assert set(exact) == set(bloom)
+    for did, e in exact.items():
+        b = bloom[did]
+        assert b["n_grams"] == e["n_grams"]
+        assert b["n_maybe"] >= e["n_hits"], did
+        if e["contaminated"]:
+            assert b["bloom_contaminated"], did

@@ -578,3 +578,12 @@ def test_levenshtein_block_cap_precedes_pair_join(spark):
         None,
     )
     assert cap_idx is not None, p
+
+
+def test_bloom_decontam_broadcasts_bit_positions(spark):
+    # the Bloom summary is <= 2^18 distinct bit positions no matter how
+    # large the eval corpus is — the probe join must broadcast it so the
+    # training-gram stream (the 100 TB side) never shuffles for the probe
+    p = plan(Q.q_bloom_decontam(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence": Q.q_tool_cooccurrence,
         "levenshtein_near_dup": Q.q_levenshtein_near_dup,
         "bloom_decontam": Q.q_bloom_decontam,
+        "countmin_freq": Q.q_countmin_freq,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

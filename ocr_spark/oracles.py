@@ -2500,3 +2500,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        count(*) FILTER (WHERE hits = 4) > 0 AS bloom_contaminated
 FROM per_gram GROUP BY doc_id
 """
+
+ORACLES["countmin_freq"] = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+           i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+), vocab AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY g
+), ks AS (SELECT unnest(range(0, 4)) AS j),
+sketch AS (
+  SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || g), 1, 4))::BIGINT % 256 AS pos,
+         CAST(sum(c) AS BIGINT) AS counter
+  FROM vocab CROSS JOIN ks GROUP BY j, pos
+), top20 AS (
+  SELECT g, c FROM vocab ORDER BY c DESC, g ASC LIMIT 20
+)
+SELECT t.g AS token, t.c AS true_count,
+       CAST(min(s.counter) AS BIGINT) AS cm_est
+FROM top20 t CROSS JOIN ks
+JOIN sketch s ON s.j = ks.j
+  AND s.pos = ('0x' || substr(md5(ks.j::VARCHAR || ':' || t.g), 1, 4))::BIGINT % 256
+GROUP BY t.g, t.c
+"""

@@ -4366,3 +4366,75 @@ def q_bloom_decontam(spark, sf_dir):
         F.sum(flagged).cast("bigint").alias("n_maybe"),
         (F.sum(flagged) > 0).alias("bloom_contaminated"),
     )
+
+
+_CM_DEPTH = 4  # Count-Min rows (hash functions)
+_CM_WIDTH = 256  # Count-Min columns per row
+
+
+def q_countmin_freq(spark, sf_dir):
+    """Count-Min sketch frequency estimates for the top-20 word bigrams.
+
+    The sketch is d=4 rows x w=256 counters; item bigram g increments
+    counter (j, md5('j:'||g) % w) in every row, and its estimate is the
+    MIN over rows — always >= the true count (one-sided error,
+    Cormode-Muthukrishnan 2005), pinned for the whole vocabulary in
+    tests/test_hygiene_edge.py. Emits (token, true_count, cm_est) for
+    the exact top-20 so the driver hash also witnesses the estimates.
+
+    100 TB shape: the corpus stream partial-aggregates to the
+    vocab-bounded exact table FIRST (map-side combine); the d*w sketch is
+    then built from vocab — the shuffle carries |vocab| rows, never the
+    corpus, and the finished sketch is d*w = 1024 counters total: a
+    constant-size mergeable summary (sketches of shards add
+    counter-wise), which is why production frequency monitoring ships
+    sketches, not vocab tables, across the fleet.
+    """
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "case when size(t) >= 2 then transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("g")
+    )
+    vocab = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("c"))
+
+    def jp(col="g"):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(
+                            f"cast(conv(substr(md5(concat('{j}:', {col})), 1, 4), 16, 10)"
+                            f" as bigint) % {_CM_WIDTH}"
+                        ).alias("pos"),
+                    )
+                    for j in range(_CM_DEPTH)
+                ]
+            )
+        )
+
+    sketch = (
+        vocab.select("c", jp().alias("x"))
+        .select("c", "x.j", "x.pos")
+        .groupBy("j", "pos")
+        .agg(F.sum("c").cast("bigint").alias("counter"))
+    )
+    top = vocab.orderBy(F.col("c").desc(), F.col("g").asc()).limit(20)
+    probes = top.select("g", "c", jp().alias("x")).select("g", "c", "x.j", "x.pos")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["j", "pos"])
+        .groupBy("g", "c")
+        .agg(F.min("counter").cast("bigint").alias("cm_est"))
+        .select(
+            F.col("g").alias("token"),
+            F.col("c").alias("true_count"),
+            "cm_est",
+        )
+    )

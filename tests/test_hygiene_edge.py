@@ -128,3 +128,51 @@ def test_bloom_decontam_is_superset_of_exact(spark):
         assert b["n_maybe"] >= e["n_hits"], did
         if e["contaminated"]:
             assert b["bloom_contaminated"], did
+
+
+def test_countmin_estimate_never_undercounts(spark):
+    """CM one-sided error across the WHOLE bigram vocabulary (not just
+    the emitted top-20): min-over-rows >= true count for every item."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    doc = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = doc.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "case when size(t) >= 2 then transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("g")
+    )
+    vocab = grams.groupBy("g").agg(F.count("*").alias("c"))
+    rows = vocab.select(
+        "g",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(
+                            f"cast(conv(substr(md5(concat('{j}:', g)), 1, 4), 16, 10)"
+                            f" as bigint) % {Q._CM_WIDTH}"
+                        ).alias("pos"),
+                    )
+                    for j in range(Q._CM_DEPTH)
+                ]
+            )
+        ).alias("x"),
+    ).select("g", "c", "x.j", "x.pos")
+    sketch = rows.groupBy("j", "pos").agg(F.sum("c").alias("counter"))
+    est = (
+        rows.join(sketch, ["j", "pos"])
+        .groupBy("g", "c")
+        .agg(F.min("counter").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("c")).count()
+    assert bad == 0
+    # and the sketch really is constant-size: at most d*w counters
+    assert sketch.count() <= Q._CM_DEPTH * Q._CM_WIDTH

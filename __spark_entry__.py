@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_near_dup": Q.q_levenshtein_near_dup,
         "bloom_decontam": Q.q_bloom_decontam,
         "countmin_freq": Q.q_countmin_freq,
+        "ngram_diversity": Q.q_ngram_diversity,
+        "approx_distinct_grams": Q.q_approx_distinct_grams,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2525,3 +2525,18 @@ JOIN sketch s ON s.j = ks.j
   AND s.pos = ('0x' || substr(md5(ks.j::VARCHAR || ':' || t.g), 1, 4))::BIGINT % 256
 GROUP BY t.g, t.c
 """
+
+ORACLES["ngram_diversity"] = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT source, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
+FROM grams GROUP BY source
+"""

@@ -4438,3 +4438,71 @@ def q_countmin_freq(spark, sf_dir):
             "cm_est",
         )
     )
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source 3-gram diversity (distinct grams / total grams): the
+    corpus-level repetitiveness monitor (the cross-document complement of
+    the per-doc `repetition_filter`; low diversity flags template farms
+    and boilerplate-heavy sources before they reach training).
+
+    Distributed shape: count(distinct) over a group key compiles to
+    Catalyst's standard two-phase expand+partial-agg — per-source totals
+    and distinct counts partial-aggregate map-side; nothing touches the
+    driver. Sources needing cheaper distincts at extreme cardinality use
+    `approx_distinct_grams` (HLL) instead.
+    """
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "case when size(t) >= 3 then transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                " element_at(t, i + 2))) else cast(array() as array<string>) end"
+            )
+        ).alias("g"),
+    )
+    return grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.count_distinct("g").cast("bigint").alias("n_distinct"),
+        F.round(F.count_distinct("g") / F.count("*"), 6).alias("diversity"),
+    )
+
+
+def q_approx_distinct_grams(spark, sf_dir):
+    """Rows-only: HLL++ approximate distinct 3-gram counts per source
+    (`approx_count_distinct`, rsd=0.05) alongside the exact count.
+
+    No DuckDB oracle: DuckDB's approx_count_distinct is a different
+    sketch with different estimates, so the driver records a rows-only
+    check; the bounded-relative-error contract vs the exact count is
+    pinned in tests/test_hygiene_edge.py instead.
+
+    100 TB shape: this IS the production path for distinct counting — a
+    constant-size (~1.5 KB at rsd=0.05) mergeable HLL register set per
+    group, partial-aggregated map-side, vs the exact count's expand +
+    full shuffle of every distinct gram. Exact is fine at vocab scale;
+    web-scale gram streams use this.
+    """
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "case when size(t) >= 3 then transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                " element_at(t, i + 2))) else cast(array() as array<string>) end"
+            )
+        ).alias("g"),
+    )
+    return grams.groupBy("source").agg(
+        F.count_distinct("g").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("g", rsd=0.05).cast("bigint").alias("n_approx"),
+    )

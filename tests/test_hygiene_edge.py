@@ -176,3 +176,12 @@ def test_countmin_estimate_never_undercounts(spark):
     assert bad == 0
     # and the sketch really is constant-size: at most d*w counters
     assert sketch.count() <= Q._CM_DEPTH * Q._CM_WIDTH
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """HLL++ at rsd=0.05 must land within 3*rsd of the exact distinct
+    count for every source (3 sigma; deterministic for a fixed input)."""
+    rows = Q.q_approx_distinct_grams(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["n_approx"] - r["n_exact"]) <= max(3, 0.15 * r["n_exact"]), r

@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": Q.q_bloom_decontam,
         "countmin_freq": Q.q_countmin_freq,
         "ngram_diversity": Q.q_ngram_diversity,
+        "containment_pairs": Q.q_containment_pairs,
+        "lsh_recall_report": Q.q_lsh_recall_report,
         "approx_distinct_grams": Q.q_approx_distinct_grams,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,

@@ -2540,3 +2540,53 @@ SELECT source,
        round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
 FROM grams GROUP BY source
 """
+
+ORACLES["containment_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks)
+), capped AS (
+  SELECT * FROM sh WHERE g NOT IN (SELECT g FROM sh GROUP BY g HAVING count(*) > 100)
+), sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_common AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+WHERE CAST(i.n_common AS DOUBLE) / sa.n >= 0.5
+"""
+
+
+# lsh_recall_report composes the minhash_lsh_pairs oracle verbatim (as a
+# nested CTE subquery) so the eval stays in lockstep with the operator.
+ORACLES["lsh_recall_report"] = r"""
+WITH truth AS (
+  WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  ), sh AS (
+    SELECT DISTINCT doc_id, g FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM toks)
+  ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+), lsh AS (""" + ORACLES["minhash_lsh_pairs"] + r""")
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       round(CAST(count(*) AS DOUBLE) / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+FROM truth t JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+"""

@@ -4506,3 +4506,113 @@ def q_approx_distinct_grams(spark, sf_dir):
         F.count_distinct("g").cast("bigint").alias("n_exact"),
         F.approx_count_distinct("g", rsd=0.05).cast("bigint").alias("n_approx"),
     )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directional shingle containment: |A∩B| / |A| >= 0.5 — the
+    asymmetric near-dup statistic (Broder's containment). Jaccard misses
+    a short doc quoted inside a long one (union dominates); containment
+    flags it in the quote->container direction, which is how quote
+    farms, scraped excerpts, and doc-inside-doc wrappers are caught.
+
+    Distributed shape: identical to `ngram_jaccard_pairs` (distinct
+    shingles -> broadcast hot-shingle DF cap -> self-equi-join -> pair
+    partial-agg), but keeps BOTH pair orientations (a != b, not a < b)
+    because containment is directional; normalization divides by the
+    CONTAINED side's shingle count only.
+    """
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
+    )
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _NGRAM_MAX_DF)
+        .select("shingle")
+    )
+    shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_shingles", "na"
+            ),
+            "doc_a",
+        )
+        .filter(F.col("n_common") / F.col("na") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
+        )
+    )
+
+
+def q_lsh_recall_report(spark, sf_dir):
+    """Candidate-generation quality eval: recall of the MinHash-LSH
+    operator (16 bands x 8 rows, verify at 0.25) against exact-Jaccard
+    >= 0.8 ground truth — the S-curve predicts P(candidate | j=0.8)
+    = 1-(1-0.8^8)^16 ~ 0.95, and this operator MEASURES it on the
+    corpus, which is how banding parameters are tuned before a 100 TB
+    run. Emits one row: n_true, n_lsh, n_hit, recall.
+
+    Distributed shape: ground truth pays the exact shingle self-join
+    (eval-scale corpora only — production tunes on a sample); the LSH
+    side reuses `minhash_lsh_pairs` unchanged, and the DuckDB oracle
+    composes that query's oracle SQL verbatim, so the report stays in
+    lockstep with the operator it evaluates. Final counts are
+    single-row partial-aggregated scalars crossed together.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    lsh = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    n_lsh = lsh.agg(F.count("*").cast("bigint").alias("n_lsh"))
+    n_hit = truth.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("bigint").alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -269,6 +269,34 @@ def main() -> None:
             "row_number window, so no per-group sort of the corpus.",
             plan(Q.q_reward_pairs(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Bloom decontamination: constant-size broadcast summary",
+            "Where benchmark_decontam broadcasts the eval grams "
+            "themselves, the Bloom variant broadcasts only their SET BIT "
+            "positions — at most 2^18 rows (~2 MB) no matter how large "
+            "the blocklist corpus grows — so the probe join stays a "
+            "BroadcastHashJoin and the 100 TB training-gram stream never "
+            "shuffles for the membership test.",
+            plan(Q.q_bloom_decontam(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Edit-distance near-dup: block cap + length band below verify",
+            "The df<=64 block cap (broadcast semi-join) and the "
+            "+-64-char length band (|len_a - len_b| lower-bounds edit "
+            "distance) both sit UNDER the pair join, so the O(len^2) "
+            "levenshtein builtin prices only banded candidates inside a "
+            "capped block — never corpus^2 and never a cross join.",
+            plan(Q.q_levenshtein_near_dup(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Count-Min sketch: vocab-bounded build, constant-size result",
+            "The corpus stream partial-aggregates to the exact "
+            "(gram, count) vocab table FIRST; the d*w sketch is built "
+            "from vocab rows and is 1024 counters total — a mergeable "
+            "summary whose size is independent of corpus AND vocab "
+            "cardinality; probes broadcast against it.",
+            plan(Q.q_countmin_freq(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": Q.q_ngram_diversity,
         "containment_pairs": Q.q_containment_pairs,
         "lsh_recall_report": Q.q_lsh_recall_report,
+        "url_canonicalize": Q.q_url_canonicalize,
         "approx_distinct_grams": Q.q_approx_distinct_grams,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,

@@ -2590,3 +2590,36 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
        round(CAST(count(*) AS DOUBLE) / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
 FROM truth t JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
 """
+
+ORACLES["url_canonicalize"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+         'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+         (CASE WHEN doc_id % 3 = 0 THEN '.COM:80' ELSE '.com' END) ||
+         '/guide/intro' ||
+         (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+               WHEN doc_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=x'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         split_part(split_part(url, '#', 1), '?', 1) AS pre_q,
+         CASE WHEN contains(split_part(url, '#', 1), '?')
+              THEN split_part(split_part(url, '#', 1), '?', 2) ELSE '' END AS query
+  FROM raw
+), canon AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(pre_q, '^([A-Za-z]+)://', 1)) || '://' ||
+         regexp_replace(lower(regexp_extract(pre_q, '^[A-Za-z]+://([^/]+)', 1)), ':(80|443)$', '') ||
+         regexp_extract(pre_q, '^[A-Za-z]+://[^/]+(/.*)$', 1) AS cp,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS cq
+  FROM parts
+)
+SELECT CASE WHEN cq <> '' THEN cp || '?' || cq ELSE cp END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+FROM canon GROUP BY 1 """

@@ -4616,3 +4616,77 @@ def q_lsh_recall_report(spark, sf_dir):
             ),
         )
     )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + variant collapse: lowercase scheme/host,
+    strip default ports (:80/:443), drop the fragment, drop utm_*
+    tracking params, sort surviving query params — then group by the
+    canonical form to count collapsed variants. This is the
+    normalization that URL-keyed dedup / frontier dedup runs BEFORE
+    hashing; without it each casing/tracking variant of one page counts
+    as a distinct document.
+
+    Messy variants are synthesized deterministically from doc_id (clean
+    fixture); the whole chain is JVM-side string/array builtins — split,
+    higher-order filter, array_sort, concat — one partial-aggregated
+    groupBy, no UDF, no extra shuffle.
+    """
+    doc = _t(spark, sf_dir, "documents")
+    scheme = F.expr("case when doc_id % 2 = 0 then 'HTTP' else 'https' end")
+    host = F.expr(
+        "concat('WWW.Example', cast(doc_id % 7 as string),"
+        " case when doc_id % 3 = 0 then '.COM:80' else '.com' end)"
+    )
+    params = F.expr(
+        "case when doc_id % 4 = 0 then 'utm_source=feed&b=2&a=1'"
+        " when doc_id % 4 = 1 then 'a=1&b=2'"
+        " when doc_id % 4 = 2 then 'b=2&a=1&utm_campaign=x'"
+        " else '' end"
+    )
+    frag = F.expr("case when doc_id % 5 = 0 then '#section2' else '' end")
+    raw = doc.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.lit("/guide/intro"),
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+            frag,
+        ).alias("url"),
+    )
+    defrag = F.expr("split_part(url, '#', 1)")
+    pre_q = F.expr("split_part(split_part(url, '#', 1), '?', 1)")
+    query = F.expr(
+        "case when contains(split_part(url, '#', 1), '?')"
+        " then split_part(split_part(url, '#', 1), '?', 2) else '' end"
+    )
+    canon_pre = F.expr(
+        "concat(lower(regexp_extract(pre_q, '^([A-Za-z]+)://', 1)), '://',"
+        " regexp_replace(lower(regexp_extract(pre_q, '^[A-Za-z]+://([^/]+)', 1)),"
+        " ':(80|443)$', ''),"
+        " regexp_extract(pre_q, '^[A-Za-z]+://[^/]+(/.*)$', 1))"
+    )
+    canon_q = F.expr(
+        "array_join(array_sort(filter(split(query, '&'),"
+        " p -> p != '' and not startswith(p, 'utm_'))), '&')"
+    )
+    canon = (
+        raw.withColumn("defrag", defrag)
+        .withColumn("pre_q", pre_q)
+        .withColumn("query", query)
+        .withColumn("cp", canon_pre)
+        .withColumn("cq", canon_q)
+        .select(
+            "doc_id",
+            "url",
+            F.expr(
+                "case when cq != '' then concat(cp, '?', cq) else cp end"
+            ).alias("canonical_url"),
+        )
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
+    )

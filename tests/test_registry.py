@@ -54,6 +54,9 @@ def test_rows_only_queries_are_documented():
         "turn_gap_stats",
         "stateful_conv_progress",
         "mm_feature_extract",
+        # HLL sketch estimates differ between engines by design; the
+        # bounded-relative-error contract is pinned in test_hygiene_edge
+        "approx_distinct_grams",
     }
     unexpected = rows_only - allowed
     assert not unexpected, f"undocumented rows-only queries: {sorted(unexpected)}"

@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_report": Q.q_lsh_recall_report,
         "url_canonicalize": Q.q_url_canonicalize,
         "approx_distinct_grams": Q.q_approx_distinct_grams,
+        "pdf_column_layout_order": Q.q_pdf_column_layout_order,
+        "pdf_table_grid": Q.q_pdf_table_grid,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

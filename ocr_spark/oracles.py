@@ -2623,3 +2623,55 @@ SELECT CASE WHEN cq <> '' THEN cp || '?' || cq ELSE cp END AS canonical_url,
        CAST(count(*) AS BIGINT) AS n_variants,
        CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
 FROM canon GROUP BY 1 """
+
+ORACLES["pdf_column_layout_order"] = r"""
+WITH sents AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '\.'), s -> trim(s)),
+                     s -> s <> '') AS b
+  FROM documents
+), meta AS (
+  SELECT doc_id,
+         list_transform(range(1, len(b) + 1), i -> {
+           'h1': CAST(('0x' || substr(md5(b[i] || '|' || doc_id), 1, 2))::BIGINT AS INT),
+           'y': CAST(('0x' || substr(md5(b[i] || '|' || doc_id), 3, 4))::BIGINT AS INT) % 40,
+           'i': i,
+           's': b[i]}) AS m
+  FROM sents
+), flagged AS (
+  SELECT doc_id, len(list_filter(m, x -> x.h1 % 29 = 0)) = 0 AS is_two_col, m
+  FROM meta
+)
+SELECT doc_id, is_two_col,
+       array_to_string(list_transform(list_sort(list_transform(m, x -> {
+         'ck': CASE WHEN is_two_col THEN x.h1 % 2 ELSE 0 END,
+         'y': x.y,
+         'x0': CASE WHEN x.h1 % 29 = 0 THEN 200 + x.h1 % 50
+                    WHEN x.h1 % 2 = 0 THEN 10 + x.h1 % 50
+                    ELSE 310 + x.h1 % 50 END,
+         'i': x.i,
+         's': x.s})), s -> s.s), chr(10)) AS ordered_text,
+       CAST(len(m) AS BIGINT) AS n_blocks
+FROM flagged
+"""
+
+ORACLES["pdf_table_grid"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 24) AS t
+  FROM documents
+), cells AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1), i -> {
+           'pos': i,
+           'x': CAST(('0x' || substr(md5(t[i] || '#' || doc_id), 1, 3))::BIGINT AS INT) % 1000,
+           'tok': t[i]})) AS c
+  FROM toks
+)
+SELECT doc_id,
+       CAST((c.pos - 1) // 4 AS INT) AS row_idx,
+       array_to_string(list_transform(list_sort(list({'x': c.x, 'pos': c.pos, 'tok': c.tok})),
+                                      s -> s.tok), ' | ') AS row_text,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells
+GROUP BY doc_id, CAST((c.pos - 1) // 4 AS INT)
+"""

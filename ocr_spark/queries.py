@@ -4690,3 +4690,98 @@ def q_url_canonicalize(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_variants"),
         F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
     )
+
+
+def q_pdf_column_layout_order(spark, sf_dir):
+    """Column-aware reading order (XY-cut-style layout analysis over PDF
+    text blocks; extends T1's flat (y, x) sort —
+    `helpers/text_extractor.py:24` — to multi-column pages the way
+    published recursive XY-cut layout analysis does its first vertical
+    cut). Blocks (synthetic deterministic layout: one block per
+    sentence, geometry keyed off md5(text|doc_id)) are checked for a
+    clean vertical cut at the page midline: a page is two-column iff NO
+    block's bbox straddles the midline. Two-column pages read column 0
+    top-to-bottom then column 1; single-column pages fall back to the
+    flat (y, x0, seq) order.
+
+    100 TB shape: everything is per-document higher-order array
+    functions — layout analysis is data-parallel, ZERO exchanges, stays
+    in whole-stage codegen next to the scan.
+    """
+    doc = _t(spark, sf_dir, "documents")
+    sents = doc.select(
+        "doc_id",
+        F.expr(
+            r"filter(transform(split(text, '\\.'), s -> trim(s)), s -> s != '')"
+        ).alias("b"),
+    )
+    # per-block layout: h1 drives column side (h1 % 2), a rare midline
+    # straddle flag (h1 % 29 = 0), and x0; y is an independent hex field
+    meta = sents.select(
+        "doc_id",
+        F.expr(
+            "case when size(b) = 0 then array() else"
+            " transform(sequence(1, size(b)), i -> named_struct("
+            " 'h1', cast(conv(substr(md5(concat(element_at(b, i), '|', doc_id)), 1, 2), 16, 10) as int),"
+            " 'y', cast(conv(substr(md5(concat(element_at(b, i), '|', doc_id)), 3, 4), 16, 10) as int) % 40,"
+            " 'i', i,"
+            " 's', element_at(b, i))) end"
+        ).alias("m"),
+    )
+    flagged = meta.select(
+        "doc_id",
+        F.expr("size(filter(m, x -> x.h1 % 29 = 0)) = 0").alias("is_two_col"),
+        "m",
+    )
+    return flagged.select(
+        "doc_id",
+        "is_two_col",
+        F.expr(
+            "array_join(transform(array_sort(transform(m, x -> named_struct("
+            " 'ck', case when is_two_col then x.h1 % 2 else 0 end,"
+            " 'y', x.y,"
+            " 'x0', case when x.h1 % 29 = 0 then 200 + x.h1 % 50"
+            "            when x.h1 % 2 = 0 then 10 + x.h1 % 50"
+            "            else 310 + x.h1 % 50 end,"
+            " 'i', x.i,"
+            " 's', x.s))), s -> s.s), '\\n')"
+        ).alias("ordered_text"),
+        F.expr("cast(size(m) as bigint)").alias("n_blocks"),
+    )
+
+
+def q_pdf_table_grid(spark, sf_dir):
+    """Table-structure reconstruction from positioned PDF blocks (the
+    step after T2's block extraction when the page region is tabular):
+    quantize block y into table rows, order cells within a row by x,
+    emit one row per (doc, row) with the cells pipe-joined in column
+    order. Synthetic deterministic layout: first 24 tokens are cells,
+    4 cells per row band, x keyed off md5(token#doc_id).
+
+    100 TB shape: posexplode -> ONE groupBy(doc_id, row_idx) shuffle;
+    within-row cell ordering happens inside the aggregate via
+    array_sort(collect_list(struct)) so no window/global sort is
+    needed; grid keys are (doc, row) so skew is bounded by page size.
+    """
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.expr(r"slice(split(trim(text), '\\s+'), 1, 24)").alias("t")
+    )
+    cells = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select(
+        "doc_id",
+        F.expr("cast(floor(p0 / 4) as int)").alias("row_idx"),
+        F.expr("p0 + 1").alias("pos"),
+        F.expr(
+            "cast(conv(substr(md5(concat(tok, '#', doc_id)), 1, 3), 16, 10) as int) % 1000"
+        ).alias("x"),
+        "tok",
+    )
+    return cells.groupBy("doc_id", "row_idx").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(x, pos, tok))),"
+            " s -> s.tok), ' | ')"
+        ).alias("row_text"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )

@@ -587,3 +587,23 @@ def test_bloom_decontam_broadcasts_bit_positions(spark):
     p = plan(Q.q_bloom_decontam(spark, SF_DIR), mode="simple")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_column_layout_order_is_narrow(spark):
+    """XY-cut-style layout analysis is per-document array math: the plan
+    must have ZERO exchanges — at 100 TB layout ordering costs exactly
+    one scan, no shuffle."""
+    p = plan(Q.q_pdf_column_layout_order(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 0
+    assert n_ops(p, "Sort") == 0
+
+
+def test_table_grid_single_shuffle_no_sort(spark):
+    """Table reconstruction groups cells by (doc, row): exactly one
+    Exchange for the groupBy; within-row column ordering happens inside
+    the aggregate (array_sort over collect_list), so no Sort/Window node
+    may appear."""
+    p = plan(Q.q_pdf_table_grid(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1
+    assert n_ops(p, "Sort") == 0
+    assert n_ops(p, "Window") == 0

@@ -17,6 +17,7 @@ reader-visible semantics).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 import uuid
 
@@ -128,10 +129,16 @@ def _committed_snapshots(root: str) -> list[str]:
 
 
 def read_snapshots(spark: SparkSession, root: str) -> DataFrame | None:
+    """Read the committed table. ``mergeSchema`` gives parquet-native
+    schema evolution (Iceberg's add-column path): snapshots written
+    before a column existed read as NULL for it, so an extraction schema
+    can grow over the table's lifetime without rewriting history. (Type
+    *changes* of an existing column still conflict — that is Iceberg's
+    boundary too for parquet file reuse.)"""
     paths = _committed_snapshots(root)
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
@@ -174,11 +181,62 @@ def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def _allocate_snapshot_dir(root: str) -> str:
+    """Atomically claim the next snapshot directory. ``os.mkdir`` is the
+    allocation point (atomic on POSIX), so two concurrent writers that
+    both computed the same next index can never stage into the same
+    ``snapshot=N`` — the loser's mkdir fails and it claims the next one."""
+    os.makedirs(root, exist_ok=True)
+    idx = _next_snapshot_idx(root)
+    while True:
+        path = os.path.join(root, f"snapshot={idx}")
+        try:
+            os.mkdir(path)
+            return path
+        except FileExistsError:
+            idx += 1
+
+
+@_contextlib.contextmanager
+def _commit_lock(root: str, timeout_s: float = 60.0, stale_s: float = 300.0):
+    """Atomic-mkdir mutex around the commit point (validate + publish
+    marker). Held only across a directory listing and a marker write —
+    never across a Spark job — so contention is microseconds. A lock
+    older than ``stale_s`` is presumed abandoned by a crashed writer and
+    broken (the Iceberg-catalog analog is the metastore lock timeout)."""
+    import time
+
+    lock = os.path.join(root, "_COMMIT_LOCK")
+    os.makedirs(root, exist_ok=True)
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_s:
+                    os.rmdir(lock)
+                    continue
+            except OSError:
+                continue  # holder released between the stat and now
+            if time.time() > deadline:
+                raise TimeoutError(f"commit lock at {lock} held too long")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with _contextlib.suppress(OSError):
+            os.rmdir(lock)
+
+
 def run_resumable(
     spark: SparkSession,
     transcripts: DataFrame,
     out_root: str,
     run_id: str | None = None,
+    max_commit_retries: int = 3,
+    _race_hook=None,
 ) -> DataFrame:
     """Extract only the turns not yet in a committed snapshot, then append.
 
@@ -186,40 +244,82 @@ def run_resumable(
     twice on the same input is a no-op the second time; a run killed
     before commit leaves no visible partial state (marker-gated reads).
 
+    Concurrent-writer safety is Iceberg's optimistic model in miniature:
+    each writer plans its anti-join against the committed table state it
+    observed, stages into an atomically-allocated directory (two writers
+    can never collide on a path), and at publish time validates — under a
+    microseconds-scale mkdir mutex — that the committed state is still
+    the one it planned against. A writer that lost the race discards its
+    staged data and re-plans from the new state (the anti-join then
+    excludes whatever the winner committed), up to ``max_commit_retries``
+    times. Serializable-append semantics: no duplicate (conv_id,
+    turn_idx) can ever be published by racing writers.
+
     Each committed snapshot also gets a per-partition lineage/metrics
     table under ``<out_root>/metrics/snapshot=N`` (run_id, snapshot,
     partition_id, turns in/out, bytes in/out, parse failures — ≙ the
     reference's stats + progress rows, SURVEY §1.3), computed from the
     committed parquet so the numbers describe exactly what readers see.
+
+    ``_race_hook`` is a test seam: called after staging, before commit
+    validation, so tests can interleave a competing commit.
     """
     import shutil
 
     run_id = run_id or uuid.uuid4().hex[:12]
-    existing = read_snapshots(spark, out_root)
-    todo = transcripts
-    if existing is not None:
-        done_keys = existing.select("conv_id", "turn_idx")
-        todo = transcripts.join(done_keys, ["conv_id", "turn_idx"], "left_anti")
-    snap_idx = _next_snapshot_idx(out_root)
-    snap_dir = os.path.join(out_root, f"snapshot={snap_idx}")
-    extracted = run_extraction(todo)
-    extracted.write.mode("overwrite").parquet(snap_dir)
-    committed = spark.read.parquet(snap_dir)
-    if existing is not None and committed.isEmpty():
-        # fully-caught-up rerun: don't publish (or keep) an empty snapshot —
-        # no-op reruns must not grow the table's directory count
+    for _attempt in range(max_commit_retries + 1):
+        base_state = {os.path.basename(p) for p in _committed_snapshots(out_root)}
+        existing = read_snapshots(spark, out_root)
+        todo = transcripts
+        if existing is not None:
+            done_keys = existing.select("conv_id", "turn_idx")
+            todo = transcripts.join(done_keys, ["conv_id", "turn_idx"], "left_anti")
+        snap_dir = _allocate_snapshot_dir(out_root)
+        snap_idx = int(os.path.basename(snap_dir).split("=", 1)[1])
+        extracted = run_extraction(todo)
+        extracted.write.mode("overwrite").parquet(snap_dir)
+        committed = spark.read.parquet(snap_dir)
+        if existing is not None and committed.isEmpty():
+            # fully-caught-up rerun: don't publish (or keep) an empty
+            # snapshot — no-op reruns must not grow the directory count.
+            # (If a racing writer committed since we planned, the next
+            # resumable run simply picks its rows up — an empty staged
+            # set can't conflict with anything.)
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            return existing
+        metrics = partition_metrics(committed, run_id=run_id).withColumn(
+            "snapshot", F.lit(snap_idx)
+        )
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(out_root, "metrics", f"snapshot={snap_idx}")
+        )
+        if _race_hook is not None:
+            _race_hook()
+        # optimistic commit: publish only if the table state we planned
+        # against is still current (conservative validation — any
+        # concurrent commit forces a re-plan, like Iceberg's
+        # serializable isolation level)
+        won = False
+        with _commit_lock(out_root):
+            now_state = {
+                os.path.basename(p) for p in _committed_snapshots(out_root)
+            }
+            if now_state == base_state:
+                with open(os.path.join(snap_dir, _MARKER), "w") as fh:
+                    fh.write("ok\n")
+                won = True
+        if won:
+            return read_snapshots(spark, out_root)
+        # lost the race: discard staged data + metrics, re-plan
         shutil.rmtree(snap_dir, ignore_errors=True)
-        return existing
-    metrics = partition_metrics(committed, run_id=run_id).withColumn(
-        "snapshot", F.lit(snap_idx)
+        shutil.rmtree(
+            os.path.join(out_root, "metrics", f"snapshot={snap_idx}"),
+            ignore_errors=True,
+        )
+    raise RuntimeError(
+        f"run_resumable lost the commit race {max_commit_retries + 1} times "
+        f"at {out_root}; raise max_commit_retries or serialize the writers"
     )
-    metrics.write.mode("overwrite").parquet(
-        os.path.join(out_root, "metrics", f"snapshot={snap_idx}")
-    )
-    # job succeeded -> publish the snapshot
-    with open(os.path.join(snap_dir, _MARKER), "w") as fh:
-        fh.write("ok\n")
-    return read_snapshots(spark, out_root)
 
 
 def compact_snapshots(

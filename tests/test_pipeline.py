@@ -407,3 +407,95 @@ def test_expire_keep_last_exceeding_count_removes_nothing(spark, tmp_path):
     run_resumable(spark, full, root)
     assert expire_snapshots(root, keep_last=5) == []
     assert read_snapshots(spark, root).count() == full.count()
+
+
+def test_concurrent_writers_never_duplicate_rows(spark, tmp_path):
+    """Optimistic commit: writer A stages, writer B commits overlapping
+    rows in between, A must detect the state change, discard its staged
+    snapshot, and re-plan — the final table holds each (conv_id,
+    turn_idx) exactly once and covers both inputs."""
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(10), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    evens = full.filter("turn_idx % 2 = 0")
+    root = str(tmp_path / "store")
+
+    raced = {"n": 0}
+
+    def compete():
+        # writer B: commits the even turns while A is between staging
+        # and publishing its own (overlapping) full-input snapshot
+        if raced["n"] == 0:
+            raced["n"] += 1
+            run_resumable(spark, evens, root)
+
+    out = run_resumable(spark, full, root, _race_hook=compete)
+    assert raced["n"] == 1  # the race actually happened
+    rows = out.select("conv_id", "turn_idx").collect()
+    keys = [(r[0], r[1]) for r in rows]
+    assert len(keys) == len(set(keys)) == full.count()
+    # and the retry left no invisible garbage that vacuum would report
+    from ocr_spark.pipeline import vacuum_uncommitted
+
+    assert vacuum_uncommitted(root) == []
+
+
+def test_commit_race_exhaustion_raises(spark, tmp_path):
+    """A writer that loses every commit attempt raises instead of
+    publishing against a stale table state."""
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(4), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx = 0"), root)
+
+    step = {"n": 0}
+
+    def always_compete():
+        # each attempt, commit one more turn_idx so the observed state
+        # always moves between A's planning and publish
+        step["n"] += 1
+        run_resumable(spark, full.filter(f"turn_idx <= {step['n']}"), root)
+
+    with pytest.raises(RuntimeError, match="commit race"):
+        run_resumable(
+            spark, full, root, max_commit_retries=1, _race_hook=always_compete
+        )
+
+
+def test_schema_evolution_add_column_reads_as_null(spark, tmp_path):
+    """Parquet-native schema evolution: a snapshot written with an extra
+    column coexists with older snapshots — readers see the union schema
+    with NULL for snapshots that predate the column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline import _MARKER, _allocate_snapshot_dir
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(6), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    v1 = run_resumable(spark, full, root)
+    assert "quality" not in v1.columns
+
+    # a later pipeline version adds a per-turn quality column
+    snap_dir = _allocate_snapshot_dir(root)
+    evolved = v1.limit(0).withColumn("quality", F.lit(0.5)).withColumn(
+        "conv_id", F.lit("convEVOLVED")
+    )
+    evolved = spark.createDataFrame(
+        [("convEVOLVED", 0, "text", "evolved", [], [], [], True, None, 7, 0.9)],
+        evolved.schema,
+    )
+    evolved.write.mode("overwrite").parquet(snap_dir)
+    with open(os.path.join(snap_dir, _MARKER), "w") as fh:
+        fh.write("ok\n")
+
+    merged = read_snapshots(spark, root)
+    assert "quality" in merged.columns
+    got = {r["conv_id"]: r["quality"] for r in
+           merged.select("conv_id", "quality").distinct().collect()}
+    assert got["convEVOLVED"] == 0.9
+    assert all(v is None for k, v in got.items() if k != "convEVOLVED")

@@ -297,6 +297,23 @@ def main() -> None:
             "cardinality; probes broadcast against it.",
             plan(Q.q_countmin_freq(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Column-aware reading order: layout analysis with zero exchanges",
+            "The XY-cut first vertical cut (two-column iff no block "
+            "straddles the midline) and the column-major sort both run "
+            "as per-document higher-order array functions — layout "
+            "analysis is data-parallel, costs one scan, and never "
+            "shuffles at any corpus size.",
+            plan(Q.q_pdf_column_layout_order(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Table-grid reconstruction: one shuffle, in-aggregate ordering",
+            "Cells group by (doc, row) — exactly one Exchange; the "
+            "within-row column order comes from array_sort over "
+            "collect_list(struct) INSIDE the aggregate, so no Sort or "
+            "Window node exists and skew is bounded by page size.",
+            plan(Q.q_pdf_table_grid(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

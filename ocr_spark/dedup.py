@@ -1,0 +1,247 @@
+"""Production near-duplicate deduplication over a document corpus.
+
+DataFrame -> DataFrame functions for the full MinHash/LSH dedup chain a
+training-data pipeline runs before mixing (Broder 1997 resemblance;
+Leskovec/Rajaraman/Ullman ch.3 banding; GPT-3/C4-style fuzzy dedup):
+
+    shingles -> minhash_signatures -> lsh_candidate_pairs ->
+    verified_pairs -> connected_components -> representatives
+
+The registry queries in ``ocr_spark.queries`` (``minhash_signature``,
+``minhash_lsh_pairs``, ``dedup_clusters``,
+``dedup_cluster_representatives``) call THESE functions, so the DuckDB
+oracle harness value-checks the production code path, and
+``jobs/dedup_job.py`` composes it end-to-end under spark-submit.
+
+Scale notes (each pinned by a plan test in ``tests/test_plans.py``):
+- one md5 per shingle; K permutations are derived Carter-Wegman integer
+  arithmetic inside whole-stage codegen, partial-aggregated to ONE
+  shuffle carrying a single (doc_id, m0..m127) row per doc per map task;
+- candidates come from equi-joining band buckets — never a cross join —
+  and exact-Jaccard verification joins shingles onto the CANDIDATES, so
+  verify cost scales with |candidates|, not |docs|^2;
+- connected components is iterative min-label propagation with bounded
+  plan lineage (localCheckpoint every 5 rounds); dedup components have
+  tiny diameter so it converges in a handful of rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+MINHASH_K = 128  # permutations (16 bands x 8 rows)
+MINHASH_P = 999999999999999989  # largest prime < 10^18; sums stay < 2^62
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def minhash_ab(j: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman coefficients for permutation j, kept
+    < 2^28 so a*h1 + b*h2 with 32-bit h never overflows a signed 64-bit
+    int on either engine (DuckDB raises on BIGINT overflow)."""
+    return (
+        1 + 2 * ((j * 2654435761) % 134217728),
+        1 + 2 * ((j * 2246822519) % 134217728),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct n-word shingles per document. Docs
+    with fewer than n tokens have none and drop out (they cannot be
+    fuzzy duplicates of anything at this granularity)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(toks) >= {n} then"
+                f" array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+                " i -> concat_ws(' ', "
+                + ", ".join(f"element_at(toks, i + {d})" for d in range(n))
+                + "))) else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, m0..m{k-1}): wide MinHash signature rows — the table a
+    production dedup pipeline materializes."""
+    sh = shingles(docs)
+    hashed = sh.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(shingle), 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    aggs = []
+    for j in range(k):
+        a, b = minhash_ab(j)
+        aggs.append(
+            F.min(
+                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(MINHASH_P)
+            ).alias(f"m{j}")
+        )
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from band-bucket equi-joins over a
+    wide signature table; doc_a < doc_b, distinct."""
+    stack_args = []
+    for b in range(bands):
+        key = "concat_ws('_', " + ", ".join(
+            f"m{b * rows + r}" for r in range(rows)
+        ) + ")"
+        stack_args.append(f"{b}, {key}")
+    banded = sig.selectExpr(
+        "doc_id",
+        f"stack({bands}, " + ", ".join(stack_args) + ") as (band, band_key)",
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_pairs(
+    docs: DataFrame, min_jaccard: float = 0.25, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): LSH candidates verified by exact shingle
+    Jaccard — shingles join onto candidates (candidate-first), never
+    doc x doc."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_shingles", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "nb"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the pair graph by
+    iterative min-label propagation — the distributed union-find for
+    dedup graphs. Only docs that appear in a pair get a row."""
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    try:
+        for it in range(max_iters):
+            neigh = edges.join(labels, edges.dst == labels.node).select(
+                F.col("src").alias("node"), "label"
+            )
+            new_labels = (
+                labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+            )
+            # truncate lineage every few rounds so plan depth stays bounded
+            # (20 stacked joins would bloat optimization + task binaries at
+            # scale); localCheckpoint materializes, so it doubles as cache
+            if (it + 1) % 5 == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.cache()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter("n.label != o.label")
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()  # superseded this round; new_labels is live
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
+def representatives(clusters: DataFrame, scores: DataFrame) -> DataFrame:
+    """(cluster, rep_doc_id, rep_quality, n_members): one canonical
+    member per cluster — highest score, doc_id breaks ties. Dedup
+    clusters are tiny, so the cluster-keyed window has no hot key."""
+    joined = clusters.join(scores, "doc_id").select(
+        F.col("cluster_id").alias("cluster"), "doc_id", "quality"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    size_w = Window.partitionBy("cluster")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(size_w).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality").alias("rep_quality"),
+            "n_members",
+        )
+    )
+
+
+def near_dedup(
+    docs: DataFrame, scores: DataFrame, min_jaccard: float = 0.25
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """End-to-end fuzzy dedup: returns ``(kept, clusters, pairs)`` where
+    ``kept`` is the corpus with every non-representative near-duplicate
+    removed (docs outside any cluster are kept untouched), ``clusters``
+    maps clustered docs to cluster ids, and ``pairs`` is the verified
+    pair graph (the audit trail)."""
+    pairs = verified_pairs(docs, min_jaccard=min_jaccard)
+    clusters = connected_components(pairs)
+    reps = representatives(clusters, scores)
+    drop = clusters.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept, clusters, pairs

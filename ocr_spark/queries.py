@@ -246,14 +246,7 @@ _MINHASH_K = 128  # permutations (production-scale; 16 bands x 8 rows in LSH)
 _MINHASH_P = 999999999999999989  # largest prime < 10^18; sums stay < 2^62
 
 
-def _minhash_ab(j: int) -> tuple[int, int]:
-    """Deterministic Carter-Wegman coefficients for permutation j, kept
-    < 2^28 so a*h1 + b*h2 with 32-bit h never overflows a signed 64-bit
-    int on either engine (DuckDB raises on BIGINT overflow)."""
-    return (
-        1 + 2 * ((j * 2654435761) % 134217728),
-        1 + 2 * ((j * 2246822519) % 134217728),
-    )
+from ocr_spark.dedup import minhash_ab as _minhash_ab  # noqa: E402 (oracle mirror)
 
 
 def _minhash_wide(spark, sf_dir) -> DataFrame:
@@ -263,33 +256,13 @@ def _minhash_wide(spark, sf_dir) -> DataFrame:
     separate digest passes. Shape: spread an under-parallelized scan
     (_t_spread) -> explode shingles -> 128 partial-aggregated min()s, so
     the one KEY shuffle carries a single 128-column row per doc per
-    partition."""
-    doc = _t_spread(spark, sf_dir, "documents")
-    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
-            )
-        ).alias("shingle"),
+    partition. Production impl: ``ocr_spark.dedup.minhash_signatures``
+    (this wrapper only binds the driver's documents table)."""
+    from ocr_spark import dedup
+
+    return dedup.minhash_signatures(
+        _t_spread(spark, sf_dir, "documents"), _MINHASH_K
     )
-    hashed = shingles.select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)").alias("h1"),
-        F.expr("cast(conv(substr(md5(shingle), 9, 8), 16, 10) as bigint)").alias("h2"),
-    )
-    aggs = []
-    for j in range(_MINHASH_K):
-        a, b = _minhash_ab(j)
-        aggs.append(
-            F.min(
-                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(_MINHASH_P)
-            ).alias(f"m{j}")
-        )
-    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def q_minhash_signature(spark, sf_dir):
@@ -589,18 +562,9 @@ def q_ann_bucketed_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _shingles_df(spark, sf_dir):
-    doc = _t_spread(spark, sf_dir, "documents")
-    toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
-            )
-        ).alias("shingle"),
-    )
+    from ocr_spark import dedup
+
+    return dedup.shingles(_t_spread(spark, sf_dir, "documents"))
 
 
 _LSH_BANDS = 16
@@ -619,44 +583,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     explosion is a stack over the wide signature row (narrow, 16x row
     count of |docs|, tiny).
     """
-    sig = _minhash_wide(spark, sf_dir)
-    stack_args = []
-    for b in range(_LSH_BANDS):
-        key = "concat_ws('_', " + ", ".join(
-            f"m{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)
-        ) + ")"
-        stack_args.append(f"{b}, {key}")
-    banded = sig.selectExpr(
-        "doc_id",
-        f"stack({_LSH_BANDS}, " + ", ".join(stack_args) + ") as (band, band_key)",
+    from ocr_spark import dedup
+
+    return dedup.verified_pairs(
+        _t_spread(spark, sf_dir, "documents"), min_jaccard=0.25
     )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    joined = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
-        )
-        .filter(F.col("jaccard") >= 0.25)
-    )
-    return joined.select("doc_a", "doc_b", "jaccard")
 
 
 _SIMHASH_BITS = 64  # production width; 4 bands x 16 bits, hamming <= 3
@@ -1488,44 +1419,11 @@ def q_dedup_clusters(spark, sf_dir):
     loop converges in a handful of rounds. The driver-side loop is the
     iteration control only — all data stays distributed.
     """
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").cache()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .cache()
+    from ocr_spark import dedup
+
+    return dedup.connected_components(
+        q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     )
-    try:
-        for it in range(20):
-            neigh = edges.join(labels, edges.dst == labels.node).select(
-                F.col("src").alias("node"), "label"
-            )
-            new_labels = (
-                labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
-            )
-            # truncate lineage every few rounds so plan depth stays bounded
-            # (20 stacked joins would bloat optimization + task binaries at
-            # scale); localCheckpoint materializes, so it doubles as cache
-            if (it + 1) % 5 == 0:
-                new_labels = new_labels.localCheckpoint(eager=True)
-            else:
-                new_labels = new_labels.cache()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter("n.label != o.label")
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()  # superseded this round; new_labels is live
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
-    finally:
-        edges.unpersist()
 
 
 def q_dedup_cluster_representatives(spark, sf_dir):
@@ -1536,25 +1434,10 @@ def q_dedup_cluster_representatives(spark, sf_dir):
     Composition of q_dedup_clusters + q_quality_score; the argmax is a
     cluster-keyed row_number window (dedup clusters are tiny, so no key
     is hot) plus a cluster-size count for audit."""
-    clusters = q_dedup_clusters(spark, sf_dir)
-    quality = q_quality_score(spark, sf_dir)
-    joined = clusters.join(quality, "doc_id").select(
-        F.col("cluster_id").alias("cluster"), "doc_id", "quality"
-    )
-    w = Window.partitionBy("cluster").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    size_w = Window.partitionBy("cluster")
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count("*").over(size_w).cast("bigint"))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster",
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("quality").alias("rep_quality"),
-            "n_members",
-        )
+    from ocr_spark import dedup
+
+    return dedup.representatives(
+        q_dedup_clusters(spark, sf_dir), q_quality_score(spark, sf_dir)
     )
 
 

@@ -76,3 +76,47 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
         if n.startswith("snapshot=")
     ]
     assert snaps == ["snapshot=0"]
+
+
+@pytest.mark.slow
+def test_dedup_job_spark_submit_end_to_end(spark, tmp_path):
+    """The fuzzy-dedup chain as a production job: spark-submit --py-files
+    over the sf0.01 documents table; the printed funnel must reconcile
+    with the written corpus/cluster/pair tables (exactly one
+    representative kept per cluster, everything else untouched)."""
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    out_root = str(tmp_path / "dedup_out")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "dedup_job.py"),
+        "--input", "/root/testdata/sf0.01/documents.parquet",
+        "--output", out_root,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    assert summary["docs_in"] == 500
+    assert summary["docs_kept"] + summary["docs_dropped"] == summary["docs_in"]
+    # dropping all-but-one per cluster: dropped == clustered - clusters
+    assert (
+        summary["docs_dropped"]
+        == summary["docs_in_clusters"] - summary["n_clusters"]
+    )
+    assert summary["n_clusters"] >= 1  # sf0.01 does contain near-dups
+
+    kept = spark.read.parquet(os.path.join(out_root, "deduped"))
+    clusters = spark.read.parquet(os.path.join(out_root, "clusters"))
+    assert kept.count() == summary["docs_kept"]
+    assert kept.select("doc_id").distinct().count() == summary["docs_kept"]
+    # exactly one kept member per cluster
+    kept_per_cluster = (
+        clusters.join(kept, "doc_id").groupBy("cluster_id").count().collect()
+    )
+    assert kept_per_cluster and all(r["count"] == 1 for r in kept_per_cluster)

@@ -245,3 +245,56 @@ def near_dedup(
     ).select("doc_id")
     kept = docs.join(drop, "doc_id", "left_anti")
     return kept, clusters, pairs
+
+
+def rowwise_band_keys(
+    df: DataFrame, self_key: str, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Per-ROW MinHash band keys: explode each input row into ``bands``
+    (band, band_key) rows whose signature is computed entirely inside
+    higher-order array functions — no explode-groupBy — so the stage is
+    NARROW and legal as the stateless prefix of a streaming plan (a
+    grouped signature aggregation would be a second stateful operator).
+
+    Rows with <3 tokens have no shingles and get self-keyed bands
+    (``short:<self_key>:<band>``) they trivially own, so they are never
+    dropped and never collide. ``self_key`` is a SQL expression unique
+    per input row (e.g. ``doc_id`` or ``concat(conv_id, ':', turn_idx)``).
+    """
+    k = bands * rows_per_band
+    out = df.withColumn("_toks", F.split(F.trim(F.col("text")), r"\s+"))
+    out = out.withColumn(
+        "_sh",
+        F.expr(
+            "case when size(_toks) >= 3 then"
+            " array_distinct(transform(sequence(1, size(_toks) - 2),"
+            " i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1),"
+            " element_at(_toks, i + 2))))"
+            " else cast(array() as array<string>) end"
+        ),
+    )
+    out = out.withColumn(
+        "_hp",
+        F.expr(
+            "transform(_sh, s -> named_struct("
+            "'h1', cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint),"
+            "'h2', cast(conv(substr(md5(s), 9, 8), 16, 10) as bigint)))"
+        ),
+    )
+    mins = []
+    for j in range(k):
+        a, b = minhash_ab(j)
+        mins.append(
+            f"array_min(transform(_hp, x -> ({a} * x.h1 + {b} * x.h2) % {MINHASH_P}))"
+        )
+    out = out.withColumn("_sig", F.expr("array(" + ", ".join(mins) + ")"))
+    out = out.withColumn("band", F.explode(F.expr(f"sequence(0, {bands - 1})")))
+    key = (
+        f"case when size(_sh) = 0 then concat('short:', {self_key}, ':', band)"
+        f" else concat(band, ':', concat_ws('_',"
+        f" transform(slice(_sig, band * {rows_per_band} + 1, {rows_per_band}),"
+        " v -> cast(v as string)))) end"
+    )
+    return out.withColumn("band_key", F.expr(key)).drop(
+        "_toks", "_sh", "_hp", "_sig"
+    )

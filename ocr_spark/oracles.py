@@ -2675,3 +2675,44 @@ SELECT doc_id,
 FROM cells
 GROUP BY doc_id, CAST((c.pos - 1) // 4 AS INT)
 """
+
+
+# --- streaming band-dedup batch twin (16 per-row perms, 8 bands x 2) ------
+_BD_SIG_LIST = "[" + ",\n    ".join(
+    f"list_min(list_transform(hp, x -> ({a} * x.h1 + {b} * x.h2) % {_MH_P}))"
+    for a, b in (_mh_ab(j) for j in range(16))
+) + "]"
+
+ORACLES["band_dedup_keep_first"] = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks
+), hpt AS (
+  SELECT doc_id, shingles,
+         list_transform(list_transform(shingles, s -> md5(s)),
+           d -> {{'h1': ('0x' || substr(d, 1, 8))::BIGINT,
+                  'h2': ('0x' || substr(d, 9, 8))::BIGINT}}) AS hp
+  FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {_BD_SIG_LIST} AS sig FROM hpt
+), banded AS (
+  SELECT doc_id,
+         CASE WHEN len(shingles) = 0
+              THEN 'short:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+              ELSE CAST(b AS VARCHAR) || ':' || array_to_string(
+                list_transform(sig[b*2+1 : b*2+2], v -> CAST(v AS VARCHAR)), '_')
+         END AS band_key
+  FROM sig, unnest(range(0, 8)) AS tt(b)
+), owners AS (
+  SELECT band_key, min(doc_id) AS owner FROM banded GROUP BY band_key
+)
+SELECT bd.doc_id,
+       CAST(sum(CASE WHEN o.owner = bd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_bands_owned,
+       sum(CASE WHEN o.owner = bd.doc_id THEN 1 ELSE 0 END) = 8 AS kept
+FROM banded bd JOIN owners o USING (band_key)
+GROUP BY bd.doc_id
+"""

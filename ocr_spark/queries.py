@@ -4668,3 +4668,33 @@ def q_pdf_table_grid(spark, sf_dir):
         ).alias("row_text"),
         F.count("*").cast("bigint").alias("n_cells"),
     )
+
+
+def q_band_dedup_keep_first(spark, sf_dir):
+    """Batch twin of ``streaming.stream_band_dedup`` — keep-first MinHash
+    band ownership (the streaming ingest gate's semantics, pinned here
+    against the DuckDB oracle): each doc emits 8 band keys (16 per-row
+    Carter-Wegman permutations, 2 rows/band, computed in higher-order
+    array functions with no explode-groupBy); the OWNER of a band key is
+    its lowest-doc_id holder ("first arrival" under the batch table's
+    deterministic order); a doc is kept iff it owns ALL its bands. Docs
+    with <3 tokens self-key and trivially pass.
+
+    Distributed shape: narrow per-row signature -> ONE groupBy(band_key)
+    for ownership -> equi-join back -> ONE groupBy(doc_id). State/keys
+    scale with distinct band keys, never doc pairs; no window, no sort.
+    """
+    from ocr_spark import dedup
+
+    doc = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    banded = dedup.rowwise_band_keys(
+        doc, self_key="doc_id", bands=8, rows_per_band=2
+    ).select("doc_id", "band_key")
+    owners = banded.groupBy("band_key").agg(F.min("doc_id").alias("owner"))
+    joined = banded.join(owners, "band_key")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(F.expr("if(owner = doc_id, 1, 0)")).cast("bigint").alias("n_bands_owned")
+    )
+    return per_doc.select(
+        "doc_id", "n_bands_owned", (F.col("n_bands_owned") == 8).alias("kept")
+    )

@@ -366,3 +366,52 @@ def stream_curate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_band_dedup(
+    transcripts: DataFrame,
+    watermark: str = "1 hour",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: the fuzzy twin of ``stream_dedup_exact``.
+
+    Each turn's text becomes ``bands`` MinHash band keys computed
+    entirely per-row (``ocr_spark.dedup.rowwise_band_keys`` — narrow
+    higher-order array functions, so the signature stage is stateless
+    and legal under streaming). Semantics (keep-first band ownership,
+    the streaming analog of LSH candidate suppression): a turn is kept
+    iff it is the first arrival — within the watermark horizon — of ALL
+    its band keys; a later turn colliding with ANY previously seen band
+    is a near-dup candidate and is dropped without a verify pass (the
+    recall/precision trade a streaming ingest gate makes; the batch
+    chain re-verifies offline). Short texts (<3 tokens) self-key and
+    always pass.
+
+    State shape: two chained stateful operators in append mode —
+    ``dropDuplicatesWithinWatermark`` keyed on band_key (state = one row
+    per distinct band key, EVICTED at the watermark) followed by a
+    windowed per-turn count that emits turns owning all ``bands`` keys
+    once their window closes. Both states are watermark-bounded, never
+    corpus-bounded. The batch twin (``band_dedup_keep_first``, DuckDB
+    oracle-checked) pins the keep-first ownership semantics.
+    """
+    from ocr_spark.dedup import rowwise_band_keys
+
+    banded = rowwise_band_keys(
+        transcripts.select("conv_id", "turn_idx", "text", "ts"),
+        self_key="concat(conv_id, ':', turn_idx)",
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    first = banded.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["band_key"]
+    )
+    owned = (
+        first.groupBy(
+            F.window("ts", "10 minutes"), "conv_id", "turn_idx"
+        ).agg(F.count("*").alias("n_owned"))
+    )
+    return owned.filter(F.col("n_owned") == bands).select(
+        "conv_id", "turn_idx", F.col("window.start").alias("win_start")
+    )

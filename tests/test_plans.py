@@ -607,3 +607,16 @@ def test_table_grid_single_shuffle_no_sort(spark):
     assert n_ops(p, "Exchange") == 1
     assert n_ops(p, "Sort") == 0
     assert n_ops(p, "Window") == 0
+
+
+def test_band_dedup_no_sort_no_pairjoin(spark):
+    """The streaming-gate batch twin keys state on band_key, never doc
+    pairs: the plan is (spread) -> narrow per-row signature -> ownership
+    groupBy -> join-back -> per-doc groupBy. At most 4 exchanges (spread
+    + 2 aggs + join-back), and NO Sort/Window/cartesian anywhere — cost
+    scales with distinct band keys, not docs^2."""
+    p = plan(Q.q_band_dedup_keep_first(spark, SF_DIR))
+    assert n_ops(p, "Exchange") <= 4
+    assert n_ops(p, "Sort") == 0
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "CartesianProduct") == 0

@@ -370,3 +370,72 @@ def test_stream_curate_matches_batch_curation(spark, dirs):
     assert got_shas == want_shas and len(got_shas) > 0
     # every surviving streaming row carries a valid, content-stable split
     assert all(s in ("train", "val", "test") for _, s, _ in got)
+
+
+def test_stream_band_dedup_drops_near_dups_keeps_new(spark, dirs):
+    """Streaming MinHash band-key dedup: a later turn whose text
+    collides on every band with an earlier one (here: identical text
+    under a different conv_id — the re-posted-content archetype exact
+    dedup cannot catch across keys) is dropped; genuinely new text and
+    short self-keyed texts pass. Emission is append-mode, so a far-
+    future sentinel batch closes all earlier windows."""
+    import datetime
+
+    from ocr_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_band_dedup,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(conv, text, ts):
+        return [(f"conv{conv}", 0, "user", text, "", ts)]
+
+    long_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_b = "spark plans shuffle data between stages when keys must colocate"
+    new_c = "completely different content about gardens flowers and honeybees"
+
+    def write(name, data):
+        spark.createDataFrame(data, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dirs["in"], name))
+
+    def run():
+        stream = read_transcript_stream(spark, dirs["in"] + "/*")
+        q = (
+            stream_band_dedup(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two distinct long texts + one short (self-keyed)
+    write("b1", rows(0, long_a, t0) + rows(1, long_b, t0) + rows(2, "hi", t0))
+    run()
+    # batch 2 (+30 min): near-dups of batch 1 under NEW conv ids, one
+    # genuinely new text, one short
+    t1 = t0 + datetime.timedelta(minutes=30)
+    write(
+        "b2",
+        rows(10, long_a, t1) + rows(11, long_b, t1)
+        + rows(12, new_c, t1) + rows(13, "yo", t1),
+    )
+    run()
+    # sentinel far in the future: advances the watermark past every
+    # earlier window so all append-mode results are emitted
+    write("b3", rows(99, "bye", t0 + datetime.timedelta(days=10)))
+    run()
+
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    # batch-1 content and all short turns kept; batch-2 near-dups dropped
+    assert ("conv0", 0) in got and ("conv1", 0) in got
+    assert ("conv2", 0) in got and ("conv13", 0) in got
+    assert ("conv12", 0) in got  # new content passes
+    assert ("conv10", 0) not in got and ("conv11", 0) not in got

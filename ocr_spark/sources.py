@@ -139,3 +139,50 @@ def read_transcripts_csv(
         skip_header_token=_COLS[0],
     )
     return good, bad
+
+
+# file extension -> media kind for raw binary ingestion
+_MEDIA_EXTS = {
+    "image": ("jpg", "jpeg", "png", "gif", "bmp", "tiff", "webp"),
+    "audio": ("wav", "mp3", "flac", "ogg", "m4a"),
+    "video": ("mp4", "avi", "mkv", "mov", "webm"),
+}
+
+
+def read_media_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's ``binaryFile`` source — the entry
+    point for image/audio/video corpora (the reference ingests these as
+    HTTP uploads, ``routes/ocr_routes.py``; a lake ingests them as
+    files). One row per file, normalized to the media schema the
+    multimodal operators consume (``media_id, kind, payload`` — feed
+    straight into ``decode_media_meta``/``decode_media_real``), with the
+    source path kept for lineage.
+
+    Scale notes: ``pathGlobFilter`` prunes at LISTING time (no data
+    read for filtered files); kind is derived from the extension —
+    cheap, no content sniffing; ``media_id`` is a content-independent
+    xxhash64 of the path (stable across re-ingests, no collision pair
+    expected below ~2^32 files). binaryFile caps file size at
+    ``spark.sql.sources.binaryFile.maxLength`` (2 GB default) — media
+    beyond that should land as chunked objects upstream.
+    """
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind = (
+        F.when(ext.isin(*_MEDIA_EXTS["image"]), "image")
+        .when(ext.isin(*_MEDIA_EXTS["audio"]), "audio")
+        .when(ext.isin(*_MEDIA_EXTS["video"]), "video")
+        .otherwise("binary")
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes_listed"),
+    )

@@ -121,3 +121,42 @@ def test_parquet_reader_pins_columns(spark, tmp_path):
         for r in got_df.collect()
     )
     assert got == want
+
+
+def test_read_media_binary_normalizes_files_to_media_schema(spark, tmp_path):
+    """binaryFile ingestion: one row per file, kind from extension,
+    payload = exact bytes, glob prunes at listing time."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.multimodal import decode_media_meta
+    from ocr_spark.sources import read_media_binary
+
+    d = tmp_path / "media" / "nested"
+    d.mkdir(parents=True)
+    (d / "a.png").write_bytes(b"\x89PNG-fake-bytes")
+    (d / "b.wav").write_bytes(b"RIFF-fake-audio")
+    (d / "c.mp4").write_bytes(b"ftyp-fake-video")
+    (d / "notes.txt").write_bytes(b"not media")
+
+    media = read_media_binary(spark, str(tmp_path / "media"))
+    rows = {r["source_path"].split("/")[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.png", "b.wav", "c.mp4", "notes.txt"}
+    assert rows["a.png"]["kind"] == "image"
+    assert rows["b.wav"]["kind"] == "audio"
+    assert rows["c.mp4"]["kind"] == "video"
+    assert rows["notes.txt"]["kind"] == "binary"
+    assert bytes(rows["a.png"]["payload"]) == b"\x89PNG-fake-bytes"
+    assert rows["b.wav"]["n_bytes_listed"] == 15
+    # media_ids are distinct and stable
+    assert media.select("media_id").distinct().count() == 4
+
+    # glob prunes to images only, at listing time
+    imgs = read_media_binary(spark, str(tmp_path / "media"), glob="*.png")
+    assert [r["kind"] for r in imgs.collect()] == ["image"]
+
+    # feeds the multimodal decode plumbing unchanged
+    meta = decode_media_meta(media.filter(F.col("kind") != "binary"))
+    got = {r["kind"]: r for r in meta.collect()}
+    assert got["image"]["decode_ok"] and got["image"]["width"] is not None
+    assert got["audio"]["sample_rate"] is not None
+    assert got["video"]["n_frames"] >= 1

@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_column_layout_order": Q.q_pdf_column_layout_order,
         "pdf_table_grid": Q.q_pdf_table_grid,
         "band_dedup_keep_first": Q.q_band_dedup_keep_first,
+        "dup_span_islands": Q.q_dup_span_islands,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2716,3 +2716,31 @@ SELECT bd.doc_id,
 FROM banded bd JOIN owners o USING (band_key)
 GROUP BY bd.doc_id
 """
+
+ORACLES["dup_span_islands"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, c.pos AS pos, c.g AS g
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 4, 0) + 1),
+             i -> {'pos': i, 'g': md5(array_to_string(t[i:i+4], ' '))})) AS c
+    FROM toks
+  )
+), counts AS (
+  SELECT g, count(*) AS n_occ FROM grams GROUP BY g
+), dup_pos AS (
+  SELECT doc_id, pos FROM grams JOIN counts USING (g) WHERE n_occ >= 2
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup_pos
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM runs
+GROUP BY doc_id, grp
+"""

@@ -4698,3 +4698,49 @@ def q_band_dedup_keep_first(spark, sf_dir):
     return per_doc.select(
         "doc_id", "n_bands_owned", (F.col("n_bands_owned") == 8).alias("kept")
     )
+
+
+def q_dup_span_islands(spark, sf_dir):
+    """ExactSubstr-style duplicate-SPAN detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    repeated substrings, not whole documents). 5-token grams are hashed
+    once; a gram occurring >= 2 times corpus-wide is duplicated; per doc,
+    maximal runs of consecutive duplicated gram positions merge into
+    islands (the gaps-and-islands pattern: pos - row_number is constant
+    within a run), each reported as a token span [span_start, span_end].
+
+    Distributed shape: explode grams (narrow) -> ONE partial-aggregated
+    groupBy(gram) for corpus counts -> equi-join the (gram, n) table back
+    onto positions (no fanout: one row per distinct gram) -> per-doc
+    window for run grouping (doc-keyed, no global sort) -> island
+    groupBy reuses the doc partitioning. The gram-count aggregate
+    absorbs hot stopword grams map-side; nothing here is pairwise.
+    """
+    L = 5
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) >= {L} then"
+                f" transform(sequence(1, size(toks) - {L - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {L}))))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", F.expr("p0 + 1").alias("pos"), "g")
+    counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
+    dup_pos = (
+        grams.join(counts, "g").filter(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).cast("bigint").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")

@@ -230,3 +230,50 @@ class TestClassifyExtract:
         assert agg["n_turns"] == 4
         assert agg["n_text"] == 2  # text + html
         assert agg["n_ocr"] == 1
+
+
+def test_rowwise_band_keys_match_wide_signature(spark):
+    """Cross-implementation consistency: the per-row streaming-path
+    signature (rowwise_band_keys: higher-order array functions) must
+    produce exactly the band keys the batch explode+groupBy path
+    (minhash_signatures at the same k) produces — same shingles, same
+    Carter-Wegman permutations, two independent constructions."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words describing spark shuffles here"),
+            (3, "hi"),  # <3 tokens: self-keyed on the rowwise path
+            (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        ],
+        "doc_id bigint, text string",
+    )
+    rowwise = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in dedup.rowwise_band_keys(
+            docs, self_key="doc_id", bands=8, rows_per_band=2
+        ).collect()
+    }
+    wide = dedup.minhash_signatures(docs, k=16)
+    stacked = wide.selectExpr(
+        "doc_id",
+        "stack(8, " + ", ".join(
+            f"{b}, concat({b}, ':', concat_ws('_', cast(m{2 * b} as string),"
+            f" cast(m{2 * b + 1} as string)))"
+            for b in range(8)
+        ) + ") as (band, band_key)",
+    )
+    batch = {
+        (r["doc_id"], r["band"]): r["band_key"] for r in stacked.collect()
+    }
+    # docs with shingles: every band key identical across constructions
+    for key, val in batch.items():
+        assert rowwise[key] == val, key
+    # identical texts share all band keys; distinct texts share none
+    assert all(rowwise[(1, b)] == rowwise[(4, b)] for b in range(8))
+    assert all(rowwise[(1, b)] != rowwise[(2, b)] for b in range(8))
+    # the short doc self-keys every band (absent from the wide path)
+    assert all(rowwise[(3, b)].startswith("short:3:") for b in range(8))

@@ -620,3 +620,15 @@ def test_band_dedup_no_sort_no_pairjoin(spark):
     assert n_ops(p, "Sort") == 0
     assert n_ops(p, "Window") == 0
     assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_dup_span_islands_no_global_sort_single_window(spark):
+    """Duplicate-span detection: the only Sort is the doc-keyed window
+    sort for run grouping (never global), the island groupBy reuses the
+    window's doc partitioning (4 exchanges total: spread, gram counts,
+    join-back, window), and nothing is pairwise."""
+    p = plan(Q.q_dup_span_islands(spark, SF_DIR))
+    assert n_ops(p, "Exchange") <= 4
+    assert n_ops(p, "Window") == 1
+    assert n_ops(p, "Sort") == 1  # the doc-keyed window sort only
+    assert n_ops(p, "CartesianProduct") == 0

@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_grid": Q.q_pdf_table_grid,
         "band_dedup_keep_first": Q.q_band_dedup_keep_first,
         "dup_span_islands": Q.q_dup_span_islands,
+        "incremental_band_dedup": Q.q_incremental_band_dedup,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

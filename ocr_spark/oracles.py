@@ -2744,3 +2744,39 @@ SELECT doc_id,
 FROM runs
 GROUP BY doc_id, grp
 """
+
+ORACLES["incremental_band_dedup"] = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks
+), hpt AS (
+  SELECT doc_id, shingles,
+         list_transform(list_transform(shingles, s -> md5(s)),
+           d -> {{'h1': ('0x' || substr(d, 1, 8))::BIGINT,
+                  'h2': ('0x' || substr(d, 9, 8))::BIGINT}}) AS hp
+  FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {_BD_SIG_LIST} AS sig FROM hpt
+), banded AS (
+  SELECT doc_id,
+         CASE WHEN len(shingles) = 0
+              THEN 'short:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+              ELSE CAST(b AS VARCHAR) || ':' || array_to_string(
+                list_transform(sig[b*2+1 : b*2+2], v -> CAST(v AS VARCHAR)), '_')
+         END AS band_key
+  FROM sig, unnest(range(0, 8)) AS tt(b)
+), corpus_keys AS (
+  SELECT DISTINCT band_key FROM banded WHERE doc_id % 10 != 0
+)
+SELECT bd.doc_id,
+       CAST(sum(CASE WHEN ck.band_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_bands,
+       bool_or(ck.band_key IS NOT NULL) AS is_near_dup
+FROM (SELECT * FROM banded WHERE doc_id % 10 = 0) bd
+LEFT JOIN corpus_keys ck USING (band_key)
+GROUP BY bd.doc_id
+"""

@@ -4744,3 +4744,39 @@ def q_dup_span_islands(spark, sf_dir):
         (F.max("pos") + F.lit(L - 1)).cast("bigint").alias("span_end"),
         F.count("*").cast("bigint").alias("n_grams"),
     ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def q_incremental_band_dedup(spark, sf_dir):
+    """Incremental FUZZY dedup of an incoming batch against a frozen
+    corpus (the production crawl-ingest case: the 100 TB corpus's pair
+    graph is already settled; only new-vs-corpus matters). Split:
+    doc_id % 10 == 0 is the incoming batch, the rest the corpus. Both
+    sides get per-row MinHash band keys (8 bands x 2 rows — the
+    streaming gate's signature); a new doc is a near-dup candidate iff
+    ANY of its band keys exists in the corpus key set.
+
+    Distributed shape: the corpus reduces to DISTINCT band keys (ONE
+    partial-aggregated groupBy — the only corpus-sized shuffle, reused
+    across every future batch if materialized); the batch left-joins
+    that key set and aggregates per doc. Never pairwise, never
+    batch x corpus: cost is |corpus keys| + |batch| per ingest."""
+    from ocr_spark import dedup
+
+    doc = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = doc.filter("doc_id % 10 != 0")
+    batch = doc.filter("doc_id % 10 = 0")
+    corpus_keys = (
+        dedup.rowwise_band_keys(corpus, self_key="doc_id")
+        .select("band_key").distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch_bands = dedup.rowwise_band_keys(batch, self_key="doc_id").select(
+        "doc_id", "band_key"
+    )
+    marked = batch_bands.join(corpus_keys, "band_key", "left")
+    return marked.groupBy("doc_id").agg(
+        F.sum(F.expr("if(in_corpus is not null, 1, 0)"))
+        .cast("bigint")
+        .alias("n_matched_bands"),
+        F.max(F.expr("in_corpus is not null")).alias("is_near_dup"),
+    )

@@ -632,3 +632,14 @@ def test_dup_span_islands_no_global_sort_single_window(spark):
     assert n_ops(p, "Window") == 1
     assert n_ops(p, "Sort") == 1  # the doc-keyed window sort only
     assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_incremental_band_dedup_never_pairwise(spark):
+    """Batch-vs-frozen-corpus fuzzy dedup joins the batch's band keys
+    against the corpus's DISTINCT key set — never doc x doc: no
+    cartesian/nested-loop join anywhere, no Sort, no Window."""
+    p = plan(Q.q_incremental_band_dedup(spark, SF_DIR))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "Sort") == 0
+    assert n_ops(p, "Window") == 0

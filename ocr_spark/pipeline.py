@@ -104,13 +104,22 @@ def _next_snapshot_idx(root: str) -> int:
     return 1 + max(indices, default=-1)
 
 
-def _superseded_names(root: str) -> set[str]:
+def _snapshot_idx(path: str) -> int:
+    return int(os.path.basename(path).split("=", 1)[1])
+
+
+def _superseded_names(root: str, as_of: int | None = None) -> set[str]:
     """Dir names replaced by a committed compacted snapshot. Reading the
     lists only from COMMITTED snapshots makes compaction atomic at the
     marker write: before it, old dirs are visible; after it, they are
-    ignored even though their own markers still exist."""
+    ignored even though their own markers still exist. With ``as_of``,
+    only tombstones written by snapshots <= that index count — a
+    compaction that happened AFTER the as-of point must not hide the
+    dirs that were live then."""
     out: set[str] = set()
     for p in _snapshot_dirs(root):
+        if as_of is not None and _snapshot_idx(p) > as_of:
+            continue
         sup = os.path.join(p, _SUPERSEDES)
         if os.path.exists(os.path.join(p, _MARKER)) and os.path.exists(sup):
             with open(sup) as fh:
@@ -118,24 +127,35 @@ def _superseded_names(root: str) -> set[str]:
     return out
 
 
-def _committed_snapshots(root: str) -> list[str]:
-    dead = _superseded_names(root)
+def _committed_snapshots(root: str, as_of: int | None = None) -> list[str]:
+    dead = _superseded_names(root, as_of)
     return [
         p
         for p in _snapshot_dirs(root)
         if os.path.exists(os.path.join(p, _MARKER))
         and os.path.basename(p) not in dead
+        and (as_of is None or _snapshot_idx(p) <= as_of)
     ]
 
 
-def read_snapshots(spark: SparkSession, root: str) -> DataFrame | None:
+def read_snapshots(
+    spark: SparkSession, root: str, as_of: int | None = None
+) -> DataFrame | None:
     """Read the committed table. ``mergeSchema`` gives parquet-native
     schema evolution (Iceberg's add-column path): snapshots written
     before a column existed read as NULL for it, so an extraction schema
     can grow over the table's lifetime without rewriting history. (Type
     *changes* of an existing column still conflict — that is Iceberg's
-    boundary too for parquet file reuse.)"""
-    paths = _committed_snapshots(root)
+    boundary too for parquet file reuse.)
+
+    ``as_of`` is snapshot time travel (Iceberg ``VERSION AS OF``): read
+    the table exactly as it stood after snapshot N committed — later
+    appends are excluded and later compactions' tombstones are ignored.
+    History lives until compaction's cleanup / ``expire_snapshots`` /
+    ``vacuum_uncommitted`` physically removes the source dirs (the same
+    retention-bounded window Iceberg gives); an as-of point whose data
+    has been removed returns None, like any other empty state."""
+    paths = _committed_snapshots(root, as_of)
     if not paths:
         return None
     return spark.read.option("mergeSchema", "true").parquet(*paths)

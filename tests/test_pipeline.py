@@ -499,3 +499,49 @@ def test_schema_evolution_add_column_reads_as_null(spark, tmp_path):
            merged.select("conv_id", "quality").distinct().collect()}
     assert got["convEVOLVED"] == 0.9
     assert all(v is None for k, v in got.items() if k != "convEVOLVED")
+
+
+def test_snapshot_time_travel_as_of(spark, tmp_path):
+    """read_snapshots(as_of=N) reproduces the table exactly as it stood
+    after snapshot N committed: later appends excluded, and a LATER
+    compaction's tombstones ignored for earlier as-of points (until
+    cleanup physically removes history — the retention-bounded window)."""
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(9), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    third = full.filter("turn_idx % 3 = 0")
+    two_thirds = full.filter("turn_idx % 3 <= 1")
+    root = str(tmp_path / "store")
+
+    run_resumable(spark, third, root)        # snapshot=0
+    run_resumable(spark, two_thirds, root)   # snapshot=1
+    run_resumable(spark, full, root)         # snapshot=2
+
+    n_third = third.count()
+    n_two_thirds = two_thirds.count()
+    n_full = full.count()
+    assert read_snapshots(spark, root, as_of=0).count() == n_third
+    assert read_snapshots(spark, root, as_of=1).count() == n_two_thirds
+    assert read_snapshots(spark, root, as_of=2).count() == n_full
+    # as_of beyond the newest snapshot = latest state
+    assert read_snapshots(spark, root, as_of=99).count() == n_full
+    # the as-of view is the exact historical key set, not a prefix of files
+    keys0 = {
+        (r["conv_id"], r["turn_idx"])
+        for r in read_snapshots(spark, root, as_of=0)
+        .select("conv_id", "turn_idx").collect()
+    }
+    assert keys0 == {
+        (r["conv_id"], r["turn_idx"])
+        for r in third.select("conv_id", "turn_idx").collect()
+    }
+
+    # compaction rewrites history into one snapshot (idx=3) and removes
+    # the old dirs: latest reads stay intact; pre-compaction as-of points
+    # are gone (retention boundary), and the compacted index time-travels
+    from ocr_spark.pipeline import compact_snapshots
+
+    assert compact_snapshots(spark, root) == 3
+    assert read_snapshots(spark, root).count() == n_full
+    assert read_snapshots(spark, root, as_of=3).count() == n_full
+    assert read_snapshots(spark, root, as_of=0) is None

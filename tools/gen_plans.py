@@ -314,6 +314,31 @@ def main() -> None:
             "Window node exists and skew is bounded by page size.",
             plan(Q.q_pdf_table_grid(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Band dedup (streaming-gate twin): state keyed on band keys",
+            "The per-row signature is higher-order array math (narrow); "
+            "ownership is one groupBy(band_key) + a join-back + one "
+            "per-doc groupBy — state and shuffles scale with distinct "
+            "band keys, never doc pairs, and no Sort/Window exists.",
+            plan(Q.q_band_dedup_keep_first(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Duplicate spans: gaps-and-islands, no global sort",
+            "Gram counts partial-aggregate map-side (hot stopword grams "
+            "absorbed before the shuffle); the join-back adds no fanout "
+            "(one row per distinct gram); the only Sort is the doc-keyed "
+            "window sort, and the island aggregate reuses the window's "
+            "doc partitioning.",
+            plan(Q.q_dup_span_islands(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Incremental batch-vs-corpus dedup: corpus reduced to keys once",
+            "The frozen corpus becomes a DISTINCT band-key set (reusable "
+            "across every future ingest if materialized); the incoming "
+            "batch left-joins that set and aggregates per doc — cost is "
+            "|corpus keys| + |batch| per ingest, never batch x corpus.",
+            plan(Q.q_incremental_band_dedup(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

@@ -289,6 +289,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_dedup_keep_first": Q.q_band_dedup_keep_first,
         "dup_span_islands": Q.q_dup_span_islands,
         "incremental_band_dedup": Q.q_incremental_band_dedup,
+        # data-layout / table-maintenance family
+        "compaction_plan": Q.q_compaction_plan,
+        "zorder_layout": Q.q_zorder_layout,
+        "manifest_prune_stats": Q.q_manifest_prune_stats,
+        "snapshot_cdc_diff": Q.q_snapshot_cdc_diff,
+        # retrieval-eval family
+        "rrf_fusion": Q.q_rrf_fusion,
+        "ndcg_at_10": Q.q_ndcg_at_10,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -2780,3 +2780,218 @@ FROM (SELECT * FROM banded WHERE doc_id % 10 = 0) bd
 LEFT JOIN corpus_keys ck USING (band_key)
 GROUP BY bd.doc_id
 """
+
+# --------------------------------------------------------------------------
+# data-layout / table-maintenance family
+
+ORACLES["compaction_plan"] = r"""
+WITH files AS (
+  SELECT source, doc_id, n_chars AS size_bytes,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bytes_before
+  FROM documents
+)
+SELECT source,
+       CAST(floor(bytes_before / 4096.0) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM files
+GROUP BY source, bin_id
+"""
+
+ORACLES["zorder_layout"] = r"""
+WITH ev AS (
+  SELECT event_id, event_id % 256 AS x, user_id % 256 AS y
+  FROM events
+), keyed AS (
+  SELECT event_id, x, y,
+         list_sum(list_transform(range(0, 8),
+             i -> (((x >> i) & 1) << (2 * i))
+                + (((y >> i) & 1) << (2 * i + 1)))) AS z
+  FROM ev
+), lin_files AS (
+  SELECT CAST(floor(event_id / 512.0) AS BIGINT) AS file_id,
+         max(x) - min(x) AS span_x, max(y) - min(y) AS span_y,
+         count(*) AS n_rows
+  FROM keyed GROUP BY 1
+), z_files AS (
+  SELECT CAST(floor(z / 128.0) AS BIGINT) AS file_id,
+         max(x) - min(x) AS span_x, max(y) - min(y) AS span_y,
+         count(*) AS n_rows
+  FROM keyed GROUP BY 1
+)
+SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       round(avg(span_x), 4) AS avg_span_x,
+       round(avg(span_y), 4) AS avg_span_y,
+       round(avg(n_rows), 4) AS avg_rows_per_file
+FROM lin_files
+UNION ALL
+SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       round(avg(span_x), 4) AS avg_span_x,
+       round(avg(span_y), 4) AS avg_span_y,
+       round(avg(n_rows), 4) AS avg_rows_per_file
+FROM z_files
+"""
+
+ORACLES["manifest_prune_stats"] = r"""
+WITH ev AS (
+  SELECT event_id, user_id FROM events
+), lin AS (
+  SELECT CAST(floor(event_id / 500.0) AS BIGINT) AS file_id,
+         min(user_id) AS fmin, max(user_id) AS fmax, count(*) AS n_rows,
+         sum(CASE WHEN user_id BETWEEN 40 AND 60 THEN 1 ELSE 0 END)
+           AS n_matched
+  FROM ev GROUP BY 1
+), clu AS (
+  SELECT CAST(floor(user_id / 10.0) AS BIGINT) AS file_id,
+         min(user_id) AS fmin, max(user_id) AS fmax, count(*) AS n_rows,
+         sum(CASE WHEN user_id BETWEEN 40 AND 60 THEN 1 ELSE 0 END)
+           AS n_matched
+  FROM ev GROUP BY 1
+), agg AS (
+  SELECT 'insertion' AS layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN fmax >= 40 AND fmin <= 60 THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_read,
+         CAST(sum(CASE WHEN fmax >= 40 AND fmin <= 60 THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_scanned,
+         CAST(sum(n_matched) AS BIGINT) AS rows_matched
+  FROM lin
+  UNION ALL
+  SELECT 'clustered' AS layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN fmax >= 40 AND fmin <= 60 THEN 1 ELSE 0 END)
+              AS BIGINT) AS files_read,
+         CAST(sum(CASE WHEN fmax >= 40 AND fmin <= 60 THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_scanned,
+         CAST(sum(n_matched) AS BIGINT) AS rows_matched
+  FROM clu
+)
+SELECT layout, n_files, files_read, rows_scanned, rows_matched,
+       round(1.0 - CAST(files_read AS DOUBLE) / n_files, 4) AS prune_ratio,
+       round(CAST(rows_scanned AS DOUBLE) / rows_matched, 4)
+         AS read_amplification
+FROM agg
+"""
+
+ORACLES["snapshot_cdc_diff"] = r"""
+WITH v1 AS (
+  SELECT doc_id, text FROM documents
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM v1 WHERE doc_id % 17 != 2
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, 'new: ' || text AS text
+  FROM v1 WHERE doc_id % 19 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.text IS NULL THEN 'removed'
+            WHEN a.text IS NULL THEN 'added'
+            WHEN a.text != b.text THEN 'changed'
+            ELSE 'unchanged' END AS action,
+       CAST(length(a.text) AS BIGINT) AS chars_before,
+       CAST(length(b.text) AS BIGINT) AS chars_after
+FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE (CASE WHEN b.text IS NULL THEN 'removed'
+            WHEN a.text IS NULL THEN 'added'
+            WHEN a.text != b.text THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+"""
+
+# --------------------------------------------------------------------------
+# retrieval-eval family (composes the bm25_topk / cosine_topk oracles)
+
+_BM25_SCORED = r"""t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+  FROM t
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               unnest(toks) AS term FROM t)
+  WHERE term IN ('spark', 'table', 'hash', 'merge', 'window')
+  GROUP BY doc_id, dl, term
+), idf AS (
+  SELECT term,
+         ln((s.n_docs - CAST(count(*) AS DOUBLE) + 0.5)
+            / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+  FROM tf, stats s
+  GROUP BY term, s.n_docs
+), bm25_scored AS (
+  SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+         round(sum(i.idf * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))),
+               6) AS bm25
+  FROM tf JOIN idf i USING (term), stats s
+  GROUP BY tf.doc_id
+)"""
+
+ORACLES["rrf_fusion"] = (
+    "WITH "
+    + _BM25_SCORED
+    + f""", sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS sparse_rank
+  FROM bm25_scored
+  QUALIFY sparse_rank <= 20
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT CAST(vec_id AS BIGINT) AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+           AS dense_rank
+  FROM (
+    SELECT vec_id, round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+  )
+  QUALIFY dense_rank <= 20
+)
+SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       s.sparse_rank AS sparse_rank,
+       d.dense_rank AS dense_rank,
+       round(coalesce(1.0 / (60.0 + s.sparse_rank), 0.0)
+             + coalesce(1.0 / (60.0 + d.dense_rank), 0.0), 6) AS rrf
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+)
+
+ORACLES["ndcg_at_10"] = (
+    "WITH "
+    + _BM25_SCORED
+    + r""", rel AS (
+  SELECT doc_id, least(3, count(DISTINCT term)) AS rel
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+               AS term FROM documents)
+  WHERE term IN ('spark', 'table', 'hash', 'merge', 'window')
+  GROUP BY doc_id
+), system AS (
+  SELECT rnk AS rank, coalesce(r.rel, 0) AS rel
+  FROM (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+        FROM bm25_scored QUALIFY rnk <= 10) s
+  LEFT JOIN rel r USING (doc_id)
+), ideal AS (
+  SELECT row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank, rel
+  FROM rel
+  QUALIFY rank <= 10
+), d AS (
+  SELECT round(sum((power(2.0, rel) - 1.0) / log2(rank + 1.0)), 6) AS dcg10
+  FROM system
+), i AS (
+  SELECT round(sum((power(2.0, rel) - 1.0) / log2(rank + 1.0)), 6) AS idcg10
+  FROM ideal
+)
+SELECT d.dcg10, i.idcg10, round(d.dcg10 / i.idcg10, 6) AS ndcg10
+FROM d, i
+"""
+)

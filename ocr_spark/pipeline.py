@@ -161,6 +161,53 @@ def read_snapshots(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def diff_snapshots(
+    spark: SparkSession, root: str, a: int, b: int
+) -> DataFrame | None:
+    """CDC diff between two committed versions of the extracted table
+    (Iceberg changelog read): one row per (conv_id, turn_idx) whose
+    state differs between ``VERSION AS OF a`` and ``VERSION AS OF b``,
+    with ``action`` added / removed / changed (changed = same key, new
+    ``extracted_text`` — the re-extraction case). Unchanged keys never
+    leave the join. Downstream incremental jobs (dedup refresh, stats
+    rollups) consume this diff instead of rescanning the full table —
+    the read path that keeps 100 TB maintenance proportional to the
+    delta, not the corpus. Relational twin with a DuckDB oracle:
+    ``queries.q_snapshot_cdc_diff``. Returns None when neither version
+    has data.
+
+    Distributed shape: one full-outer equi-join on the key; AQE
+    broadcasts whichever side is delta-sized."""
+    va = read_snapshots(spark, root, as_of=a)
+    vb = read_snapshots(spark, root, as_of=b)
+    if va is None and vb is None:
+        return None
+    cols = ["conv_id", "turn_idx", "extracted_text"]
+    if va is None:
+        return vb.select(
+            "conv_id", "turn_idx", F.lit("added").alias("action")
+        )
+    if vb is None:
+        return va.select(
+            "conv_id", "turn_idx", F.lit("removed").alias("action")
+        )
+    a_df = va.select(*cols).withColumn("in_a", F.lit(True)).alias("a")
+    b_df = vb.select(*cols).withColumn("in_b", F.lit(True)).alias("b")
+    joined = a_df.join(b_df, ["conv_id", "turn_idx"], "full_outer").select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("in_b").isNull(), "removed")
+        .when(F.col("in_a").isNull(), "added")
+        .when(
+            ~F.col("a.extracted_text").eqNullSafe(F.col("b.extracted_text")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("action"),
+    )
+    return joined.filter(F.col("action") != "unchanged")
+
+
 def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
     """Store introspection: one row per committed snapshot — the
     ≙ of Iceberg's ``snapshots`` metadata table. Columns: snapshot name,

@@ -4780,3 +4780,351 @@ def q_incremental_band_dedup(spark, sf_dir):
         .alias("n_matched_bands"),
         F.max(F.expr("in_corpus is not null")).alias("is_near_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# data-layout / table-maintenance family: the metadata-plane operators an
+# Iceberg-scale (10^12-turn, 100 TB) corpus needs to stay fast — compaction
+# planning, clustering-key layout, manifest min/max pruning, snapshot CDC.
+# The reference's analog is its cache/TTL bookkeeping (redis_service.py:
+# 135-202); here the operations are first-class relational plans.
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (Iceberg ``rewrite_data_files``
+    binpack strategy): treating each document as a data file of
+    ``n_chars`` bytes inside its ``source`` partition, assign files to
+    target-size output bins in file order — ``bin_id =
+    floor(bytes_before / TARGET)`` — and emit the rewrite manifest: one
+    row per (source, bin) with file count, byte total, and the doc_id
+    range it covers.
+
+    Distributed shape: ONE shuffle (hash on ``source``) feeds the
+    cumulative-size window — partition-local ordering, never a global
+    sort — and the bin groupBy's key starts with the window's partition
+    key so it reuses that Exchange (plan-test pinned). At 100 TB this
+    plan runs over the MANIFEST table (one row per data file), ~10^6x
+    smaller than the data it reorganizes; only the rewrite it emits
+    touches data files."""
+    target = 4096
+    doc = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    files = doc.select(
+        "source", "doc_id", F.col("n_chars").alias("size_bytes")
+    ).withColumn(
+        "bytes_before", F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    )
+    binned = files.withColumn(
+        "bin_id", F.floor(F.col("bytes_before") / F.lit(float(target)))
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+_ZORDER_EXPR = (
+    "aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) -> acc"
+    " + shiftleft(shiftright(x, i) & 1, 2 * i)"
+    " + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"
+)
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering-key layout vs insertion-order
+    layout (Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order rewrite):
+    interleave the low 8 bits of two dimensions (x = event_id % 256,
+    y = user_id % 256) into a 16-bit Morton key, bucket rows into files
+    by key RANGE (zorder: z/128; linear: event_id/512), and report each
+    layout's per-file min-max span on BOTH dimensions — the quantity
+    manifest pruning depends on. Z-order shrinks both spans at once;
+    insertion order leaves both at ~255.
+
+    Distributed shape: the Morton key is pure codegen'd bit arithmetic
+    on the scan (no UDF); file assignment is key-range bucketing — NO
+    global sort, no window — so each layout costs exactly one
+    partial-aggregated groupBy(file_id) plus a 1-row roll-up. At 100 TB
+    the same key feeds ``repartitionByRange(z)`` + sortWithinPartitions
+    to physically rewrite; this query is the planning/telemetry half."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 256).alias("x"),
+        (F.col("user_id") % 256).alias("y"),
+    )
+
+    def spans(df, layout, file_expr):
+        per_file = (
+            df.withColumn("file_id", file_expr)
+            .groupBy("file_id")
+            .agg(
+                (F.max("x") - F.min("x")).alias("span_x"),
+                (F.max("y") - F.min("y")).alias("span_y"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("bigint").alias("n_files"),
+            F.round(F.avg("span_x"), 4).alias("avg_span_x"),
+            F.round(F.avg("span_y"), 4).alias("avg_span_y"),
+            F.round(F.avg("n_rows"), 4).alias("avg_rows_per_file"),
+        )
+
+    linear = spans(
+        ev, "linear", F.floor(F.col("event_id") / F.lit(512.0))
+    )
+    zed = spans(
+        ev.withColumn("z", F.expr(_ZORDER_EXPR)),
+        "zorder",
+        F.floor(F.col("z") / F.lit(128.0)),
+    )
+    return linear.unionByName(zed).select(
+        "layout", "n_files", "avg_span_x", "avg_span_y", "avg_rows_per_file"
+    )
+
+
+def q_manifest_prune_stats(spark, sf_dir):
+    """Manifest min/max file-skipping efficacy (Iceberg manifest /
+    Parquet footer pruning): group rows into data files under two
+    layouts — insertion order (file = event_id/500) and clustered on
+    the predicate column (file = user_id/10) — record each file's
+    min/max of ``user_id`` (the manifest entry), then evaluate the scan
+    plan for ``user_id BETWEEN 40 AND 60``: files whose [min,max] range
+    overlaps must be read, the rest prune. Reports per layout: files
+    read, prune ratio, rows scanned vs rows matched (read
+    amplification) — the numbers that justify clustering a 100 TB
+    table on its hot predicate column.
+
+    Distributed shape: per layout one partial-aggregated
+    groupBy(file_id) over codegen'd row math, then a 1-row roll-up;
+    no joins, no windows, no sort. The real table's manifests already
+    hold these stats — this query is the planner's cost model made
+    explicit."""
+    lo, hi = 40, 60
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def stats(layout, file_expr):
+        per_file = (
+            ev.withColumn("file_id", file_expr)
+            .groupBy("file_id")
+            .agg(
+                F.min("user_id").alias("fmin"),
+                F.max("user_id").alias("fmax"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col("user_id").between(lo, hi), 1
+                    ).otherwise(0)
+                ).alias("n_matched"),
+            )
+        )
+        overlaps = (F.col("fmax") >= lo) & (F.col("fmin") <= hi)
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(F.when(overlaps, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_read"),
+            F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_matched").cast("bigint").alias("rows_matched"),
+        ).select(
+            "layout",
+            "n_files",
+            "files_read",
+            "rows_scanned",
+            "rows_matched",
+            F.round(
+                F.lit(1.0) - F.col("files_read") / F.col("n_files"), 4
+            ).alias("prune_ratio"),
+            F.round(
+                F.col("rows_scanned") / F.col("rows_matched"), 4
+            ).alias("read_amplification"),
+        )
+
+    linear = stats("insertion", F.floor(F.col("event_id") / F.lit(500.0)))
+    clustered = stats("clustered", F.floor(F.col("user_id") / F.lit(10.0)))
+    return linear.unionByName(clustered)
+
+
+def q_snapshot_cdc_diff(spark, sf_dir):
+    """Snapshot-over-snapshot CDC diff (Iceberg ``changelog`` /
+    ``CREATE CHANGELOG VIEW``): given corpus version v1 (the documents
+    table) and v2 (derived deterministically: doc_id%17==2 deleted,
+    doc_id%5==0 revised, doc_id%19==0 also inserted under
+    doc_id+200000), emit one row per changed key with its action —
+    added / removed / changed — and the byte sizes on each side.
+    Unchanged rows never leave the join. This is the read side of
+    incremental recomputation: downstream dedup/stats jobs consume the
+    diff, not the full 100 TB corpus.
+
+    Distributed shape: one full-outer equi-join on the key (both sides
+    hash-shuffle once; AQE broadcasts the delta side when small — the
+    common CDC case) with the action classification in codegen. The
+    store-level twin over real committed snapshots is
+    ``ocr_spark.pipeline.diff_snapshots`` (pytest-covered)."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        doc.filter(F.col("doc_id") % 17 != 2)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            doc.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.lit("new: "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    a = doc.alias("a")
+    b = v2.alias("b")
+    joined = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("b.text").isNull(), "removed")
+        .when(F.col("a.text").isNull(), "added")
+        .when(F.col("a.text") != F.col("b.text"), "changed")
+        .otherwise("unchanged")
+        .alias("action"),
+        F.length("a.text").cast("bigint").alias("chars_before"),
+        F.length("b.text").cast("bigint").alias("chars_after"),
+    )
+    return joined.filter(F.col("action") != "unchanged")
+
+
+# --------------------------------------------------------------------------
+# retrieval-eval family: hybrid rank fusion + ranking-quality metrics over
+# the BM25 (sparse) and cosine (dense) retrievers defined above — the
+# evaluation half of a retrieval-augmented training-data pipeline.
+
+
+def _dense_top(spark, sf_dir, k):
+    """Cosine top-k vs the vec_id=0 query vector, rounded like
+    q_cosine_topk (round 4 BEFORE ranking so ranks match the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(query))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "cosine")
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the
+    sparse (BM25, q_bm25_topk) and dense (cosine vs vec_id=0,
+    q_cosine_topk) retrievers — the standard hybrid-retrieval combiner:
+    rrf = sum over systems of 1/(60 + rank), full-outer on the doc key
+    (doc_id == vec_id on this corpus) so a doc ranked by only one
+    system still scores. Top-10 fused.
+
+    Distributed shape: each retriever ends in TakeOrderedAndProject
+    (bounded k=20 head — never a global sort), so the rank window and
+    the fusion join run over two 20-row inline heads; everything
+    upstream keeps the retrievers' own plans (posting-list BM25 with
+    broadcast idf; broadcast query vector). At 100 TB with a query
+    workload the same fusion runs per query over per-query heads."""
+    k = 20
+    sw = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    sparse = (
+        q_bm25_topk(spark, sf_dir)
+        .withColumn("sparse_rank", F.row_number().over(sw))
+        .select("doc_id", "sparse_rank")
+    )
+    dw = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    dense = (
+        _dense_top(spark, sf_dir, k)
+        .withColumn("dense_rank", F.row_number().over(dw))
+        .select(F.col("vec_id").alias("doc_id"), "dense_rank")
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("sparse_rank").cast("bigint").alias("sparse_rank"),
+        F.col("dense_rank").cast("bigint").alias("dense_rank"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("sparse_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("dense_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+def q_ndcg_at_10(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking against graded relevance derived
+    from term coverage (rel = min(3, distinct query terms present)) —
+    the ranking-quality gate a retrieval index ships with. DCG uses the
+    standard exponential gain (2^rel - 1)/log2(rank + 1); IDCG re-ranks
+    by relevance itself (ties broken by doc_id, mirrored in the
+    oracle).
+
+    Distributed shape: relevance is one partial-aggregated
+    groupBy(doc_id) over the pre-filtered posting stream (only
+    query-term tokens survive to the shuffle, as in q_bm25_topk); both
+    the system and ideal heads are bounded TakeOrdered(10); the final
+    metric is a 2x(10-row) aggregate join — constant-size after the
+    heads."""
+    from ocr_spark.functions import tokens
+
+    doc = _t_spread(spark, sf_dir, "documents")
+    rel = (
+        doc.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_terms"))
+        .select(
+            "doc_id", F.least(F.lit(3), F.col("n_terms")).alias("rel")
+        )
+    )
+    sw = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    system = (
+        q_bm25_topk(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(sw))
+        .filter(F.col("rank") <= 10)
+        .join(rel, "doc_id", "left")
+        .select("rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel"))
+    )
+    iw = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(iw))
+    )
+
+    def dcg(df):
+        return F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            / F.log2(F.col("rank") + F.lit(1.0))
+        )
+
+    d = system.agg(F.round(dcg(system), 6).alias("dcg10"))
+    i = ideal.agg(F.round(dcg(ideal), 6).alias("idcg10"))
+    return d.crossJoin(i).select(
+        "dcg10",
+        "idcg10",
+        F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
+    )

@@ -545,3 +545,40 @@ def test_snapshot_time_travel_as_of(spark, tmp_path):
     assert read_snapshots(spark, root).count() == n_full
     assert read_snapshots(spark, root, as_of=3).count() == n_full
     assert read_snapshots(spark, root, as_of=0) is None
+
+
+def test_diff_snapshots_cdc_actions(spark, tmp_path):
+    """diff_snapshots(a, b) emits exactly the added keys between two
+    committed versions (append-only store: b > a adds turns), the
+    reverse direction reports them removed, and identical versions
+    diff to empty — the changelog read an incremental consumer needs."""
+    from ocr_spark.pipeline import diff_snapshots
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(8), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    half = full.filter("turn_idx % 2 = 0")
+    root = str(tmp_path / "store")
+    run_resumable(spark, half, root)   # snapshot=0
+    run_resumable(spark, full, root)   # snapshot=1
+
+    fwd = diff_snapshots(spark, root, 0, 1)
+    actions = {r["action"] for r in fwd.select("action").distinct().collect()}
+    assert actions == {"added"}
+    added = {
+        (r["conv_id"], r["turn_idx"])
+        for r in fwd.select("conv_id", "turn_idx").collect()
+    }
+    expected = {
+        (r["conv_id"], r["turn_idx"])
+        for r in full.filter("turn_idx % 2 = 1")
+        .select("conv_id", "turn_idx").collect()
+    }
+    assert added == expected
+
+    rev = diff_snapshots(spark, root, 1, 0)
+    assert {r["action"] for r in rev.select("action").distinct().collect()} == {
+        "removed"
+    }
+    assert rev.count() == len(expected)
+    assert diff_snapshots(spark, root, 1, 1).count() == 0

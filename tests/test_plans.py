@@ -643,3 +643,75 @@ def test_incremental_band_dedup_never_pairwise(spark):
     assert n_ops(p, "BroadcastNestedLoopJoin") == 0
     assert n_ops(p, "Sort") == 0
     assert n_ops(p, "Window") == 0
+
+
+def test_compaction_plan_reuses_window_partitioning(spark):
+    """Compaction planning: ONE Exchange (hash on source) feeds the
+    cumulative-size window; the (source, bin_id) groupBy's keys are a
+    superset of the window's partition key, so it must reuse that
+    partitioning — a second Exchange would shuffle the manifest twice.
+    The only Sort is the window's partition-local (source, doc_id)."""
+    p = plan(Q.q_compaction_plan(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1
+    assert n_ops(p, "Window") == 1
+    assert n_ops(p, "Sort") == 1
+
+
+def test_zorder_layout_no_sort_no_join(spark):
+    """Z-order layout telemetry buckets by key RANGE, never by rank: the
+    Morton key is codegen'd bit math on the scan, so the plan has no
+    Sort, no Window, no join — only the per-file aggregates (and their
+    1-row roll-ups) shuffle."""
+    p = plan(Q.q_zorder_layout(spark, SF_DIR))
+    assert n_ops(p, "Sort") == 0
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert "aggregate(" in p or "shiftleft" in p  # Morton key stayed in codegen
+
+
+def test_manifest_prune_stats_pure_aggregate(spark):
+    """Manifest pruning stats: per layout one partial-aggregated
+    groupBy(file_id) + a 1-row roll-up — no joins, no windows, no sort
+    anywhere. The cost model must itself be metadata-cheap."""
+    p = plan(Q.q_manifest_prune_stats(spark, SF_DIR))
+    assert n_ops(p, "Sort") == 0
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "HashAggregate") >= 4  # 2 layouts x (partial+final)
+
+
+def test_snapshot_cdc_diff_single_equi_join(spark):
+    """CDC diff is ONE full-outer equi-join on the key: never
+    cartesian/nested-loop, no Sort beyond the join's own SMJ sorts, no
+    Window. (AQE broadcasts the delta side at runtime when small.)"""
+    p = plan(Q.q_snapshot_cdc_diff(spark, SF_DIR))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(p, "Window") == 0
+    assert (
+        n_ops(p, "SortMergeJoin") + n_ops(p, "ShuffledHashJoin") == 1
+    )
+
+
+def test_rrf_fusion_bounded_heads(spark):
+    """Rank fusion runs over two TakeOrdered(k=20) heads: both
+    retrievers end in TakeOrderedAndProject (never a global Sort of the
+    corpus), and the only single-partition windows rank those bounded
+    heads. The only nested-loop joins allowed are the three intentional
+    1-row broadcast scalars: the dense query vector plus BM25's two
+    corpus-stat crossJoins (n_docs/avgdl)."""
+    p = plan(Q.q_rrf_fusion(spark, SF_DIR))
+    assert n_ops(p, "TakeOrderedAndProject") >= 2
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") <= 3
+
+
+def test_ndcg_heads_are_take_ordered(spark):
+    """nDCG@10: both the system and ideal rankings are bounded
+    TakeOrdered heads; the posting stream is term-filtered BEFORE its
+    aggregation shuffle (PushedFilters/Filter above the scan, as in
+    bm25); no cartesian joins."""
+    p = plan(Q.q_ndcg_at_10(spark, SF_DIR))
+    assert n_ops(p, "TakeOrderedAndProject") >= 2
+    assert n_ops(p, "CartesianProduct") == 0

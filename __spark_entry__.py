@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_meta": Q.q_mm_decode_meta,
         "mm_resize_plan": Q.q_mm_resize_plan,
         "mm_frame_sample": Q.q_mm_frame_sample,
+        "mm_audio_chunks": Q.q_mm_audio_chunks,
         # streaming twin (batch form; streaming path covered in pytest)
         "tumbling_window_counts": Q.q_tumbling_window_counts,
         "mm_feature_extract": Q.q_mm_feature_extract,

@@ -262,3 +262,45 @@ def frame_sample(meta_with_payload: DataFrame, every_k: int = 2) -> DataFrame:
             ).alias("frame_bytes"),
         )
     )
+
+
+def audio_chunks(
+    meta_with_payload: DataFrame, window: int = 4, hop: int = 2
+) -> DataFrame:
+    """Overlapping fixed-window segmentation of audio media — the ASR /
+    diarization training-prep cut: ``window``-unit chunks every ``hop``
+    units (50% overlap at the defaults), where a unit is the fake
+    decode's per-frame second (replace with real sample counts when a
+    codec is present; the plumbing — explode, byte slicing, schema — is
+    identical).
+
+    Input needs (media_id, kind, n_frames, sample_rate, payload). The
+    per-chunk byte range is a builtin binary substring, exactly like
+    frame_sample: the explode and slicing stay JVM-side, no Python."""
+    audio = meta_with_payload.filter(F.col("kind") == "audio")
+    unit_len = F.greatest(
+        (F.length("payload") / F.col("n_frames")).cast("int"), F.lit(1)
+    )
+    chunks = audio.select(
+        "media_id",
+        "n_frames",
+        "sample_rate",
+        "payload",
+        unit_len.alias("unit_len"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(hop))
+        ).alias("chunk_start"),
+    )
+    chunk_end = F.least(F.col("chunk_start") + window, F.col("n_frames"))
+    n_units = chunk_end - F.col("chunk_start")
+    return chunks.select(
+        "media_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        chunk_end.cast("int").alias("chunk_end"),
+        (n_units * F.col("sample_rate")).cast("bigint").alias("n_samples"),
+        F.substring(
+            F.col("payload"),
+            F.col("chunk_start") * F.col("unit_len") + 1,
+            n_units * F.col("unit_len"),
+        ).alias("chunk_bytes"),
+    )

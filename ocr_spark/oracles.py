@@ -2995,3 +2995,24 @@ SELECT d.dcg10, i.idcg10, round(d.dcg10 / i.idcg10, 6) AS ndcg10
 FROM d, i
 """
 )
+
+ORACLES["mm_audio_chunks"] = f"""
+WITH base AS ({_MM_BASE}), audio AS (
+  SELECT media_id, text,
+         CAST(1 + h2 % 16 AS INT) AS n_frames,
+         CAST(8000 + (h1 % 5) * 8000 AS INT) AS sample_rate,
+         greatest(CAST(floor(length(text) / (1 + h2 % 16)) AS INT), 1)
+           AS unit_len
+  FROM base WHERE kind = 'audio'
+)
+SELECT media_id,
+       CAST(s AS INT) AS chunk_start,
+       CAST(least(s + 4, n_frames) AS INT) AS chunk_end,
+       CAST((least(s + 4, n_frames) - s) * sample_rate AS BIGINT) AS n_samples,
+       CAST(length(substr(text, CAST(s AS INT) * unit_len + 1,
+            CAST(least(s + 4, n_frames) - s AS INT) * unit_len)) AS BIGINT)
+         AS chunk_n_bytes,
+       md5(substr(text, CAST(s AS INT) * unit_len + 1,
+            CAST(least(s + 4, n_frames) - s AS INT) * unit_len)) AS chunk_sha
+FROM audio, unnest(range(0, n_frames, 2)) AS r(s)
+"""

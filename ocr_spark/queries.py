@@ -5128,3 +5128,36 @@ def q_ndcg_at_10(spark, sf_dir):
         "idcg10",
         F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg10"),
     )
+
+
+def q_mm_audio_chunks(spark, sf_dir):
+    """Audio chunk segmentation (the audio third of the multimodal
+    surface, beside image resize and video frame sampling): overlapping
+    4-unit windows every 2 units per audio file, each chunk a JVM-side
+    byte slice with its sample count — the cut an ASR training pipeline
+    feeds to a feature extractor.
+
+    Distributed shape: decode meta (Arrow-batched) -> equi-join payload
+    -> explode chunk starts -> builtin substring/md5; no Python in the
+    chunking path, rows ~= files x ceil(duration/hop), never payload
+    duplication beyond the chunk slices themselves."""
+    from ocr_spark.operators.multimodal import (
+        audio_chunks,
+        decode_media_meta,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    meta = decode_media_meta(media).select(
+        "media_id", "kind", "n_frames", "sample_rate"
+    )
+    joined = media.select("media_id", "payload").join(meta, "media_id")
+    ch = audio_chunks(joined, window=4, hop=2)
+    return ch.select(
+        "media_id",
+        "chunk_start",
+        "chunk_end",
+        "n_samples",
+        F.length("chunk_bytes").cast("bigint").alias("chunk_n_bytes"),
+        F.md5("chunk_bytes").alias("chunk_sha"),
+    )

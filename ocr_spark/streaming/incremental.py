@@ -415,3 +415,18 @@ def stream_band_dedup(
     return owned.filter(F.col("n_owned") == bands).select(
         "conv_id", "turn_idx", F.col("window.start").alias("win_start")
     )
+
+
+def stream_static_enrich(turns: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment — the most common production
+    streaming join: every arriving turn picks up its conversation's
+    dimension row (routing metadata, tenant, priority). Unlike
+    stream-stream joins this keeps ZERO streaming state: nothing to
+    watermark, nothing to evict — the static side is (re-)resolved per
+    micro-batch, so a dim table refreshed on disk takes effect at the
+    next trigger, and broadcasting it keeps the stream side's
+    partitioning untouched (no shuffle added to the hot path). Left
+    join: a turn with no dim row still flows, flagged unenriched."""
+    return turns.join(F.broadcast(dim), "conv_id", "left").withColumn(
+        "enriched", F.col(dim.columns[1]).isNotNull()
+    )

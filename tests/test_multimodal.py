@@ -106,3 +106,29 @@ def test_frame_sample_covers_every_other_frame(media):
         assert r.max_idx <= r.n_frames - 1
     # frame bytes are non-empty slices
     assert frames.filter(F.length("frame_bytes") == 0).count() == 0
+
+
+def test_audio_chunks_cover_duration_with_overlap(media):
+    from ocr_spark.operators.multimodal import audio_chunks
+
+    meta = decode_media_meta(media).select(
+        "media_id", "kind", "n_frames", "sample_rate"
+    )
+    joined = media.select("media_id", "payload").join(meta, "media_id")
+    chunks = audio_chunks(joined, window=4, hop=2)
+    got = chunks.groupBy("media_id").agg(
+        F.count("*").alias("n"),
+        F.min("chunk_start").alias("first_start"),
+        F.max("chunk_end").alias("last_end"),
+    )
+    expect = meta.filter(F.col("kind") == "audio").select("media_id", "n_frames")
+    rows = got.join(expect, "media_id").collect()
+    assert rows
+    for r in rows:
+        assert r.first_start == 0  # coverage starts at t=0
+        assert r.last_end == r.n_frames  # and reaches the end
+        assert r.n == (r.n_frames + 1) // 2  # one chunk per hop=2
+    per = chunks.collect()
+    for c in per:
+        assert 1 <= c.chunk_end - c.chunk_start <= 4  # window-bounded
+        assert c.n_samples > 0 and len(c.chunk_bytes) > 0

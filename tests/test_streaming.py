@@ -439,3 +439,43 @@ def test_stream_band_dedup_drops_near_dups_keeps_new(spark, dirs):
     assert ("conv2", 0) in got and ("conv13", 0) in got
     assert ("conv12", 0) in got  # new content passes
     assert ("conv10", 0) not in got and ("conv11", 0) not in got
+
+
+def test_stream_static_enrich_no_state_and_left_semantics(spark, dirs):
+    """Stream-static enrichment joins each micro-batch against the
+    CURRENT static table (zero streaming state), and unmatched turns
+    still flow with enriched=false."""
+    from ocr_spark.streaming.incremental import stream_static_enrich
+
+    _write_batch(spark, dirs["in"], 0, 6, "b1")
+    turns_batch = spark.read.parquet(dirs["in"] + "/b1")
+    convs = [r.conv_id for r in turns_batch.select("conv_id").distinct().collect()]
+    enriched_convs = sorted(convs)[: len(convs) // 2]
+    dim = spark.createDataFrame(
+        [(c, f"tenant_{i}") for i, c in enumerate(enriched_convs)],
+        "conv_id string, tenant string",
+    )
+
+    stream = read_transcript_stream(spark, dirs["in"] + "/*")
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(dirs["out"])
+    assert got.count() == turns_batch.count()  # left join: nothing dropped
+    by_conv = {
+        r.conv_id: r.enriched
+        for r in got.select("conv_id", "enriched").distinct().collect()
+    }
+    for c in convs:
+        assert by_conv[c] == (c in enriched_convs)
+    # batch twin equivalence: same enrichment the batch join produces
+    batch = stream_static_enrich(turns_batch, dim)
+    assert batch.filter("enriched").count() == got.filter("enriched").count()

@@ -339,6 +339,42 @@ def main() -> None:
             "|corpus keys| + |batch| per ingest, never batch x corpus.",
             plan(Q.q_incremental_band_dedup(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Compaction plan: the bin groupBy reuses the window Exchange",
+            "Binpack compaction planning shuffles the manifest ONCE: the "
+            "cumulative-size window hash-partitions on source, and the "
+            "(source, bin_id) aggregate's keys are a superset of that "
+            "partitioning, so Catalyst adds no second Exchange. The only "
+            "Sort is the window's partition-local (source, doc_id).",
+            plan(Q.q_compaction_plan(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Z-order layout: key-range bucketing, zero sorts",
+            "The Morton key is codegen'd bit arithmetic on the scan and "
+            "files are assigned by key RANGE (z div 128), so the layout "
+            "audit needs no Sort/Window/join at all — per-file spans are "
+            "one partial-aggregated groupBy per layout. The physical "
+            "rewrite at scale is repartitionByRange(z) + "
+            "sortWithinPartitions, also never a global sort.",
+            plan(Q.q_zorder_layout(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Snapshot CDC diff: one full-outer equi-join",
+            "Version-over-version diff is a single key join with the "
+            "action classification in codegen; unchanged keys are "
+            "filtered before anything downstream. AQE broadcasts the "
+            "delta side when it is delta-sized (the common CDC case).",
+            plan(Q.q_snapshot_cdc_diff(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "RRF hybrid fusion: rank windows only over bounded heads",
+            "Both retrievers end in TakeOrderedAndProject (k=20), so the "
+            "single-partition rank windows and the fusion join see 20-row "
+            "inputs — never the corpus. The only nested-loop joins are "
+            "three 1-row broadcast scalars (query vector, BM25 corpus "
+            "stats).",
+            plan(Q.q_rrf_fusion(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval-eval family
         "rrf_fusion": Q.q_rrf_fusion,
         "ndcg_at_10": Q.q_ndcg_at_10,
+        # training-batch layout + markdown extraction
+        "length_bucket_batches": Q.q_length_bucket_batches,
+        "md_structure": Q.q_md_structure,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -3016,3 +3016,61 @@ SELECT media_id,
             CAST(least(s + 4, n_frames) - s AS INT) * unit_len)) AS chunk_sha
 FROM audio, unnest(range(0, n_frames, 2)) AS r(s)
 """
+
+ORACLES["length_bucket_batches"] = r"""
+WITH toks AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), bucketed AS (
+  SELECT n_tokens,
+         least(1024, greatest(16,
+             CAST(pow(2, ceil(log2(n_tokens))) AS INT))) AS bucket
+  FROM toks
+), per_bucket AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(least(n_tokens, bucket)) AS BIGINT) AS clipped_tokens
+  FROM bucketed GROUP BY bucket
+)
+SELECT 'bucketed' AS layout,
+       CAST(bucket AS BIGINT) AS bucket, n_docs, total_tokens,
+       CAST(n_docs * bucket AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(clipped_tokens AS DOUBLE) / (n_docs * bucket), 6)
+         AS pad_waste
+FROM per_bucket
+UNION ALL
+SELECT 'unbucketed' AS layout,
+       CAST(least(1024, max(n_tokens)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * least(1024, max(n_tokens)) AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(sum(least(n_tokens, 1024)) AS DOUBLE)
+             / (count(*) * least(1024, max(n_tokens))), 6) AS pad_waste
+FROM toks
+"""
+
+ORACLES["md_structure"] = r"""
+WITH with_md AS (
+  SELECT doc_id,
+         '# ' || array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' ')
+         || chr(10) || chr(10) || text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || chr(10) || '```python' || chr(10)
+                      || 'x = ' || doc_id || chr(10) || '```'
+                 ELSE '' END AS md
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(md, '(^|\n)(#{1,6} [^\n]+)', 2)) AS BIGINT)
+         AS n_headings,
+       CAST(len(regexp_extract_all(md, '```([a-z]*)\n([^`]*)```', 2)) AS BIGINT)
+         AS n_fences,
+       CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(md, '```([a-z]*)\n([^`]*)```', 2),
+             x -> length(x))), 0) AS BIGINT) AS code_chars,
+       coalesce(array_to_string(
+           regexp_extract_all(md, '```([a-z]*)\n([^`]*)```', 1), ','), '')
+         AS fence_langs
+FROM with_md
+"""

@@ -5161,3 +5161,117 @@ def q_mm_audio_chunks(spark, sf_dir):
         F.length("chunk_bytes").cast("bigint").alias("chunk_n_bytes"),
         F.md5("chunk_bytes").alias("chunk_sha"),
     )
+
+
+def q_length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch planning (the padding-efficiency pass a
+    training dataloader runs before tokenized text ships to GPUs):
+    round each doc's token count up to its power-of-2 bucket (clamped
+    [16, 1024]), report per-bucket doc counts, real vs padded token
+    totals, and padding waste — plus the unbucketed baseline (every doc
+    padded to the global cap) as a final row. Bucketing turns ~50-80%
+    pad waste into a few percent; this query is the report that proves
+    it on a given corpus.
+
+    Distributed shape: token counts are narrow scan math; one
+    partial-aggregated groupBy(bucket) (≤7 groups) plus a 1-row global
+    aggregate for the baseline — no sort, no join, no window."""
+    doc = _t(spark, sf_dir, "documents")
+    toks = doc.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    bucket = F.least(
+        F.lit(1024),
+        F.greatest(
+            F.lit(16),
+            F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tokens")))).cast("int"),
+        ),
+    )
+    bucketed = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.least(F.col("n_tokens"), F.col("bucket")))
+            .cast("bigint")
+            .alias("clipped_tokens"),
+        )
+        .withColumn(
+            "padded_tokens",
+            (F.col("n_docs") * F.col("bucket")).cast("bigint"),
+        )
+        .select(
+            F.lit("bucketed").alias("layout"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.round(
+                F.lit(1.0) - F.col("clipped_tokens") / F.col("padded_tokens"),
+                6,
+            ).alias("pad_waste"),
+        )
+    )
+    unbucketed = toks.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.least(F.lit(1024), F.max("n_tokens")).alias("cap"),
+        F.sum(F.least(F.col("n_tokens"), F.lit(1024)))
+        .cast("bigint")
+        .alias("clipped_tokens"),
+    ).select(
+        F.lit("unbucketed").alias("layout"),
+        F.col("cap").cast("bigint").alias("bucket"),
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs") * F.col("cap")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.col("clipped_tokens") / (F.col("n_docs") * F.col("cap")),
+            6,
+        ).alias("pad_waste"),
+    )
+    return bucketed.unionByName(unbucketed)
+
+
+def q_md_structure(spark, sf_dir):
+    """Markdown structure extraction over a deterministically rendered
+    markdown twin of each document (heading from the first words, a
+    fenced code block appended for doc_id%3==0 — the transcript
+    archetype where assistant turns carry fenced code): per doc, the
+    heading count, fence count, fenced-code char total, and the fence
+    language tag — the markdown sibling of the HTML boilerplate
+    stripper, kept JVM-side via regexp builtins (no UDF).
+
+    Distributed shape: pure narrow per-row regexp math on the scan —
+    ZERO exchanges; at 100 TB the cost is one pass, embarrassingly
+    parallel."""
+    doc = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# "),
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("\n\n```python\nx = "),
+                F.col("doc_id").cast("string"),
+                F.lit("\n```"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    with_md = doc.select("doc_id", md.alias("md"))
+    fences = F.expr(r"regexp_extract_all(md, '```([a-z]*)\\n([^`]*)```', 2)")
+    langs = F.expr(r"regexp_extract_all(md, '```([a-z]*)\\n([^`]*)```', 1)")
+    headings = F.expr(r"regexp_extract_all(md, '(^|\\n)(#{1,6} [^\\n]+)', 2)")
+    return with_md.select(
+        "doc_id",
+        F.size(headings).cast("bigint").alias("n_headings"),
+        F.size(fences).cast("bigint").alias("n_fences"),
+        F.aggregate(
+            fences, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        ).alias("code_chars"),
+        F.array_join(langs, ",").alias("fence_langs"),
+    )

@@ -715,3 +715,39 @@ def test_ndcg_heads_are_take_ordered(spark):
     p = plan(Q.q_ndcg_at_10(spark, SF_DIR))
     assert n_ops(p, "TakeOrderedAndProject") >= 2
     assert n_ops(p, "CartesianProduct") == 0
+
+
+def test_length_bucket_batches_pure_aggregate(spark):
+    """Padding-efficiency planning: narrow token math + one
+    partial-aggregated groupBy(bucket) + a 1-row baseline aggregate —
+    no sort, no join, no window."""
+    p = plan(Q.q_length_bucket_batches(spark, SF_DIR))
+    assert n_ops(p, "Sort") == 0
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+
+
+def test_md_structure_is_narrow(spark):
+    """Markdown structure extraction is per-row regexp builtins on the
+    scan: ZERO exchanges — one embarrassingly parallel pass."""
+    p = plan(Q.q_md_structure(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 0
+    assert n_ops(p, "Sort") == 0
+
+
+def test_morton_key_is_bijective_on_16_bits(spark):
+    """The Z-order key must be a bijection from (x, y) in [0,256)^2 to
+    [0, 65536): distinct z count == distinct (x, y) count, and the key
+    stays in range — otherwise file spans lie."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    keyed = df.withColumn("z", F.expr(Q._ZORDER_EXPR))
+    stats = keyed.agg(
+        F.countDistinct("z").alias("nz"),
+        F.countDistinct("x", "y").alias("nxy"),
+        F.min("z").alias("zmin"),
+        F.max("z").alias("zmax"),
+    ).collect()[0]
+    assert stats.nz == stats.nxy == 4096
+    assert 0 <= stats.zmin and stats.zmax <= 65535

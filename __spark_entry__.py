@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-batch layout + markdown extraction
         "length_bucket_batches": Q.q_length_bucket_batches,
         "md_structure": Q.q_md_structure,
+        "analyze_table_stats": Q.q_analyze_table_stats,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -3074,3 +3074,49 @@ SELECT doc_id,
          AS fence_langs
 FROM with_md
 """
+
+ORACLES["analyze_table_stats"] = r"""
+WITH wide AS (
+  SELECT
+    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id__nulls,
+    count(DISTINCT doc_id) AS doc_id__ndv,
+    min(CAST(doc_id AS VARCHAR)) AS doc_id__min,
+    max(CAST(doc_id AS VARCHAR)) AS doc_id__max,
+    avg(length(CAST(doc_id AS VARCHAR))) AS doc_id__avglen,
+    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text__nulls,
+    count(DISTINCT text) AS text__ndv,
+    min(text) AS text__min,
+    max(text) AS text__max,
+    avg(length(text)) AS text__avglen,
+    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang__nulls,
+    count(DISTINCT lang) AS lang__ndv,
+    min(lang) AS lang__min,
+    max(lang) AS lang__max,
+    avg(length(lang)) AS lang__avglen,
+    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source__nulls,
+    count(DISTINCT source) AS source__ndv,
+    min(source) AS source__min,
+    max(source) AS source__max,
+    avg(length(source)) AS source__avglen,
+    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars__nulls,
+    count(DISTINCT n_chars) AS n_chars__ndv,
+    min(CAST(n_chars AS VARCHAR)) AS n_chars__min,
+    max(CAST(n_chars AS VARCHAR)) AS n_chars__max,
+    avg(length(CAST(n_chars AS VARCHAR))) AS n_chars__avglen
+  FROM documents
+)
+SELECT u.col_name,
+       CAST(u.n_nulls AS BIGINT) AS n_nulls,
+       CAST(u.ndv AS BIGINT) AS ndv,
+       u.min_s, u.max_s,
+       round(u.avg_len, 4) AS avg_len
+FROM wide, LATERAL (
+  SELECT * FROM (VALUES
+    ('doc_id', doc_id__nulls, doc_id__ndv, doc_id__min, doc_id__max, doc_id__avglen),
+    ('text', text__nulls, text__ndv, text__min, text__max, text__avglen),
+    ('lang', lang__nulls, lang__ndv, lang__min, lang__max, lang__avglen),
+    ('source', source__nulls, source__ndv, source__min, source__max, source__avglen),
+    ('n_chars', n_chars__nulls, n_chars__ndv, n_chars__min, n_chars__max, n_chars__avglen)
+  ) AS t(col_name, n_nulls, ndv, min_s, max_s, avg_len)
+) u
+"""

@@ -5275,3 +5275,46 @@ def q_md_structure(spark, sf_dir):
         ).alias("code_chars"),
         F.array_join(langs, ",").alias("fence_langs"),
     )
+
+
+def q_analyze_table_stats(spark, sf_dir):
+    """Column-level table statistics (Spark ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS`` / Iceberg puffin stats — what the
+    cost-based optimizer joins and the manifest planner prune with):
+    per column of the documents table, null count, distinct count,
+    min/max (stringified for a uniform schema), and average value
+    length. One row per column.
+
+    Distributed shape: ONE aggregate pass over the scan computes every
+    column's stats (count_distinct compiles to Catalyst's expand +
+    two-phase partial agg); the per-column unpivot happens on the 1-row
+    result via stack — the expensive part touches the data exactly
+    once. At 100 TB swap count_distinct for approx_count_distinct
+    (HLL++, mergeable) — same plan, sketch-sized state."""
+    doc = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.avg(F.length(F.col(c).cast("string"))).alias(f"{c}__avglen"),
+        ]
+    wide = doc.agg(*aggs)
+    stack_expr = "stack({}, {}) as (col_name, n_nulls, ndv, min_s, max_s, avg_len)".format(
+        len(cols),
+        ", ".join(
+            f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max, {c}__avglen"
+            for c in cols
+        ),
+    )
+    return wide.select(F.expr(stack_expr)).select(
+        "col_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        "min_s",
+        "max_s",
+        F.round("avg_len", 4).alias("avg_len"),
+    )

@@ -751,3 +751,15 @@ def test_morton_key_is_bijective_on_16_bits(spark):
     ).collect()[0]
     assert stats.nz == stats.nxy == 4096
     assert 0 <= stats.zmin and stats.zmax <= 65535
+
+
+def test_analyze_table_stats_single_pass(spark):
+    """CBO column stats must touch the data exactly once: ONE parquet
+    scan feeds every column's aggregate (multi-distinct via Catalyst's
+    Expand), two exchanges (partial/final of the expanded agg), no
+    joins; the unpivot runs on the 1-row result."""
+    p = plan(Q.q_analyze_table_stats(spark, SF_DIR))
+    assert n_ops(p, "Scan") == 1
+    assert n_ops(p, "Exchange") <= 2
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "Expand") == 1

@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": Q.q_length_bucket_batches,
         "md_structure": Q.q_md_structure,
         "analyze_table_stats": Q.q_analyze_table_stats,
+        "weighted_reservoir_sample": Q.q_weighted_reservoir_sample,
+        "gap_fill_interpolate": Q.q_gap_fill_interpolate,
+        "column_correlations": Q.q_column_correlations,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

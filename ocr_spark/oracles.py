@@ -3120,3 +3120,70 @@ FROM wide, LATERAL (
   ) AS t(col_name, n_nulls, ndv, min_s, max_s, avg_len)
 ) u
 """
+
+ORACLES["weighted_reservoir_sample"] = r"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       round(-ln((('0x' || substr(md5(text), 25, 8))::BIGINT + 1.0)
+                 / 4294967296.0) / n_chars, 10) AS es_key
+FROM documents
+ORDER BY es_key ASC, doc_id ASC
+LIMIT 50
+"""
+
+ORACLES["gap_fill_interpolate"] = r"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, avg(value) AS v
+  FROM events WHERE user_id < 8
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+), g AS (
+  SELECT gr.user_id, gr.hr, h.v
+  FROM grid gr LEFT JOIN hourly h ON gr.user_id = h.user_id AND gr.hr = h.hr
+), filled AS (
+  SELECT user_id, hr, v,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wp AS prev_h,
+         first_value(v IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wn AS next_h
+  FROM g
+  WINDOW wp AS (PARTITION BY user_id ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+       floor((CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((epoch(hr) - epoch(prev_h))
+                    / (epoch(next_h) - epoch(prev_h)))
+       END) * 10000 + 0.5) / 10000.0 AS value_filled,
+       v IS NULL AS interpolated
+FROM filled
+"""
+
+ORACLES["column_correlations"] = r"""
+WITH wide AS (
+  SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+         corr(l_quantity, l_discount) AS c_qty_disc,
+         corr(l_extendedprice, l_discount) AS c_price_disc
+  FROM lineitem
+)
+SELECT u.col_a, u.col_b, round(u.corr_v, 6) AS corr_v
+FROM wide, LATERAL (
+  SELECT * FROM (VALUES
+    ('l_quantity', 'l_extendedprice', c_qty_price),
+    ('l_quantity', 'l_discount', c_qty_disc),
+    ('l_extendedprice', 'l_discount', c_price_disc)
+  ) AS t(col_a, col_b, corr_v)
+) u
+"""

@@ -5318,3 +5318,124 @@ def q_analyze_table_stats(spark, sf_dir):
         "max_s",
         F.round("avg_len", 4).alias("avg_len"),
     )
+
+
+def q_weighted_reservoir_sample(spark, sf_dir):
+    """Weighted reservoir sampling without replacement (Efraimidis-
+    Spirakis 2006, the exponential-race formulation): per doc draw a
+    content-keyed uniform u and keep the k=50 smallest -ln(u)/weight
+    (weight = n_chars — longer docs proportionally likelier). One pass,
+    any corpus size, deterministic across runs and engines — the
+    sampling primitive mixture pipelines use when "take k docs,
+    length-weighted" must be reproducible.
+
+    Distributed shape: narrow per-row key math on the scan + ONE
+    TakeOrderedAndProject — the distributed top-k IS the reservoir; no
+    shuffle of the corpus, no window, no state."""
+    doc = _t(spark, sf_dir, "documents")
+    unit = (
+        F.expr("cast(conv(substr(md5(text), 25, 8), 16, 10) as bigint)")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(unit) / F.col("n_chars"), 10)
+    sel = doc.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        key.alias("es_key"),
+    )
+    return sel.orderBy(F.col("es_key").asc(), F.col("doc_id").asc()).limit(50)
+
+
+def q_gap_fill_interpolate(spark, sf_dir):
+    """Time-series gap filling with linear interpolation (the
+    hypertable / continuous-aggregate resample: TimescaleDB
+    ``time_bucket_gapfill`` + ``interpolate``): per user, the hourly
+    mean value on a dense 1-hour grid between that user's first and
+    last observed hour; missing hours interpolate linearly between the
+    neighboring observations (edges carry the nearest value).
+
+    Distributed shape: one groupBy(user, hour) partial-aggregated
+    rollup; the dense grid explodes from per-user (min, max) bounds —
+    never a calendar cross-join; the fill is two user-keyed windows
+    (carry-forward last + carry-back first over the SAME partitioning
+    and ordering, so Catalyst plans one Exchange + one Sort for both);
+    cost scales with grid rows, not observations squared."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    g = grid.join(hourly, ["user_id", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_h = F.last(
+        F.when(F.col("v").isNotNull(), F.col("hr")), ignorenulls=True
+    ).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_h = F.first(
+        F.when(F.col("v").isNotNull(), F.col("hr")), ignorenulls=True
+    ).over(w_next)
+    frac = (
+        F.unix_timestamp(F.col("hr")) - F.unix_timestamp(prev_h)
+    ) / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return g.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        # explicit floor(x*1e4+0.5)/1e4 rather than round(): the inputs
+        # are 2-decimal values, so interpolation midpoints land EXACTLY on
+        # .xxxx5 — Spark's round (shortest-string HALF_UP) and DuckDB's
+        # (binary half-away) disagree there; this formula is the same IEEE
+        # ops in both engines, so the result is bit-identical.
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000.0).alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+def q_column_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations between the numeric measures of
+    lineitem (quantity, extendedprice, discount) — the correlation
+    panel of a data-profiling pass (and the input to feature pruning
+    before classifier training). One row per column pair.
+
+    Distributed shape: ONE aggregate pass over a 3-column pruned scan
+    computes all three corr() moments map-side (partial aggregation);
+    the pair unpivot runs on the 1-row result. Never a self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("c_qty_price"),
+        F.corr("l_quantity", "l_discount").alias("c_qty_disc"),
+        F.corr("l_extendedprice", "l_discount").alias("c_price_disc"),
+    )
+    stack_expr = (
+        "stack(3,"
+        " 'l_quantity', 'l_extendedprice', c_qty_price,"
+        " 'l_quantity', 'l_discount', c_qty_disc,"
+        " 'l_extendedprice', 'l_discount', c_price_disc"
+        ") as (col_a, col_b, corr_v)"
+    )
+    return wide.select(F.expr(stack_expr)).select(
+        "col_a", "col_b", F.round("corr_v", 6).alias("corr_v")
+    )

@@ -763,3 +763,33 @@ def test_analyze_table_stats_single_pass(spark):
     assert n_ops(p, "Exchange") <= 2
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "Expand") == 1
+
+
+def test_gap_fill_single_window_single_sort(spark):
+    """Gap filling: the carry-forward and carry-back fills share one
+    (user, hr) partitioning+ordering, so Catalyst must fuse them into
+    ONE Window node over ONE Sort; the dense grid comes from per-user
+    bounds (Generate), never a calendar cross-join."""
+    p = plan(Q.q_gap_fill_interpolate(spark, SF_DIR))
+    assert n_ops(p, "Window") == 1
+    assert n_ops(p, "Sort") == 1
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "Generate") == 1
+
+
+def test_weighted_reservoir_is_scan_plus_take_ordered(spark):
+    """Efraimidis-Spirakis sampling must be a pure narrow pass ending in
+    TakeOrderedAndProject — zero exchanges, zero windows: the
+    distributed top-k IS the reservoir."""
+    p = plan(Q.q_weighted_reservoir_sample(spark, SF_DIR))
+    assert n_ops(p, "TakeOrderedAndProject") == 1
+    assert n_ops(p, "Exchange") == 0
+    assert n_ops(p, "Window") == 0
+
+
+def test_column_correlations_single_scan_no_join(spark):
+    """All pairwise corr() moments come from ONE pruned scan and one
+    two-phase aggregate — never a self-join."""
+    p = plan(Q.q_column_correlations(spark, SF_DIR))
+    assert n_ops(p, "Scan") == 1
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0

@@ -120,3 +120,53 @@ def test_dedup_job_spark_submit_end_to_end(spark, tmp_path):
         clusters.join(kept, "doc_id").groupBy("cluster_id").count().collect()
     )
     assert kept_per_cluster and all(r["count"] == 1 for r in kept_per_cluster)
+
+
+def test_maintenance_job_spark_submit_end_to_end(spark, tmp_path):
+    """Table maintenance as a production job: build a 3-snapshot store,
+    spark-submit the maintenance pass, and reconcile its JSON summary —
+    changelog written before compaction collapses history, snapshots
+    compacted to one, row count preserved."""
+    from ocr_spark import fixtures
+    from ocr_spark.pipeline import read_snapshots, run_resumable
+    from tools.make_pyfiles import build
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(9), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    store = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx % 3 = 0"), store)
+    run_resumable(spark, full.filter("turn_idx % 3 <= 1"), store)
+    run_resumable(spark, full, store)
+    n_total = read_snapshots(spark, store).count()
+    n_first = full.filter("turn_idx % 3 = 0").count()
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    changelog = str(tmp_path / "changelog")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "maintenance_job.py"),
+        "--store", store,
+        "--changelog", changelog,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    assert summary["snapshots_before"] == 3
+    assert summary["compacted"] == 3
+    assert summary["snapshots_after"] == 1
+    # changelog = keys added between snapshot 0 and the head
+    assert summary["changelog_rows"] == n_total - n_first
+    diff = spark.read.parquet(changelog)
+    assert {r["action"] for r in diff.select("action").distinct().collect()} == {
+        "added"
+    }
+    # the compacted table still holds every turn exactly once
+    after = read_snapshots(spark, store)
+    assert after.count() == n_total
+    assert after.select("conv_id", "turn_idx").distinct().count() == n_total

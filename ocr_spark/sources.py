@@ -49,6 +49,14 @@ def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(*_COLS)
 
 
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (warehouse interchange: Hive/Trino-era tables arrive
+    as ORC; Spark reads it natively with the same pushdown/pruning as
+    parquet). Self-describing like parquet — the select pins column
+    order and surfaces schema drift here."""
+    return spark.read.orc(path).select(*_COLS)
+
+
 def _bad_lines(
     spark: SparkSession,
     path: str,

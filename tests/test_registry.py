@@ -60,3 +60,41 @@ def test_rows_only_queries_are_documented():
     }
     unexpected = rows_only - allowed
     assert not unexpected, f"undocumented rows-only queries: {sorted(unexpected)}"
+
+
+def test_spark_sql_interface_matches_dataframe_api(spark):
+    """The engine's SQL surface: the same plans are reachable through
+    spark.sql over registered views — a pure-SQL twin of a scan-agg
+    (tpch_q6 shape) and a per-row text op (token_count shape) must
+    return exactly what the DataFrame-API queries return."""
+    import ocr_spark.queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("lineitem", "documents"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
+            name
+        )
+
+    sql_q6 = spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    ).collect()
+    df_q6 = Q.q_tpch_q6(spark, sf_dir).collect()
+    assert [r.asDict() for r in sql_q6] == [r.asDict() for r in df_q6]
+
+    sql_tc = {
+        (r.doc_id, r.n_tokens)
+        for r in spark.sql(
+            "SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+        ).collect()
+    }
+    df_tc = {
+        (r.doc_id, r.n_tokens)
+        for r in Q.q_token_count(spark, sf_dir).collect()
+    }
+    assert sql_tc == df_tc

@@ -160,3 +160,34 @@ def test_read_media_binary_normalizes_files_to_media_schema(spark, tmp_path):
     assert got["image"]["decode_ok"] and got["image"]["width"] is not None
     assert got["audio"]["sample_rate"] is not None
     assert got["video"]["n_frames"] >= 1
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC in == parquet in: identical rows, schema, and pushdown-capable
+    scan (predicate lands in the ORC reader, column pruned)."""
+    from ocr_spark import fixtures
+    from ocr_spark.sources import read_transcripts_orc, read_transcripts_parquet
+
+    t = fixtures.transcripts_df(spark, 12)
+    pq = str(tmp_path / "t_parquet")
+    oc = str(tmp_path / "t_orc")
+    t.write.mode("overwrite").parquet(pq)
+    t.write.mode("overwrite").orc(oc)
+
+    a = read_transcripts_parquet(spark, pq)
+    b = read_transcripts_orc(spark, oc)
+    assert a.schema == b.schema
+    ka = sorted((r.conv_id, r.turn_idx, r.text) for r in a.collect())
+    kb = sorted((r.conv_id, r.turn_idx, r.text) for r in b.collect())
+    assert ka == kb
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        b.filter("turn_idx = 0").select("conv_id").explain(mode="formatted")
+    p = buf.getvalue()
+    assert "PushedFilters:" in p and "EqualTo(turn_idx,0)" in p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read  # pruned to the 2 needed columns

@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir_sample": Q.q_weighted_reservoir_sample,
         "gap_fill_interpolate": Q.q_gap_fill_interpolate,
         "column_correlations": Q.q_column_correlations,
+        "hard_negative_mining": Q.q_hard_negative_mining,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -3187,3 +3187,22 @@ FROM wide, LATERAL (
   ) AS t(col_a, col_b, corr_v)
 ) u
 """
+
+ORACLES["hard_negative_mining"] = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
+  FROM embeddings WHERE vec_id < 4
+), scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         CAST(e.label AS BIGINT) AS neg_label,
+         round({_COS.format(a="e.embedding", b="a.a_emb")}, 4) AS cosine
+  FROM embeddings e, anchors a
+  WHERE e.vec_id >= 4 AND e.label != a.a_label
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       CAST(vec_id AS BIGINT) AS vec_id, neg_label, cosine,
+       CAST(row_number() OVER (PARTITION BY anchor_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""

@@ -5439,3 +5439,52 @@ def q_column_correlations(spark, sf_dir):
     return wide.select(F.expr(stack_expr)).select(
         "col_a", "col_b", F.round("corr_v", 6).alias("corr_v")
     )
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training (the
+    DPR/SimCSE data-prep pass): for each of the first 4 anchor vectors,
+    the top-5 most-similar vectors with a DIFFERENT label — maximally
+    confusable negatives, the pairs that actually move a contrastive
+    loss. Same-label neighbors are positives and excluded.
+
+    Distributed shape: the 4-row anchor set broadcasts into the corpus
+    scan (never corpus x corpus); the label-mismatch filter cuts before
+    scoring; per-anchor heads come from ONE rank-window over the scored
+    stream partitioned by anchor — at production anchor counts the
+    window is anchor-keyed (parallel), and the corpus is pre-bucketed
+    by the ANN index (q_ann_bucketed_topk) so scoring touches a bucket,
+    not the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 4)
+    scored = (
+        cand.join(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.col("label").cast("bigint").alias("neg_label"),
+            F.round(F.expr(_cosine_expr("embedding", "a_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("anchor_id").cast("bigint").alias("anchor_id"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "neg_label",
+            "cosine",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

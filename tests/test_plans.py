@@ -793,3 +793,17 @@ def test_column_correlations_single_scan_no_join(spark):
     p = plan(Q.q_column_correlations(spark, SF_DIR))
     assert n_ops(p, "Scan") == 1
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark):
+    """Hard-negative mining joins the tiny anchor set via broadcast —
+    never corpus x corpus: no SortMergeJoin/CartesianProduct; the only
+    window is anchor-keyed (parallel across anchors)."""
+    p = plan(Q.q_hard_negative_mining(spark, SF_DIR))
+    assert n_ops(p, "BroadcastNestedLoopJoin") <= 1  # the anchor broadcast
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    # exactly one true Window; WindowGroupLimit nodes are Spark's rank
+    # pushdown (per-partition partial top-k BEFORE the shuffle) — keep them
+    assert n_ops(p, "Window") - n_ops(p, "WindowGroupLimit") == 1
+    assert n_ops(p, "WindowGroupLimit") >= 1

@@ -3206,3 +3206,43 @@ SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
 FROM scored
 QUALIFY rnk <= 5
 """
+
+ORACLES["ivf_recall_report"] = f"""
+WITH {_IVF_ASSIGN}, q AS (
+  SELECT embedding AS qe, cluster AS qc FROM assigned WHERE vec_id = 0
+), brute AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  QUALIFY row_number() OVER (
+    ORDER BY round({_COS.format(a="e.embedding", b="qe")}, 4) DESC,
+             e.vec_id ASC) <= 10
+), i1 AS (
+  SELECT vec_id, 1 AS in1
+  FROM assigned, q
+  WHERE vec_id <> 0 AND cluster = qc
+  QUALIFY row_number() OVER (
+    ORDER BY round({_COS.format(a="embedding", b="qe")}, 4) DESC,
+             vec_id ASC) <= 10
+), qp AS (
+  SELECT c0 AS qc, embedding AS qe FROM scored WHERE vec_id = 0
+  QUALIFY row_number() OVER (ORDER BY dist ASC, c0 ASC) <= 2
+), i2 AS (
+  SELECT vec_id, 1 AS in2
+  FROM assigned, qp
+  WHERE vec_id <> 0 AND cluster = qc
+  QUALIFY row_number() OVER (
+    ORDER BY round({_COS.format(a="embedding", b="qe")}, 4) DESC,
+             vec_id ASC) <= 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(coalesce(in1, 0)) AS BIGINT) AS hit_nprobe1,
+       CAST(sum(coalesce(in2, 0)) AS BIGINT) AS hit_nprobe2,
+       round(CAST(sum(coalesce(in1, 0)) AS DOUBLE) / count(*), 4)
+         AS recall_nprobe1,
+       round(CAST(sum(coalesce(in2, 0)) AS DOUBLE) / count(*), 4)
+         AS recall_nprobe2
+FROM brute
+LEFT JOIN i1 USING (vec_id)
+LEFT JOIN i2 USING (vec_id)
+"""

@@ -5488,3 +5488,93 @@ def q_hard_negative_mining(spark, sf_dir):
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def q_ivf_recall_report(spark, sf_dir):
+    """IVF recall eval — the dense-index twin of q_lsh_recall_report:
+    measured recall@10 of IVF search at nprobe=1 and nprobe=2 against
+    the brute-force cosine top-10 ground truth for the vec_id=0 query.
+    This is how nprobe is tuned before an index ships: the report shows
+    exactly how much recall the second probe buys.
+
+    Distributed shape: ground truth pays one broadcast-query brute scan
+    (eval only — production evals on a query sample); both IVF sides
+    reuse the probe plans unchanged (broadcast probe set, equi-join on
+    cluster id); the final report is a 10-row three-way mark-join
+    reduced to one row."""
+    k = 10
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(query))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+    )
+    assigned = _ivf_assignments(spark, sf_dir)
+    q1 = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    ivf1 = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q1), F.col("cluster") == F.col("q_cluster"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.lit(1).alias("in1"))
+    )
+    scored = _ivf_scored(spark, sf_dir)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cc").asc()
+    )
+    probes = (
+        scored.filter(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("embedding").alias("q_embedding"),
+            F.col("cc").alias("q_cluster"),
+        )
+    )
+    ivf2 = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("cluster") == F.col("q_cluster"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.lit(1).alias("in2"))
+    )
+    marked = brute.join(ivf1, "vec_id", "left").join(ivf2, "vec_id", "left")
+    return marked.agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.sum(F.coalesce(F.col("in1"), F.lit(0)))
+        .cast("bigint")
+        .alias("hit_nprobe1"),
+        F.sum(F.coalesce(F.col("in2"), F.lit(0)))
+        .cast("bigint")
+        .alias("hit_nprobe2"),
+    ).select(
+        "n_true",
+        "hit_nprobe1",
+        "hit_nprobe2",
+        F.round(F.col("hit_nprobe1") / F.col("n_true"), 4).alias(
+            "recall_nprobe1"
+        ),
+        F.round(F.col("hit_nprobe2") / F.col("n_true"), 4).alias(
+            "recall_nprobe2"
+        ),
+    )

@@ -430,3 +430,43 @@ def stream_static_enrich(turns: DataFrame, dim: DataFrame) -> DataFrame:
     return turns.join(F.broadcast(dim), "conv_id", "left").withColumn(
         "enriched", F.col(dim.columns[1]).isNotNull()
     )
+
+
+def stream_to_store(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 64,
+):
+    """Streaming ingestion INTO the snapshot store — continuous CDC
+    append unified with the batch table: each micro-batch commits
+    through ``pipeline.run_resumable`` via foreachBatch, so streamed
+    turns land as ordinary marker-gated snapshots that every batch
+    consumer (rollup, curate, maintenance, diff_snapshots) reads
+    unchanged.
+
+    Exactly-once WITHOUT relying on the sink's own commit log: the
+    checkpoint makes batch replay possible (a crash after commit but
+    before the checkpoint advances re-delivers the batch), and the
+    store's anti-join-against-committed-keys planning makes the replay
+    a NO-OP — idempotent append, the foreachBatch analog of Iceberg's
+    MERGE-on-batch-id pattern. Crash-tested in tests/test_streaming.py.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from ocr_spark.pipeline import run_resumable
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        run_resumable(
+            batch_df.sparkSession, batch_df, store_root,
+            run_id=f"stream{batch_id:06d}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

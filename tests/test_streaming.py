@@ -479,3 +479,57 @@ def test_stream_static_enrich_no_state_and_left_semantics(spark, dirs):
     # batch twin equivalence: same enrichment the batch join produces
     batch = stream_static_enrich(turns_batch, dim)
     assert batch.filter("enriched").count() == got.filter("enriched").count()
+
+
+def test_stream_to_store_crash_replay_is_idempotent(spark, dirs, tmp_path):
+    """Streaming ingestion into the snapshot store: kill the query
+    mid-drain AFTER at least one micro-batch committed a snapshot,
+    restart from the same checkpoint, and assert the STORE holds every
+    input turn exactly once — batch replay after the crash is a no-op
+    because run_resumable plans an anti-join against committed keys."""
+    import time as _time
+
+    from ocr_spark.pipeline import read_snapshots, snapshots_df
+    from ocr_spark.streaming.incremental import stream_to_store
+
+    for i in range(12):
+        _write_batch(spark, dirs["in"], i * 2, 2, f"w{i}")
+    total_in = spark.read.parquet(dirs["in"] + "/*").count()
+    store = str(tmp_path / "store")
+
+    partial = None
+    for attempt in range(4):
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(dirs["ckpt"], ignore_errors=True)
+        q = stream_to_store(
+            spark, dirs["in"] + "/*", store, dirs["ckpt"],
+            max_files_per_trigger=1,
+        )
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            committed = read_snapshots(spark, store)
+            if committed is not None:
+                break
+            _time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+        committed = read_snapshots(spark, store)
+        partial = committed.count() if committed is not None else 0
+        if 0 < partial < total_in:
+            break
+    assert partial is not None and 0 < partial < total_in, (
+        f"kill landed before any/after every batch on all attempts ({partial})"
+    )
+
+    q = stream_to_store(
+        spark, dirs["in"] + "/*", store, dirs["ckpt"], max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = read_snapshots(spark, store)
+    assert got.count() == total_in
+    assert got.select("conv_id", "turn_idx").distinct().count() == total_in
+    # values identical to the batch extraction of the same input
+    want = _sorted_extract(extract(spark.read.parquet(dirs["in"] + "/*")))
+    assert _sorted_extract(got) == want
+    # the store stayed an ordinary snapshot store: every consumer works
+    assert snapshots_df(spark, store).count() >= 2

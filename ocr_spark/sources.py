@@ -194,3 +194,79 @@ def read_media_binary(
         F.col("path").alias("source_path"),
         F.col("length").alias("n_bytes_listed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: the synthetic transcript corpus as a FORMAL
+# connector (spark.read.format("transcript_synth")) — the same deterministic
+# rows fixtures.transcripts_df generates, but exposed through the pluggable
+# source API so the engine demonstrates the custom-connector surface: typed
+# schema, option handling, and conv-range input partitions that put
+# generation parallelism under the source's control (a real connector's
+# split planning), not the caller's.
+
+try:  # pyspark >= 4 only; gate so older interpreters still import sources
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _ConvRange(InputPartition):
+        def __init__(self, start: int, end: int, skew: bool):
+            self.start, self.end, self.skew = start, end, skew
+
+    class TranscriptSynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_convs = int(options.get("n_convs", 100))
+            self.skew = str(options.get("skew", "true")).lower() == "true"
+            self.n_splits = int(
+                options.get("n_splits", min(max(2, self.n_convs // 64), 256))
+            )
+
+        def partitions(self):
+            k = max(1, min(self.n_splits, self.n_convs))
+            # balanced split planning: every requested split materializes
+            # (first n_convs % k ranges get one extra conversation)
+            base, extra = divmod(self.n_convs, k)
+            out, lo = [], 0
+            for i in range(k):
+                hi = lo + base + (1 if i < extra else 0)
+                out.append(_ConvRange(lo, hi, self.skew))
+                lo = hi
+            return out
+
+        def read(self, partition):
+            # executor-side expansion, exactly fixtures.conversation_rows
+            from ocr_spark.fixtures import conversation_rows
+
+            for conv_seq in range(partition.start, partition.end):
+                yield from conversation_rows(conv_seq, skew=partition.skew)
+
+    class TranscriptSynthDataSource(DataSource):
+        """``spark.read.format("transcript_synth")
+        .option("n_convs", N).load()``"""
+
+        @classmethod
+        def name(cls):
+            return "transcript_synth"
+
+        def schema(self):
+            return (
+                "conv_id string, turn_idx int, role string,"
+                " text string, tool string, ts timestamp"
+            )
+
+        def reader(self, schema):
+            return TranscriptSynthReader(self.options)
+
+    def register_transcript_source(spark: SparkSession) -> None:
+        """Register the connector on a session (idempotent)."""
+        spark.dataSource.register(TranscriptSynthDataSource)
+
+except ImportError:  # pragma: no cover - pyspark < 4
+
+    def register_transcript_source(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "python DataSource API requires pyspark >= 4"
+        )

@@ -191,3 +191,29 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     assert "PushedFilters:" in p and "EqualTo(turn_idx,0)" in p
     read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read  # pruned to the 2 needed columns
+
+
+def test_transcript_synth_datasource_matches_fixtures(spark):
+    """The formal Python DataSource connector produces byte-identical
+    rows to fixtures.transcripts_df, under the source's OWN split
+    planning (n_splits option -> that many input partitions)."""
+    from ocr_spark import fixtures
+    from ocr_spark.sources import register_transcript_source
+
+    register_transcript_source(spark)
+    via_source = (
+        spark.read.format("transcript_synth")
+        .option("n_convs", 12)
+        .option("n_splits", 5)
+        .load()
+    )
+    assert via_source.rdd.getNumPartitions() == 5
+    a = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, str(r.ts))
+        for r in via_source.collect()
+    )
+    b = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, str(r.ts))
+        for r in fixtures.transcripts_df(spark, 12).collect()
+    )
+    assert a == b

@@ -34,6 +34,8 @@ def __getattr__(name):
         "observed_extraction": ("ocr_spark.pipeline", "observed_extraction"),
         "snapshots_df": ("ocr_spark.pipeline", "snapshots_df"),
         "expire_snapshots": ("ocr_spark.pipeline", "expire_snapshots"),
+        "delete_turns": ("ocr_spark.pipeline", "delete_turns"),
+        "diff_snapshots": ("ocr_spark.pipeline", "diff_snapshots"),
         "sessionize": ("ocr_spark.transcript_prep", "sessionize"),
         "session_stats": ("ocr_spark.transcript_prep", "session_stats"),
         "sft_pairs": ("ocr_spark.transcript_prep", "sft_pairs"),

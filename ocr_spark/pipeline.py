@@ -79,6 +79,7 @@ def observed_extraction(transcripts: DataFrame, dedupe: bool = False):
 
 _MARKER = "_COMMITTED"
 _SUPERSEDES = "_SUPERSEDES"  # written by compaction: names of replaced dirs
+_DELETES_FLAG = "_EQUALITY_DELETES"  # snapshot holds delete KEYS, not data
 
 
 def _snapshot_dirs(root: str) -> list[str]:
@@ -156,9 +157,46 @@ def read_snapshots(
     retention-bounded window Iceberg gives); an as-of point whose data
     has been removed returns None, like any other empty state."""
     paths = _committed_snapshots(root, as_of)
-    if not paths:
+    data = [
+        p for p in paths
+        if not os.path.exists(os.path.join(p, _DELETES_FLAG))
+    ]
+    dels = [p for p in paths if p not in data]
+    if not data:
         return None
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*data)
+    if not dels:
+        return df
+    # merge-on-read equality deletes (Iceberg v2 delete files): a delete
+    # snapshot holds (conv_id, turn_idx) keys and hides matching rows in
+    # every EARLIER data snapshot; a later re-append resurrects the key
+    # (point-in-time deletion, exactly Iceberg's sequence-number rule).
+    # The row's snapshot index comes from its file path in codegen — no
+    # per-snapshot union; the delete key set is request-sized, so it
+    # broadcasts.
+    row_idx = F.regexp_extract(
+        F.input_file_name(), r"snapshot=(\d+)/", 1
+    ).cast("long")
+    del_keys = (
+        spark.read.parquet(*dels)
+        .withColumn(
+            "_del_idx",
+            F.regexp_extract(
+                F.input_file_name(), r"snapshot=(\d+)/", 1
+            ).cast("long"),
+        )
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max("_del_idx").alias("_del_idx"))
+    )
+    return (
+        df.withColumn("_row_snap", row_idx)
+        .join(F.broadcast(del_keys), ["conv_id", "turn_idx"], "left")
+        .filter(
+            F.col("_del_idx").isNull()
+            | (F.col("_del_idx") < F.col("_row_snap"))
+        )
+        .drop("_row_snap", "_del_idx")
+    )
 
 
 def diff_snapshots(
@@ -208,6 +246,36 @@ def diff_snapshots(
     return joined.filter(F.col("action") != "unchanged")
 
 
+def delete_turns(spark: SparkSession, root: str, keys: DataFrame) -> int:
+    """Merge-on-read equality deletes (Iceberg v2 delete files) — the
+    compliance-deletion path a training corpus needs: commit a snapshot
+    holding only (conv_id, turn_idx) KEYS; readers hide matching rows
+    from every earlier data snapshot without rewriting a byte of data.
+    Deletion is point-in-time: a later re-append (or a resumable re-run
+    over a source that still contains the turn) resurrects the key —
+    Iceberg's sequence-number semantics; purge the SOURCE too for
+    permanent removal, then ``compact_snapshots`` applies deletes
+    physically (read-side merge cost drops to zero and the bytes leave
+    disk). Run compaction BEFORE retention so expiry can never separate
+    a delete file from the data it masks (``jobs/maintenance_job.py``
+    orders it that way). Returns the delete snapshot's index."""
+    snap_dir = _allocate_snapshot_dir(root)
+    snap_idx = _snapshot_idx(snap_dir)
+    (
+        keys.select("conv_id", "turn_idx")
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(snap_dir)
+    )
+    with open(os.path.join(snap_dir, _DELETES_FLAG), "w") as fh:
+        fh.write("ok\n")
+    with _commit_lock(root):
+        with open(os.path.join(snap_dir, _MARKER), "w") as fh:
+            fh.write("ok\n")
+    return snap_idx
+
+
 def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
     """Store introspection: one row per committed snapshot — the
     ≙ of Iceberg's ``snapshots`` metadata table. Columns: snapshot name,
@@ -239,12 +307,13 @@ def snapshots_df(spark: SparkSession, root: str) -> DataFrame:
                 n_files,
                 n_bytes,
                 os.path.isdir(os.path.join(root, "metrics", name)),
+                os.path.exists(os.path.join(p, _DELETES_FLAG)),
             )
         )
     return spark.createDataFrame(
         rows,
         "snapshot string, idx int, committed_at timestamp, n_files int, "
-        "n_bytes bigint, has_metrics boolean",
+        "n_bytes bigint, has_metrics boolean, is_deletes boolean",
     )
 
 
@@ -415,7 +484,13 @@ def compact_snapshots(
     paths = _committed_snapshots(out_root)
     if len(paths) <= 1:
         return 0
-    df = spark.read.parquet(*paths)
+    # read THROUGH read_snapshots: merge-on-read equality deletes are
+    # applied here, so compaction rewrites the table deletes-applied and
+    # supersedes the delete snapshots along with the data — after it, the
+    # deleted bytes are physically gone and reads pay no merge cost.
+    df = read_snapshots(spark, out_root)
+    if df is None:
+        return 0
     if target_partitions:
         df = df.repartition(target_partitions, "conv_id")
     tmp_dir = os.path.join(out_root, "_compact_tmp")

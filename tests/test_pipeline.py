@@ -582,3 +582,61 @@ def test_diff_snapshots_cdc_actions(spark, tmp_path):
     }
     assert rev.count() == len(expected)
     assert diff_snapshots(spark, root, 1, 1).count() == 0
+
+
+def test_equality_deletes_merge_on_read_and_compaction(spark, tmp_path):
+    """Iceberg-v2-style equality deletes: a committed delete snapshot
+    hides matching keys from earlier data without rewriting it; as-of
+    reads BEFORE the delete still see them; a later re-append
+    resurrects the key (sequence-number semantics); compaction applies
+    deletes physically and drops the delete snapshot."""
+    from ocr_spark.pipeline import (
+        compact_snapshots,
+        delete_turns,
+        read_snapshots,
+        snapshots_df,
+    )
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(6), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full, root)  # snapshot=0
+    n_total = read_snapshots(spark, root).count()
+
+    victims = (
+        read_snapshots(spark, root)
+        .filter("turn_idx = 0")
+        .select("conv_id", "turn_idx")
+    )
+    n_victims = victims.count()
+    del_idx = delete_turns(spark, root, victims)  # snapshot=1 (keys only)
+
+    after = read_snapshots(spark, root)
+    assert after.count() == n_total - n_victims
+    assert after.filter("turn_idx = 0").count() == 0
+    # time travel to before the delete still sees every row
+    assert read_snapshots(spark, root, as_of=del_idx - 1).count() == n_total
+    # store introspection labels the delete snapshot
+    kinds = {r["snapshot"]: r["is_deletes"] for r in snapshots_df(spark, root).collect()}
+    assert kinds == {"snapshot=0": False, "snapshot=1": True}
+
+    # re-appending one deleted conversation resurrects it (point-in-time
+    # deletion): the resumable run's anti-join plans against the
+    # deletes-applied view, so the turns count as missing and re-extract
+    from pyspark.sql import functions as F
+
+    one_conv = full.filter(
+        (F.col("conv_id") == full.first()["conv_id"]) & (F.col("turn_idx") == 0)
+    )
+    run_resumable(spark, one_conv, root)  # snapshot=2
+    resurrected = read_snapshots(spark, root)
+    assert resurrected.count() == n_total - n_victims + 1
+    assert resurrected.filter("turn_idx = 0").count() == 1
+
+    # compaction rewrites deletes-applied and supersedes the delete dir
+    assert compact_snapshots(spark, root) == 3
+    compacted = read_snapshots(spark, root)
+    assert compacted.count() == n_total - n_victims + 1
+    inv = snapshots_df(spark, root).collect()
+    assert len(inv) == 1 and not inv[0]["is_deletes"]

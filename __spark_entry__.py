@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_correlations": Q.q_column_correlations,
         "hard_negative_mining": Q.q_hard_negative_mining,
         "ivf_recall_report": Q.q_ivf_recall_report,
+        "scd2_history": Q.q_scd2_history,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -3246,3 +3246,40 @@ FROM brute
 LEFT JOIN i1 USING (vec_id)
 LEFT JOIN i2 USING (vec_id)
 """
+
+ORACLES["scd2_history"] = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), hist AS (
+  SELECT doc_id, text, 1 AS version FROM base
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END,
+         2 FROM base
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev3]'
+              WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+              ELSE text END,
+         3 FROM base
+), runs AS (
+  SELECT doc_id, text, version,
+         CASE WHEN lag(text) OVER w IS NULL
+                OR lag(text) OVER w != text THEN 1 ELSE 0 END AS changed
+  FROM hist
+  WINDOW w AS (PARTITION BY doc_id ORDER BY version)
+), numbered AS (
+  SELECT doc_id, text, version,
+         sum(changed) OVER (PARTITION BY doc_id ORDER BY version
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(run_id AS BIGINT) AS run_id,
+       CAST(min(version) AS BIGINT) AS valid_from,
+       CAST(max(version) AS BIGINT) AS valid_to_incl,
+       max(version) = 3 AS is_current,
+       CAST(min(length(text)) AS BIGINT) AS n_chars
+FROM numbered
+GROUP BY doc_id, run_id
+"""

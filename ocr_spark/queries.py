@@ -5578,3 +5578,64 @@ def q_ivf_recall_report(spark, sf_dir):
             "recall_nprobe2"
         ),
     )
+
+
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 history (the warehouse twin of
+    q_merge_upsert's SCD1 overwrite): three corpus versions derive
+    deterministically (v1 = base; v2 revises doc_id%5==0; v3 revises
+    doc_id%7==0), and the operator emits one row per (doc_id, version
+    run) with valid_from / valid_to / is_current — the full audit
+    history a compliance review or a training-data lineage query walks.
+
+    Distributed shape: the versions union (narrow), consecutive
+    duplicate states collapse via ONE doc-keyed window chain (lag to
+    flag changes, running sum to number runs) and one (doc, run)
+    groupBy that reuses the window's partitioning prefix. Never a
+    self-join per version pair — cost is rows x versions, linear."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = doc.select("doc_id", "text", F.lit(1).alias("version"))
+    v2 = doc.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    v3 = doc.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev3]"))
+        ).when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+        F.lit(3).alias("version"),
+    )
+    hist = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("doc_id").orderBy("version")
+    runs = hist.withColumn(
+        "changed",
+        F.when(
+            F.lag("text").over(w).isNull()
+            | (F.lag("text").over(w) != F.col("text")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("changed").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out = runs.groupBy("doc_id", "run_id").agg(
+        F.min("version").cast("bigint").alias("valid_from"),
+        F.max("version").cast("bigint").alias("valid_to_incl"),
+        F.length(F.first("text")).cast("bigint").alias("n_chars"),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("run_id").cast("bigint").alias("run_id"),
+        "valid_from",
+        "valid_to_incl",
+        (F.col("valid_to_incl") == 3).alias("is_current"),
+        "n_chars",
+    )

@@ -807,3 +807,12 @@ def test_hard_negative_mining_broadcasts_anchors(spark):
     # pushdown (per-partition partial top-k BEFORE the shuffle) — keep them
     assert n_ops(p, "Window") - n_ops(p, "WindowGroupLimit") == 1
     assert n_ops(p, "WindowGroupLimit") >= 1
+
+
+def test_scd2_history_single_exchange(spark):
+    """SCD2 run-numbering: the lag window, the running-sum window, and
+    the (doc, run) aggregate all reuse ONE doc-keyed Exchange — never a
+    per-version self-join, never a second shuffle."""
+    p = plan(Q.q_scd2_history(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0

@@ -375,6 +375,37 @@ def main() -> None:
             "stats).",
             plan(Q.q_rrf_fusion(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "SCD2 history: one Exchange serves two windows and the rollup",
+            "The lag-change flag, the running run-number, and the (doc, "
+            "run) aggregate all cluster on doc_id, so Catalyst plans ONE "
+            "hash Exchange for the whole chain — version history costs "
+            "rows x versions, linear, never a per-version self-join.",
+            plan(Q.q_scd2_history(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Gap-fill interpolation: fused bidirectional fill",
+            "Carry-forward (last ignore-nulls) and carry-back (first "
+            "ignore-nulls) share one (user, hr) partitioning+ordering, so "
+            "the plan holds ONE Window over ONE Sort; the dense grid "
+            "explodes from per-user bounds — never a calendar cross-join.",
+            plan(Q.q_gap_fill_interpolate(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Weighted reservoir: the top-k IS the reservoir",
+            "Efraimidis-Spirakis keys are narrow per-row math; the whole "
+            "operator is scan -> project -> TakeOrderedAndProject. Zero "
+            "exchanges, zero windows, any corpus size.",
+            plan(Q.q_weighted_reservoir_sample(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "Hard-negative mining: rank pushdown below the shuffle",
+            "The anchor set broadcasts; Spark inserts WindowGroupLimit "
+            "(per-partition partial top-k) BELOW the rank window's "
+            "Exchange, so only ~k rows per partition per anchor shuffle — "
+            "the Window equivalent of TakeOrdered's partial merge.",
+            plan(Q.q_hard_negative_mining(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": Q.q_hard_negative_mining,
         "ivf_recall_report": Q.q_ivf_recall_report,
         "scd2_history": Q.q_scd2_history,
+        "robots_gate": Q.q_robots_gate,
+        "anchor_text_aggregation": Q.q_anchor_text_aggregation,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

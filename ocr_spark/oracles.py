@@ -3283,3 +3283,60 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM numbered
 GROUP BY doc_id, run_id
 """
+
+ORACLES["robots_gate"] = r"""
+WITH urls AS (
+  SELECT doc_id,
+         '/s' || CAST(doc_id % 4 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/private' ELSE '/posts' END
+         || '/p' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), rules AS (
+  SELECT * FROM (VALUES
+    ('/s0', false), ('/s0/posts', true), ('/s1/private', false),
+    ('/s2', false), ('/s2/private', false), ('/s3/posts/p3', false)
+  ) AS t(prefix, allow)
+), matched AS (
+  SELECT u.doc_id, u.path, r.prefix, r.allow
+  FROM urls u LEFT JOIN rules r ON starts_with(u.path, r.prefix)
+), decided AS (
+  SELECT doc_id, path,
+         max(CASE WHEN prefix IS NOT NULL
+                  THEN struct_pack(l := length(prefix), allow := allow)
+             END) AS best
+  FROM matched GROUP BY doc_id, path
+)
+SELECT doc_id, path,
+       coalesce(best.allow, true) AS allowed,
+       CAST(coalesce(best.l, 0) AS BIGINT) AS rule_len
+FROM decided
+"""
+
+ORACLES["anchor_text_aggregation"] = r"""
+WITH doc AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+')[1] AS anchor,
+         count(*) OVER () AS n
+  FROM documents
+), edges AS (
+  SELECT doc_id AS src_id, anchor,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT % n AS dst
+  FROM doc
+  UNION ALL
+  SELECT doc_id AS src_id, anchor,
+         ('0x' || substr(md5(text), 9, 8))::BIGINT % n AS dst
+  FROM doc
+), filtered AS (
+  SELECT * FROM edges WHERE dst != src_id
+), per_term AS (
+  SELECT dst, anchor, count(*) AS n_links,
+         count(DISTINCT src_id) AS n_sources
+  FROM filtered GROUP BY dst, anchor
+)
+SELECT CAST(dst AS BIGINT) AS dst,
+       CAST(sum(n_links) AS BIGINT) AS in_links,
+       CAST(sum(n_sources) AS BIGINT) AS in_sources,
+       max(struct_pack(c := n_links, t := anchor)).t AS top_anchor
+FROM per_term
+GROUP BY dst
+"""

@@ -5639,3 +5639,101 @@ def q_scd2_history(spark, sf_dir):
         (F.col("valid_to_incl") == 3).alias("is_current"),
         "n_chars",
     )
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt-style crawl gating with longest-prefix-rule-wins
+    semantics (RFC 9309 §2.2.2): each document's synthesized URL path is
+    matched against a per-host rule table (allow/deny path prefixes);
+    the MOST SPECIFIC (longest) matching rule decides, no match means
+    allowed. The gate every crawl-derived corpus applies before a byte
+    is fetched or kept.
+
+    Distributed shape: the rule table is crawl-config-sized, so it
+    BROADCASTS into a prefix-match theta-join (startswith); the
+    longest-match argmax is a max(struct(len, verdict)) inside one
+    partial-aggregated groupBy per URL — never a window, never a second
+    shuffle. At web scale rules-per-host stays bounded, so the match
+    fan-out is a constant factor."""
+    doc = _t(spark, sf_dir, "documents")
+    urls = doc.select(
+        "doc_id",
+        F.expr(
+            "concat('/s', cast(doc_id % 4 as string),"
+            " case when doc_id % 3 = 0 then '/private' else '/posts' end,"
+            " '/p', cast(doc_id as string))"
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("/s0", False),
+            ("/s0/posts", True),
+            ("/s1/private", False),
+            ("/s2", False),
+            ("/s2/private", False),
+            ("/s3/posts/p3", False),
+        ],
+        "prefix string, allow boolean",
+    )
+    matched = urls.join(
+        F.broadcast(rules), F.expr("startswith(path, prefix)"), "left"
+    )
+    decided = matched.groupBy("doc_id", "path").agg(
+        F.max(
+            F.when(
+                F.col("prefix").isNotNull(),
+                F.struct(F.length("prefix").alias("l"), F.col("allow")),
+            )
+        ).alias("best")
+    )
+    return decided.select(
+        "doc_id",
+        "path",
+        F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("best.l"), F.lit(0)).cast("bigint").alias("rule_len"),
+    )
+
+
+def q_anchor_text_aggregation(spark, sf_dir):
+    """Anchor-text aggregation (the web-graph quality signal: what OTHER
+    pages' link text says about a page — the CommonCrawl anchor dataset
+    shape): over the content-keyed 2-out-link graph q_pagerank uses,
+    collect each target's in-link count, distinct-source count, and its
+    top anchor term (each source contributes its first word as the
+    anchor; mode with deterministic count-then-term tie-break).
+
+    Distributed shape: edges derive narrowly from the scan; ONE
+    partial-aggregated groupBy(dst, term) then a per-dst max(struct)
+    mode reduction that reuses the dst-prefixed partitioning — two
+    exchanges total at most, never a join back to the corpus."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    n = doc.count()
+    link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
+    source = doc.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("anchor"),
+        F.array(
+            F.expr(link.format(1)) % n, F.expr(link.format(9)) % n
+        ).alias("dsts"),
+    )
+    edges = source.select(
+        F.col("doc_id").alias("src_id"), "anchor", F.explode("dsts").alias("dst")
+    ).filter(F.col("dst") != F.col("src_id"))
+    per_term = edges.groupBy("dst", "anchor").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src_id").alias("n_sources"),
+    )
+    return per_term.groupBy("dst").agg(
+        F.sum("n_links").cast("bigint").alias("in_links"),
+        F.sum("n_sources").cast("bigint").alias("in_sources"),
+        F.max(
+            F.struct(
+                F.col("n_links").alias("c"), F.col("anchor").alias("t")
+            )
+        )["t"].alias("top_anchor"),
+    ).select(
+        F.col("dst").cast("bigint").alias("dst"),
+        "in_links",
+        "in_sources",
+        "top_anchor",
+    )

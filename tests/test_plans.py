@@ -816,3 +816,23 @@ def test_scd2_history_single_exchange(spark):
     p = plan(Q.q_scd2_history(spark, SF_DIR))
     assert n_ops(p, "Exchange") == 1
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+
+
+def test_robots_gate_broadcast_rules_no_window(spark):
+    """Crawl gating: the rule table broadcasts into the prefix match and
+    the longest-rule-wins argmax is an in-aggregate max(struct) — no
+    Window, no SortMergeJoin; the corpus side never shuffles for the
+    match itself."""
+    p = plan(Q.q_robots_gate(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p  # theta prefix-match, rules side tiny
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "Window") == 0
+
+
+def test_anchor_aggregation_two_phase_no_join_back(spark):
+    """Anchor-text rollup: (dst, anchor) counts then a per-dst
+    max(struct) mode — aggregates only, never a join back to the
+    corpus, no Window, no sort."""
+    p = plan(Q.q_anchor_text_aggregation(spark, SF_DIR))
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "Window") == 0

@@ -36,6 +36,8 @@ def __getattr__(name):
         "expire_snapshots": ("ocr_spark.pipeline", "expire_snapshots"),
         "delete_turns": ("ocr_spark.pipeline", "delete_turns"),
         "diff_snapshots": ("ocr_spark.pipeline", "diff_snapshots"),
+        "tag_snapshot": ("ocr_spark.pipeline", "tag_snapshot"),
+        "list_tags": ("ocr_spark.pipeline", "list_tags"),
         "sessionize": ("ocr_spark.transcript_prep", "sessionize"),
         "session_stats": ("ocr_spark.transcript_prep", "session_stats"),
         "sft_pairs": ("ocr_spark.transcript_prep", "sft_pairs"),

@@ -139,8 +139,55 @@ def _committed_snapshots(root: str, as_of: int | None = None) -> list[str]:
     ]
 
 
+def tag_snapshot(root: str, name: str, idx: int | None = None) -> int:
+    """Named snapshot refs (Iceberg tags): pin a human-meaningful name —
+    'v1-training-run', 'pre-dedup-audit' — to a snapshot index so
+    downstream jobs read a STABLE version by name while ingestion keeps
+    appending. Defaults to the current head. A tag is one tiny ref file
+    (refs/<name> -> idx), atomic via write-then-rename; re-tagging a
+    name moves it (Iceberg replace-tag). Returns the pinned index.
+
+    Retention note: tags pin the read POINT, not the data — like
+    Iceberg, ``expire_snapshots``/compaction can still remove the
+    history behind a tag (the ref then resolves to an empty read);
+    production retention policies exempt tagged indices, which is the
+    caller's policy knob here too (pass snapshots to keep)."""
+    if idx is None:
+        committed = _committed_snapshots(root)
+        if not committed:
+            raise ValueError(f"no committed snapshots under {root}")
+        idx = max(_snapshot_idx(p) for p in committed)
+    refs = os.path.join(root, "refs")
+    os.makedirs(refs, exist_ok=True)
+    tmp = os.path.join(refs, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{idx}\n")
+    os.replace(tmp, os.path.join(refs, name))
+    return idx
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """All snapshot refs: name -> pinned index."""
+    refs = os.path.join(root, "refs")
+    if not os.path.isdir(refs):
+        return {}
+    out: dict[str, int] = {}
+    for name in sorted(os.listdir(refs)):
+        if name.startswith("."):
+            continue
+        try:
+            with open(os.path.join(refs, name)) as fh:
+                out[name] = int(fh.read().strip())
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def read_snapshots(
-    spark: SparkSession, root: str, as_of: int | None = None
+    spark: SparkSession,
+    root: str,
+    as_of: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame | None:
     """Read the committed table. ``mergeSchema`` gives parquet-native
     schema evolution (Iceberg's add-column path): snapshots written
@@ -155,7 +202,19 @@ def read_snapshots(
     History lives until compaction's cleanup / ``expire_snapshots`` /
     ``vacuum_uncommitted`` physically removes the source dirs (the same
     retention-bounded window Iceberg gives); an as-of point whose data
-    has been removed returns None, like any other empty state."""
+    has been removed returns None, like any other empty state.
+
+    ``tag`` resolves a named ref (``tag_snapshot``) to its pinned index
+    — Iceberg's ``VERSION AS OF 'tag-name'``; mutually exclusive with
+    ``as_of``; an unknown tag raises (a silent full read would be a
+    correctness hazard for a pinned training run)."""
+    if tag is not None:
+        if as_of is not None:
+            raise ValueError("pass either as_of or tag, not both")
+        tags = list_tags(root)
+        if tag not in tags:
+            raise KeyError(f"unknown snapshot tag {tag!r} under {root}")
+        as_of = tags[tag]
     paths = _committed_snapshots(root, as_of)
     data = [
         p for p in paths

@@ -640,3 +640,36 @@ def test_equality_deletes_merge_on_read_and_compaction(spark, tmp_path):
     assert compacted.count() == n_total - n_victims + 1
     inv = snapshots_df(spark, root).collect()
     assert len(inv) == 1 and not inv[0]["is_deletes"]
+
+
+def test_snapshot_tags_pin_read_points(spark, tmp_path):
+    """Named refs (Iceberg tags): a tag pins a by-name read point that
+    stays stable while ingestion appends; re-tagging moves it; unknown
+    tags raise instead of silently reading head."""
+    from ocr_spark.pipeline import list_tags, tag_snapshot
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(6), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    half = full.filter("turn_idx % 2 = 0")
+    root = str(tmp_path / "store")
+    run_resumable(spark, half, root)  # snapshot=0
+    n_half = read_snapshots(spark, root).count()
+    assert tag_snapshot(root, "v1-training-run") == 0
+
+    run_resumable(spark, full, root)  # snapshot=1 appends the rest
+    n_full = read_snapshots(spark, root).count()
+    assert n_full > n_half
+    # the tag still reads the pinned version, by name
+    assert read_snapshots(spark, root, tag="v1-training-run").count() == n_half
+    # re-tag to head (default idx): moves the ref
+    assert tag_snapshot(root, "v1-training-run") == 1
+    assert read_snapshots(spark, root, tag="v1-training-run").count() == n_full
+    assert list_tags(root) == {"v1-training-run": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_snapshots(spark, root, tag="nope")
+    with _pytest.raises(ValueError):
+        read_snapshots(spark, root, as_of=0, tag="v1-training-run")

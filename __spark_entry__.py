@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_segment_dedup": Q.q_intra_doc_segment_dedup,
         "source_pair_overlap": Q.q_source_pair_overlap,
         "tpch_q10ish": Q.q_tpch_q10ish,
+        "tpch_q18ish": Q.q_tpch_q18ish,
         "merge_upsert": Q.q_merge_upsert,
         "gopher_repetition_battery": Q.q_gopher_repetition_battery,
         "funnel_analysis": Q.q_funnel_analysis,

@@ -3340,3 +3340,19 @@ SELECT CAST(dst AS BIGINT) AS dst,
 FROM per_term
 GROUP BY dst
 """
+
+ORACLES["tpch_q18ish"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       o_totalprice AS totalprice,
+       round(total_qty, 4) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""

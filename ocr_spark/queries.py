@@ -5737,3 +5737,36 @@ def q_anchor_text_aggregation(spark, sf_dir):
         "in_sources",
         "top_anchor",
     )
+
+
+def q_tpch_q18ish(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, joined back to customer —
+    the aggregate-then-semi-join pattern (HAVING as a join gate).
+
+    Distributed shape: the quantity rollup partial-aggregates map-side
+    and its HAVING filter cuts BEFORE the join back, so only qualifying
+    orderkeys (a tiny set) join against orders/customer — AQE broadcasts
+    them; the head is TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+    return joined.orderBy(
+        F.col("total_qty").desc(), F.col("o_orderkey").asc()
+    ).limit(20)

@@ -3080,8 +3080,8 @@ WITH wide AS (
   SELECT
     sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id__nulls,
     count(DISTINCT doc_id) AS doc_id__ndv,
-    min(CAST(doc_id AS VARCHAR)) AS doc_id__min,
-    max(CAST(doc_id AS VARCHAR)) AS doc_id__max,
+    CAST(min(doc_id) AS VARCHAR) AS doc_id__min,
+    CAST(max(doc_id) AS VARCHAR) AS doc_id__max,
     avg(length(CAST(doc_id AS VARCHAR))) AS doc_id__avglen,
     sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text__nulls,
     count(DISTINCT text) AS text__ndv,
@@ -3100,8 +3100,8 @@ WITH wide AS (
     avg(length(source)) AS source__avglen,
     sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars__nulls,
     count(DISTINCT n_chars) AS n_chars__ndv,
-    min(CAST(n_chars AS VARCHAR)) AS n_chars__min,
-    max(CAST(n_chars AS VARCHAR)) AS n_chars__max,
+    CAST(min(n_chars) AS VARCHAR) AS n_chars__min,
+    CAST(max(n_chars) AS VARCHAR) AS n_chars__max,
     avg(length(CAST(n_chars AS VARCHAR))) AS n_chars__avglen
   FROM documents
 )

@@ -152,6 +152,14 @@ def tag_snapshot(root: str, name: str, idx: int | None = None) -> int:
     history behind a tag (the ref then resolves to an empty read);
     production retention policies exempt tagged indices, which is the
     caller's policy knob here too (pass snapshots to keep)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        raise ValueError(
+            f"invalid tag name {name!r}: use [A-Za-z0-9._-], not starting"
+            " with '.' (dot-prefixed and slashed names could never be"
+            " resolved by list_tags/read_snapshots)"
+        )
     if idx is None:
         committed = _committed_snapshots(root)
         if not committed:
@@ -215,7 +223,17 @@ def read_snapshots(
         if tag not in tags:
             raise KeyError(f"unknown snapshot tag {tag!r} under {root}")
         as_of = tags[tag]
-    paths = _committed_snapshots(root, as_of)
+    return _read_snapshot_paths(spark, _committed_snapshots(root, as_of))
+
+
+def _read_snapshot_paths(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame | None:
+    """Deletes-applied read over an EXPLICIT snapshot-path list — shared
+    by read_snapshots and compact_snapshots so the compactor reads
+    exactly the set it supersedes (re-listing inside the read would race
+    a concurrent commit into the compacted output without tombstoning
+    its source — permanent duplicates)."""
     data = [
         p for p in paths
         if not os.path.exists(os.path.join(p, _DELETES_FLAG))
@@ -543,11 +561,13 @@ def compact_snapshots(
     paths = _committed_snapshots(out_root)
     if len(paths) <= 1:
         return 0
-    # read THROUGH read_snapshots: merge-on-read equality deletes are
-    # applied here, so compaction rewrites the table deletes-applied and
-    # supersedes the delete snapshots along with the data — after it, the
-    # deleted bytes are physically gone and reads pay no merge cost.
-    df = read_snapshots(spark, out_root)
+    # read the SAME path list that gets superseded (never re-list —
+    # a commit landing between two listings would be folded into the
+    # compacted output without a tombstone: permanent duplicates), with
+    # merge-on-read equality deletes applied, so compaction rewrites the
+    # table deletes-applied — after it, the deleted bytes are physically
+    # gone, the delete files retire, and reads pay no merge cost.
+    df = _read_snapshot_paths(spark, paths)
     if df is None:
         return 0
     if target_partitions:

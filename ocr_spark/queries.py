@@ -3804,6 +3804,25 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def _content_link_edges(doc, n, extra=()):
+    """The deterministic content-keyed 2-out-link graph shared by
+    q_pagerank and q_anchor_text_aggregation (single definition so the
+    graph and both oracles can never desynchronize): each document emits
+    two md5-derived targets (digest offsets 1 and 9) modulo the vertex
+    count. ``extra`` carries additional per-source columns (e.g. the
+    anchor term) onto each edge."""
+    link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
+
+    def side(off):
+        return doc.select(
+            F.col("doc_id").alias("src"),
+            *extra,
+            (F.expr(link.format(off)) % n).alias("dst"),
+        )
+
+    return side(1).unionByName(side(9))
+
+
 def _pagerank_ranks(spark, sf_dir):
     """The shared rank loop behind q_pagerank / q_rank_weighted_sample:
     returns (ranks, n_docs) — the full (doc_id, rank) DataFrame after
@@ -3811,15 +3830,7 @@ def _pagerank_ranks(spark, sf_dir):
     snap, plus the vertex count so callers don't re-scan for it."""
     doc = _t(spark, sf_dir, "documents")
     n = doc.count()
-    link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
-    edges = doc.select(
-        F.col("doc_id").alias("src"), (F.expr(link.format(1)) % n).alias("dst")
-    ).unionByName(
-        doc.select(
-            F.col("doc_id").alias("src"),
-            (F.expr(link.format(9)) % n).alias("dst"),
-        )
-    )
+    edges = _content_link_edges(doc, n)
     ranks = doc.select("doc_id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     for _ in range(_PR_ROUNDS):
         contribs = (
@@ -5115,14 +5126,15 @@ def q_ndcg_at_10(spark, sf_dir):
         .withColumn("rank", F.row_number().over(iw))
     )
 
-    def dcg(df):
+    def dcg():
+        # a column EXPRESSION over (rel, rank); binds at the .agg() site
         return F.sum(
             (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
             / F.log2(F.col("rank") + F.lit(1.0))
         )
 
-    d = system.agg(F.round(dcg(system), 6).alias("dcg10"))
-    i = ideal.agg(F.round(dcg(ideal), 6).alias("idcg10"))
+    d = system.agg(F.round(dcg(), 6).alias("dcg10"))
+    i = ideal.agg(F.round(dcg(), 6).alias("idcg10"))
     return d.crossJoin(i).select(
         "dcg10",
         "idcg10",
@@ -5298,8 +5310,8 @@ def q_analyze_table_stats(spark, sf_dir):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__ndv"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
             F.avg(F.length(F.col(c).cast("string"))).alias(f"{c}__avglen"),
         ]
     wide = doc.agg(*aggs)
@@ -5503,21 +5515,7 @@ def q_ivf_recall_report(spark, sf_dir):
     cluster id); the final report is a 10-row three-way mark-join
     reduced to one row."""
     k = 10
-    emb = _t(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_embedding")
-    )
-    brute = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(query))
-        .withColumn(
-            "cosine",
-            F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
-        .select("vec_id")
-    )
+    brute = _dense_top(spark, sf_dir, k).select("vec_id")
     assigned = _ivf_assignments(spark, sf_dir)
     q1 = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"),
@@ -5708,17 +5706,12 @@ def q_anchor_text_aggregation(spark, sf_dir):
     exchanges total at most, never a join back to the corpus."""
     doc = _t_spread(spark, sf_dir, "documents")
     n = doc.count()
-    link = "cast(conv(substr(md5(text), {}, 8), 16, 10) as bigint)"
-    source = doc.select(
-        "doc_id",
-        F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("anchor"),
-        F.array(
-            F.expr(link.format(1)) % n, F.expr(link.format(9)) % n
-        ).alias("dsts"),
+    anchor = F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("anchor")
+    edges = (
+        _content_link_edges(doc, n, extra=(anchor,))
+        .withColumnRenamed("src", "src_id")
+        .filter(F.col("dst") != F.col("src_id"))
     )
-    edges = source.select(
-        F.col("doc_id").alias("src_id"), "anchor", F.explode("dsts").alias("dst")
-    ).filter(F.col("dst") != F.col("src_id"))
     per_term = edges.groupBy("dst", "anchor").agg(
         F.count("*").alias("n_links"),
         F.countDistinct("src_id").alias("n_sources"),

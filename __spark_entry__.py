@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": Q.q_scd2_history,
         "robots_gate": Q.q_robots_gate,
         "anchor_text_aggregation": Q.q_anchor_text_aggregation,
+        "tokenizer_fertility": Q.q_tokenizer_fertility,
+        "cluster_size_histogram": Q.q_cluster_size_histogram,
+        "prefix_sharing_stats": Q.q_prefix_sharing_stats,
+        "mixture_token_budget": Q.q_mixture_token_budget,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

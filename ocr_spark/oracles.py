@@ -3356,3 +3356,65 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
 LIMIT 20
 """
+
+
+ORACLES["tokenizer_fertility"] = r"""
+WITH per AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+           AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6) AS tokens_per_word,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6) AS bytes_per_token
+FROM per GROUP BY lang
+"""
+
+ORACLES["cluster_size_histogram"] = f"""
+WITH clus AS ({ORACLES["dedup_clusters"]}),
+sizes AS (
+  SELECT cluster_id, count(*) AS k FROM clus GROUP BY cluster_id
+)
+SELECT CAST(k AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(k) AS BIGINT) AS n_docs
+FROM sizes GROUP BY k
+"""
+
+ORACLES["prefix_sharing_stats"] = r"""
+WITH convs AS (
+  SELECT DISTINCT source AS conv_id FROM documents
+), with_prompt AS (
+  SELECT conv_id,
+         (['You are a helpful assistant. Answer carefully and cite sources.',
+           'Answer concisely. Use tools when a lookup is required.',
+           'You are a coding agent. Prefer minimal diffs and run the tests.'])
+         [CAST(('0x' || substr(md5(conv_id), 1, 2))::BIGINT % 3 AS INT) + 1]
+           AS sys_prompt
+  FROM convs
+), tokens AS (
+  SELECT conv_id, sys_prompt,
+         len(string_split(sys_prompt, ' ')) AS prefix_tokens
+  FROM with_prompt
+), groups AS (
+  SELECT sys_prompt, prefix_tokens, count(*) AS n_convs
+  FROM tokens GROUP BY sys_prompt, prefix_tokens
+)
+SELECT CAST(n_convs AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum((n_convs - 1) * prefix_tokens) AS BIGINT) AS reusable_tokens
+FROM groups GROUP BY n_convs
+"""
+
+ORACLES["mixture_token_budget"] = f"""
+WITH mix AS ({ORACLES["source_mixture_weights"]})
+SELECT source, n_tokens, mix_weight,
+       round(mix_weight * 1000000, 2) AS budget_tokens,
+       round(mix_weight * 1000000 / n_tokens, 4) AS epochs
+FROM mix
+"""

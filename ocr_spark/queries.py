@@ -5763,3 +5763,127 @@ def q_tpch_q18ish(spark, sf_dir):
     return joined.orderBy(
         F.col("total_qty").desc(), F.col("o_orderkey").asc()
     ).limit(20)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language (tokens-per-word and
+    bytes-per-token under the BPE-ish boundary tokenizer) — the
+    cross-language fairness audit a tokenizer ships with: a language
+    whose fertility is 2x pays 2x the context budget for the same
+    content (and gets effectively less compute per byte).
+
+    Distributed shape: both token counts are narrow regexp/array math
+    on the scan; ONE partial-aggregated groupBy(lang) — the corpus is
+    touched exactly once."""
+    from ocr_spark.functions import token_count
+
+    doc = _t(spark, sf_dir, "documents")
+    per = doc.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_words"),
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_PATTERN}', 0))").alias(
+            "n_bpe"
+        ),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("tokens_per_word"),
+        F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias("bytes_per_token"),
+    )
+
+
+def q_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram — the power-law audit of a dedup
+    run: how much of the corpus sits in 2-clusters vs mega-clusters
+    (mega-clusters usually mean boilerplate, not true duplication, and
+    get reviewed before dropping).
+
+    Distributed shape: on top of the connected-components loop, two
+    tiny aggregates (cluster sizes -> size histogram); everything after
+    the pair graph is pair-graph-sized."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("k"))
+    return (
+        sizes.groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("k").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
+def q_prefix_sharing_stats(spark, sf_dir):
+    """Shared-prefix (KV-cache reuse) potential over conversations: how
+    many conversations open with the same system prompt — the quantity
+    prefix caching (paged-attention prefix reuse) converts into compute
+    savings: each group of n re-computes its prefix once, not n times.
+    System prompts are synthesized deterministically here (3 canned
+    prompts keyed by conversation id); on a real agent-trace table the
+    prefix is turn 0's text verbatim — identical plan.
+
+    Distributed shape: one distinct over conv ids, narrow prompt
+    assignment, then two tiny aggregates — corpus touched once for the
+    conv list."""
+    doc = _t(spark, sf_dir, "documents")
+    prompts = [
+        "You are a helpful assistant. Answer carefully and cite sources.",
+        "Answer concisely. Use tools when a lookup is required.",
+        "You are a coding agent. Prefer minimal diffs and run the tests.",
+    ]
+    convs = doc.select(F.col("source").alias("conv_id")).distinct()
+    pick = (
+        F.expr("cast(conv(substr(md5(conv_id), 1, 2), 16, 10) as int)") % 3
+    )
+    arr = F.array(*[F.lit(p) for p in prompts])
+    with_prompt = convs.select(
+        "conv_id",
+        F.element_at(arr, pick + 1).alias("sys_prompt"),
+    ).withColumn(
+        "prefix_tokens", F.size(F.split(F.col("sys_prompt"), " "))
+    )
+    groups = with_prompt.groupBy("sys_prompt", "prefix_tokens").agg(
+        F.count("*").alias("n_convs")
+    )
+    return (
+        groups.groupBy("n_convs")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum((F.col("n_convs") - F.lit(1)) * F.col("prefix_tokens"))
+            .cast("bigint")
+            .alias("reusable_tokens"),
+        )
+        .select(
+            F.col("n_convs").cast("bigint").alias("group_size"),
+            "n_groups",
+            "reusable_tokens",
+        )
+    )
+
+
+def q_mixture_token_budget(spark, sf_dir):
+    """Training-mix token budgeting: given the temperature-sampled
+    source weights (q_source_mixture_weights) and a total token budget,
+    how many tokens each source contributes and how many epochs over it
+    that implies — epochs >> 1 flags a source the mixture will repeat
+    enough to memorize.
+
+    Distributed shape: everything after the one corpus groupBy(source)
+    is |sources|-sized arithmetic."""
+    budget = 1000000
+    per = q_source_mixture_weights(spark, sf_dir)
+    return per.select(
+        "source",
+        "n_tokens",
+        "mix_weight",
+        F.round(F.col("mix_weight") * budget, 2).alias("budget_tokens"),
+        F.round(F.col("mix_weight") * budget / F.col("n_tokens"), 4).alias(
+            "epochs"
+        ),
+    )

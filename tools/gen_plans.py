@@ -406,6 +406,23 @@ def main() -> None:
             "the Window equivalent of TakeOrdered's partial merge.",
             plan(Q.q_hard_negative_mining(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "Robots gating: broadcast rules, in-aggregate longest match",
+            "The crawl-config-sized rule table broadcasts into a "
+            "startswith theta-join; RFC 9309 longest-prefix-wins is a "
+            "max(struct(len, verdict)) inside one partial-aggregated "
+            "groupBy per URL — no window, no second shuffle, corpus side "
+            "never re-partitions for the match.",
+            plan(Q.q_robots_gate(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "TPC-H Q18 shape: HAVING as a join gate",
+            "The quantity rollup partial-aggregates map-side and its "
+            "HAVING cut runs BEFORE the join back, so only qualifying "
+            "orderkeys (a tiny set AQE broadcasts) meet orders/customer; "
+            "the head is TakeOrdered.",
+            plan(Q.q_tpch_q18ish(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     out = [

@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_histogram": Q.q_cluster_size_histogram,
         "prefix_sharing_stats": Q.q_prefix_sharing_stats,
         "mixture_token_budget": Q.q_mixture_token_budget,
+        "k_anonymity_report": Q.q_k_anonymity_report,
+        "dp_noised_histogram": Q.q_dp_noised_histogram,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -3418,3 +3418,39 @@ SELECT source, n_tokens, mix_weight,
        round(mix_weight * 1000000 / n_tokens, 4) AS epochs
 FROM mix
 """
+
+
+ORACLES["k_anonymity_report"] = r"""
+WITH classes AS (
+  SELECT lang, source,
+         CAST(least(floor(length(text) / 100.0), 9) AS INT) AS len_decile,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(len_decile AS BIGINT) AS len_decile,
+       class_size, class_size < 5 AS suppress
+FROM classes
+UNION ALL
+SELECT '__ALL__' AS lang, '__TOTAL__' AS source,
+       CAST(-1 AS BIGINT) AS len_decile,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+         AS class_size,
+       sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) > 0 AS suppress
+FROM classes
+"""
+
+ORACLES["dp_noised_histogram"] = r"""
+WITH per AS (
+  SELECT lang, count(*) AS true_n FROM documents GROUP BY lang
+), noised AS (
+  SELECT lang, true_n,
+         ((('0x' || substr(md5('release1:' || lang), 1, 8))::BIGINT + 1.0)
+          / 4294967296.0 - 0.5) AS u
+  FROM per
+)
+SELECT lang,
+       greatest(CAST(round(true_n
+             + (-sign(u) * ln(1.0 - 2.0 * abs(u)) / 1.0), 0) AS BIGINT),
+           0) AS dp_count
+FROM noised
+"""

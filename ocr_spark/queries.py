@@ -5887,3 +5887,80 @@ def q_mixture_token_budget(spark, sf_dir):
             "epochs"
         ),
     )
+
+
+def q_k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (lang, source, length
+    decile) — the privacy review a released corpus passes before stats
+    or samples ship: equivalence classes smaller than k=5 re-identify
+    their members and must be suppressed or generalized. Reports each
+    class size with its suppression verdict plus the overall suppressed
+    fraction as a final summary row (source='__TOTAL__').
+
+    Distributed shape: one partial-aggregated groupBy over the
+    quasi-identifier tuple; the summary is a second aggregate over the
+    class table (equivalence-class-sized, not corpus-sized)."""
+    k = 5
+    doc = _t(spark, sf_dir, "documents")
+    classes = doc.select(
+        "lang",
+        "source",
+        (F.least(F.floor(F.length("text") / F.lit(100.0)), F.lit(9)))
+        .cast("int")
+        .alias("len_decile"),
+    ).groupBy("lang", "source", "len_decile").agg(
+        F.count("*").cast("bigint").alias("class_size")
+    )
+    detail = classes.select(
+        "lang",
+        "source",
+        F.col("len_decile").cast("bigint").alias("len_decile"),
+        "class_size",
+        (F.col("class_size") < k).alias("suppress"),
+    )
+    total = classes.agg(
+        F.lit("__ALL__").alias("lang"),
+        F.lit("__TOTAL__").alias("source"),
+        F.lit(-1).cast("bigint").alias("len_decile"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("class_size"),
+        (
+            F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+            > 0
+        ).alias("suppress"),
+    )
+    return detail.unionByName(total)
+
+
+def q_dp_noised_histogram(spark, sf_dir):
+    """Differentially-private histogram release (Laplace mechanism,
+    eps=1, sensitivity 1 for a count histogram): the per-language doc
+    counts a corpus publishes WITHOUT exposing exact membership. The
+    Laplace draw is content-keyed (inverse-CDF over an md5-derived
+    uniform per cell) so the release is deterministic across runs and
+    engines — the reproducible-release discipline DP deployments use
+    (fixed-seed noise per release id).
+
+    Distributed shape: one partial-aggregated groupBy(lang); the noise
+    is |cells|-sized arithmetic. Noised counts are clamped at 0 and the
+    true counts never leave the query."""
+    eps = 1.0
+    doc = _t(spark, sf_dir, "documents")
+    per = doc.groupBy("lang").agg(F.count("*").alias("true_n"))
+    # u in (-0.5, 0.5): content-keyed uniform from the cell key
+    u = (
+        F.expr("cast(conv(substr(md5(concat('release1:', lang)), 1, 8), 16, 10) as bigint)")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0) - F.lit(0.5)
+    lap = (
+        -F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+        / F.lit(eps)
+    )
+    return per.select(
+        "lang",
+        F.greatest(
+            F.round(F.col("true_n") + lap, 0).cast("bigint"), F.lit(0)
+        ).alias("dp_count"),
+    )

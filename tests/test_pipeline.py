@@ -673,3 +673,40 @@ def test_snapshot_tags_pin_read_points(spark, tmp_path):
         read_snapshots(spark, root, tag="nope")
     with _pytest.raises(ValueError):
         read_snapshots(spark, root, as_of=0, tag="v1-training-run")
+
+
+def test_delete_racing_append_forces_replan(spark, tmp_path):
+    """A delete committing between an appender's planning and publish is
+    a table-state change: the optimistic commit must detect it and
+    re-plan. The re-planned append then re-adds any deleted keys still
+    present in ITS input (the append is the LATER snapshot — point-in-
+    time delete semantics), so the final state is exactly the appended
+    input with no duplicates."""
+    from ocr_spark.pipeline import delete_turns
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(5), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx = 0"), root)  # snapshot=0
+    first_keys = (
+        read_snapshots(spark, root).select("conv_id", "turn_idx").cache()
+    )
+    n_first = first_keys.count()
+
+    raced = {"done": False}
+
+    def compete():
+        if not raced["done"]:
+            raced["done"] = True
+            delete_turns(spark, root, first_keys)
+
+    out = run_resumable(spark, full, root, _race_hook=compete)
+    n_total = full.count()
+    # the appender lost round 1 (delete changed the committed set),
+    # re-planned against the deletes-applied view, and re-added the
+    # deleted keys along with the rest — exactly-once over its input
+    assert raced["done"]
+    assert out.count() == n_total
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_total
+    assert out.filter("turn_idx = 0").count() == n_first

@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_token_budget": Q.q_mixture_token_budget,
         "k_anonymity_report": Q.q_k_anonymity_report,
         "dp_noised_histogram": Q.q_dp_noised_histogram,
+        "quality_calibration": Q.q_quality_calibration,
+        "inspection_sample": Q.q_inspection_sample,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

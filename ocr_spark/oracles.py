@@ -3454,3 +3454,45 @@ SELECT lang,
            0) AS dp_count
 FROM noised
 """
+
+
+ORACLES["quality_calibration"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), w AS (
+  SELECT doc_id, t, len(t) - 1 AS n,
+         list_sum(list_transform(range(1, len(t)),
+           i -> (('0x' || substr(md5(t[CAST(i AS INT)] || '_' || t[CAST(i AS INT) + 1]), 1, 4))::BIGINT
+                 * 2654435761) % 1048576 - 524288)) AS wsum
+  FROM toks WHERE len(t) >= 2
+), scored AS (
+  SELECT round(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / (n * 1048576.0)))), 6) AS s,
+         (CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+          / greatest(len(t), 1)) >= 0.8 AS label
+  FROM w
+)
+SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS score_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(s), 6) AS mean_score,
+       round(avg(CAST(label AS DOUBLE)), 6) AS label_rate
+FROM scored GROUP BY 1
+"""
+
+ORACLES["inspection_sample"] = r"""
+WITH strat AS (
+  SELECT doc_id, lang,
+         CAST(least(floor(
+           round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+                 * (1.0 - CAST(length(text)
+                        - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                        AS DOUBLE) / length(text)), 6) * 4), 3) AS INT)
+           AS q_bucket,
+         md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, lang, CAST(q_bucket AS BIGINT) AS q_bucket,
+       CAST(row_number() OVER (PARTITION BY lang, q_bucket
+            ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rnk
+FROM strat
+QUALIFY rnk <= 2
+"""

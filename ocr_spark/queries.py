@@ -5964,3 +5964,79 @@ def q_dp_noised_histogram(spark, sf_dir):
             F.round(F.col("true_n") + lap, 0).cast("bigint"), F.lit(0)
         ).alias("dp_count"),
     )
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Classifier calibration / reliability table: the hashed-bigram
+    quality score bucketed into deciles against an independent proxy
+    label (the Gopher alpha-ratio gate) — before a score threshold
+    gates a 100 TB corpus, this table shows whether score deciles
+    actually order label rates monotonically (and where the threshold
+    should sit). Per decile: doc count, mean score, observed pass rate.
+
+    Distributed shape: score and label are narrow per-row math on one
+    scan; ONE partial-aggregated groupBy(decile) — never a sort (the
+    decile is a fixed-width score bucket, not a rank)."""
+    from ocr_spark.functions import hashed_bigram_score, tokens
+
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select("doc_id", "text", tokens("text").alias("toks"))
+    score = hashed_bigram_score("toks")
+    alpha_ratio = F.expr(
+        "size(filter(toks, t -> t rlike '[a-zA-Z]')) / greatest(size(toks), 1)"
+    )
+    scored = toks.filter(score.isNotNull()).select(
+        score.alias("s"),
+        (alpha_ratio >= F.lit(0.8)).alias("label"),
+    )
+    decile = F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(decile.alias("score_decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias(
+                "label_rate"
+            ),
+        )
+        .select(
+            F.col("score_decile").cast("bigint").alias("score_decile"),
+            "n_docs",
+            "mean_score",
+            "label_rate",
+        )
+    )
+
+
+def q_inspection_sample(spark, sf_dir):
+    """Human-QA inspection pack: a deterministic stratified sample of up
+    to 2 documents per (lang, quality bucket) — the eyeball set every
+    curation change ships with so a reviewer sees each stratum, not
+    just the head of the corpus. Content-keyed ranking makes the pack
+    stable across runs (diffs between packs = real corpus changes).
+
+    Distributed shape: one window ranked by the content hash within
+    each stratum (strata are bounded, so the window is parallel across
+    them), filter rank <= 2 — Spark pushes a WindowGroupLimit partial
+    top-k below the shuffle."""
+    from ocr_spark.functions import quality_score
+
+    doc = _t(spark, sf_dir, "documents")
+    q = quality_score("text")
+    strat = doc.select(
+        "doc_id",
+        "lang",
+        F.least(F.floor(q * 4), F.lit(3)).cast("int").alias("q_bucket"),
+        F.md5("text").alias("h"),
+    )
+    w = Window.partitionBy("lang", "q_bucket").orderBy("h", "doc_id")
+    return (
+        strat.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("q_bucket").cast("bigint").alias("q_bucket"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -201,3 +201,52 @@ def test_report_job_dataset_card(spark, tmp_path):
     assert card["exact_duplicate_rate"] == round(1.0 - uniq / card["n_docs"], 6)
     q1, q2, q3 = card["token_len_quartiles"]
     assert q1 <= q2 <= q3
+
+
+def test_table_lifecycle_extract_append_maintain_report(spark, tmp_path):
+    """Day-in-the-life capstone: extract job commits snapshot 0 -> a
+    second batch appends snapshot 1 -> maintenance writes the changelog
+    and compacts to one snapshot -> every read (latest, changelog) and
+    the final inventory reconcile with the inputs."""
+    from ocr_spark import fixtures
+    from ocr_spark.pipeline import read_snapshots, snapshots_df
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    in1 = str(tmp_path / "batch1")
+    in2 = str(tmp_path / "batch2")
+    fixtures.transcripts_df(spark, 6).write.mode("overwrite").parquet(in1)
+    # batch 2 = batch 1 plus four new conversations (re-delivery + growth)
+    fixtures.transcripts_df(spark, 10).write.mode("overwrite").parquet(in2)
+    out_dir = str(tmp_path / "out")
+    store = os.path.join(out_dir, "extracted")
+
+    s1 = _submit(zip_path, in1, out_dir)
+    n1 = s1["turns_committed"]
+    s2 = _submit(zip_path, in2, out_dir)
+    n_total = spark.read.parquet(in2).count()
+    # resume semantics: run 2 committed only the delta
+    assert s2["turns_committed"] == n_total
+
+    changelog = str(tmp_path / "changelog")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "maintenance_job.py"),
+        "--store", store,
+        "--changelog", changelog,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    m = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert m["snapshots_before"] == 2 and m["snapshots_after"] == 1
+    assert m["changelog_rows"] == n_total - n1  # exactly the appended turns
+
+    final = read_snapshots(spark, store)
+    assert final.count() == n_total
+    assert final.select("conv_id", "turn_idx").distinct().count() == n_total
+    inv = snapshots_df(spark, store).collect()
+    assert len(inv) == 1 and not inv[0]["is_deletes"]

@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noised_histogram": Q.q_dp_noised_histogram,
         "quality_calibration": Q.q_quality_calibration,
         "inspection_sample": Q.q_inspection_sample,
+        "lsh_tuning_report": Q.q_lsh_tuning_report,
+        "bm25_batch_topk": Q.q_bm25_batch_topk,
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,

@@ -3496,3 +3496,84 @@ SELECT doc_id, lang, CAST(q_bucket AS BIGINT) AS q_bucket,
 FROM strat
 QUALIFY rnk <= 2
 """
+
+
+ORACLES["lsh_tuning_report"] = f"""
+WITH {_MH_BASE}, banded AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+         array_to_string(sig[CAST(b AS INT) * {_MH_ROWS} + 1 : CAST(b AS INT) * {_MH_ROWS} + {_MH_ROWS}], '_') AS band_key
+  FROM sig, unnest(range(0, {_MH_BANDS})) AS bt(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+), shx AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+), inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cand
+  JOIN shx sa ON sa.doc_id = cand.doc_a
+  JOIN shx sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+), jac AS (
+  SELECT round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_overlapping,
+         CAST(sum(CASE WHEN j >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_025,
+         CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
+         CAST(sum(CASE WHEN j >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_075,
+         CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_09
+  FROM jac
+), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+SELECT nc.n_candidates, counts.n_overlapping,
+       counts.n_ge_025, counts.n_ge_05, counts.n_ge_075, counts.n_ge_09,
+       round(CAST(counts.n_ge_025 AS DOUBLE) / nc.n_candidates, 6)
+         AS precision_at_025
+FROM nc, counts
+"""
+
+ORACLES["bm25_batch_topk"] = r"""
+WITH qt AS (
+  SELECT * FROM (VALUES (0, 'spark'), (0, 'table'), (1, 'hash'),
+                        (1, 'merge'), (2, 'window'), (2, 'table'))
+  AS t(query_id, term)
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+  FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+               unnest(toks) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, dl, term
+), idf AS (
+  SELECT term,
+         ln((s.n_docs - CAST(count(*) AS DOUBLE) + 0.5)
+            / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+  FROM tf, stats s
+  GROUP BY term, s.n_docs
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         i.idf * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS c
+  FROM tf JOIN idf i USING (term) JOIN qt USING (term), stats s
+), scored AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id, bm25,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+"""

@@ -6040,3 +6040,132 @@ def q_inspection_sample(spark, sf_dir):
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def q_lsh_tuning_report(spark, sf_dir):
+    """LSH candidate-generation tuning curve — the one-row report that
+    sets banding and verify thresholds before a 100 TB dedup run:
+    candidate count (bucket-join output), overlapping-candidate count
+    (>=1 shared shingle), survivor counts at Jaccard >= .25/.5/.75/.9,
+    and candidate precision at the production threshold (verify cost is
+    |candidates|, so precision IS the cost model). Complements
+    lsh_recall_report (recall side) and ivf_recall_report (dense twin).
+
+    Distributed shape: reuses the production dedup chain unchanged;
+    the sweep is conditional sums over the verified-pair table
+    (pair-graph-sized), crossed with the 1-row candidate count."""
+    from ocr_spark import dedup
+
+    docs = _t_spread(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    vp = dedup.verified_pairs(docs, min_jaccard=0.0)
+    c = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    v = vp.agg(
+        F.count("*").cast("bigint").alias("n_overlapping"),
+        *[
+            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_ge_{str(t).replace('.', '')}")
+            for t in (0.25, 0.5, 0.75, 0.9)
+        ],
+    )
+    return c.crossJoin(v).select(
+        "n_candidates",
+        "n_overlapping",
+        "n_ge_025",
+        "n_ge_05",
+        "n_ge_075",
+        "n_ge_09",
+        F.round(F.col("n_ge_025") / F.col("n_candidates"), 6).alias(
+            "precision_at_025"
+        ),
+    )
+
+
+_BM25_BATCH = (
+    (0, "spark"), (0, "table"),
+    (1, "hash"), (1, "merge"),
+    (2, "window"), (2, "table"),
+)
+
+
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batched BM25 — the per-query-batch production shape the
+    single-query q_bm25_topk's docstring promises: a (query_id, term)
+    table broadcasts into the posting stream, every query scores in ONE
+    pass over the corpus, and the per-query top-3 comes from a
+    query-keyed rank window (parallel across queries, WindowGroupLimit
+    partial top-k below its shuffle).
+
+    Distributed shape: the corpus-side term filter is a broadcast
+    semi-join on the batch's distinct terms (tokens missing every query
+    never shuffle); corpus stats and idf stay 1-row / |terms|-row
+    broadcasts; scoring fans out |matching terms| x |queries containing
+    them| — bounded by the batch, not the corpus."""
+    from ocr_spark.functions import tokens
+
+    doc = _t_spread(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        list(_BM25_BATCH), "query_id int, term string"
+    )
+    toks = doc.select("doc_id", tokens("text").alias("toks"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
+    )
+    stream = toks.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = (
+        stream.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + F.lit(1.0)))
+            / (
+                F.col("tf")
+                + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "bm25",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -836,3 +836,16 @@ def test_anchor_aggregation_two_phase_no_join_back(spark):
     p = plan(Q.q_anchor_text_aggregation(spark, SF_DIR))
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "Window") == 0
+
+
+def test_bm25_batch_semi_join_and_parallel_rank(spark):
+    """Batched BM25: the corpus-side term filter is a broadcast
+    semi-join on the batch's distinct terms (tokens missing every query
+    never shuffle); the per-query head is a query-keyed rank window
+    with WindowGroupLimit pushed below its Exchange — never a global
+    sort, never a per-query rescan."""
+    p = plan(Q.q_bm25_batch_topk(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert n_ops(p, "WindowGroupLimit") >= 1
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "SortMergeJoin") == 0

@@ -147,11 +147,12 @@ def tag_snapshot(root: str, name: str, idx: int | None = None) -> int:
     (refs/<name> -> idx), atomic via write-then-rename; re-tagging a
     name moves it (Iceberg replace-tag). Returns the pinned index.
 
-    Retention note: tags pin the read POINT, not the data — like
-    Iceberg, ``expire_snapshots``/compaction can still remove the
-    history behind a tag (the ref then resolves to an empty read);
-    production retention policies exempt tagged indices, which is the
-    caller's policy knob here too (pass snapshots to keep)."""
+    Retention note: like Iceberg refs, tags block retention by default —
+    ``expire_snapshots`` and ``compact_snapshots`` exempt every
+    tag-reachable snapshot (index <= the highest tagged index) unless
+    called with ``respect_tags=False``; reclaiming tagged history that
+    way leaves the ref dangling, and ``read_snapshots`` then raises on
+    it rather than returning a silent empty read."""
     import re as _re
 
     if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
@@ -223,6 +224,17 @@ def read_snapshots(
         if tag not in tags:
             raise KeyError(f"unknown snapshot tag {tag!r} under {root}")
         as_of = tags[tag]
+        if not _committed_snapshots(root, as_of):
+            # a KNOWN tag whose pinned history was reclaimed
+            # (respect_tags=False compaction/expiry) must fail loudly,
+            # exactly like an unknown tag — a silent empty read would
+            # feed a pinned training run zero rows without a trace
+            raise KeyError(
+                f"snapshot tag {tag!r} is dangling: it pins index "
+                f"{as_of} but no committed snapshot <= {as_of} remains "
+                f"under {root} (history compacted/expired with "
+                "respect_tags=False); drop or re-point the tag"
+            )
     return _read_snapshot_paths(spark, _committed_snapshots(root, as_of))
 
 
@@ -535,10 +547,25 @@ def run_resumable(
     )
 
 
+def _tag_protected_max(root: str) -> int:
+    """Highest snapshot index any tag can reach. A tag pinned at index N
+    performs an ``as_of=N`` read, which consumes EVERY committed dir with
+    index <= N — so all of those dirs are tag-reachable and retention /
+    compaction must leave them untouched (Iceberg: refs block
+    ``expire_snapshots``). Returns -1 when no tags exist."""
+    tags = list_tags(root)
+    return max(tags.values(), default=-1)
+
+
 def compact_snapshots(
-    spark: SparkSession, out_root: str, target_partitions: int | None = None
+    spark: SparkSession,
+    out_root: str,
+    target_partitions: int | None = None,
+    max_commit_retries: int = 3,
+    respect_tags: bool = True,
+    _race_hook=None,
 ) -> int:
-    """Maintenance: rewrite all committed snapshots into one.
+    """Maintenance: rewrite the committed snapshots into one.
 
     Incremental runs accumulate `snapshot=N` directories whose file
     counts grow without bound — the classic small-files problem that
@@ -546,65 +573,133 @@ def compact_snapshots(
     `rewrite_data_files` compaction; here the marker-store equivalent).
 
     Crash-safe publish-first protocol: the compacted data is fully
-    written, renamed into place, and stamped with a ``_SUPERSEDES`` list
-    BEFORE its ``_COMMITTED`` marker is created. The marker write is the
-    atomic switch — readers either see the old snapshots (marker absent)
-    or the new one with the old ones tombstoned (marker present, so
-    their names are in `_superseded_names`). Committed data is never
-    unpublished before its replacement is durable; a crash at any point
-    leaves a complete, readable, non-duplicated table, and leftovers are
-    vacuumable. Old lineage/metrics rows are carried into the compacted
-    snapshot's metrics table. Returns the number of snapshots compacted.
+    written into an atomically-allocated ``snapshot=N`` directory and
+    stamped with a ``_SUPERSEDES`` list BEFORE its ``_COMMITTED`` marker
+    is created. The marker write is the atomic switch — readers either
+    see the old snapshots (marker absent) or the new one with the old
+    ones tombstoned. Committed data is never unpublished before its
+    replacement is durable; a crash at any point leaves a complete,
+    readable, non-duplicated table, and leftovers are vacuumable.
+
+    Optimistic commit validation (same protocol as ``run_resumable``):
+    the marker is written only if — under the commit mutex — the
+    committed set is still exactly the one the rewrite planned against.
+    Without this, a ``delete_turns`` snapshot committing between the
+    path listing and the marker write would silently lose the deletion:
+    the compacted rows land at an index HIGHER than the delete's, so the
+    merge-on-read ``_del_idx < _row_snap`` filter would resurrect the
+    deleted keys forever. A lost race discards the staged rewrite and
+    re-plans (up to ``max_commit_retries`` times, then returns 0 — a
+    compaction that keeps losing is safe to skip; the next maintenance
+    run retries).
+
+    ``respect_tags`` (default) exempts every tag-reachable snapshot
+    (index <= the highest tagged index) from the rewrite, so named refs
+    keep resolving to exactly the data they pinned — Iceberg's
+    refs-block-retention rule. Pass False to reclaim tagged history
+    deliberately (the tags then dangle and ``read_snapshots`` raises on
+    them).
+
+    Old lineage/metrics rows are carried into the compacted snapshot's
+    metrics table. Returns the number of snapshots compacted.
     """
     import shutil
 
-    paths = _committed_snapshots(out_root)
-    if len(paths) <= 1:
-        return 0
-    # read the SAME path list that gets superseded (never re-list —
-    # a commit landing between two listings would be folded into the
-    # compacted output without a tombstone: permanent duplicates), with
-    # merge-on-read equality deletes applied, so compaction rewrites the
-    # table deletes-applied — after it, the deleted bytes are physically
-    # gone, the delete files retire, and reads pay no merge cost.
-    df = _read_snapshot_paths(spark, paths)
-    if df is None:
-        return 0
-    if target_partitions:
-        df = df.repartition(target_partitions, "conv_id")
-    tmp_dir = os.path.join(out_root, "_compact_tmp")
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp_dir)
-    next_idx = _next_snapshot_idx(out_root)
-    final_dir = os.path.join(out_root, f"snapshot={next_idx}")
-    os.rename(tmp_dir, final_dir)
-    # carry lineage/metrics history into the compacted snapshot
-    old_metric_dirs = [
-        os.path.join(out_root, "metrics", os.path.basename(p))
-        for p in paths
-        if os.path.isdir(os.path.join(out_root, "metrics", os.path.basename(p)))
-    ]
-    if old_metric_dirs:
-        spark.read.parquet(*old_metric_dirs).write.mode("overwrite").parquet(
-            os.path.join(out_root, "metrics", f"snapshot={next_idx}")
-        )
-    with open(os.path.join(final_dir, _SUPERSEDES), "w") as fh:
-        fh.write("\n".join(os.path.basename(p) for p in paths) + "\n")
-    # the commit point: from here on readers ignore the old dirs
-    with open(os.path.join(final_dir, _MARKER), "w") as fh:
-        fh.write("ok\n")
-    # lazy cleanup (also vacuum's job if we crash mid-loop)
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(out_root, "metrics", os.path.basename(p)),
-            ignore_errors=True,
-        )
-    return len(paths)
+    for _attempt in range(max_commit_retries + 1):
+        all_committed = _committed_snapshots(out_root)
+        base_state = {os.path.basename(p) for p in all_committed}
+        boundary = _tag_protected_max(out_root) if respect_tags else -1
+        if boundary >= 0:
+            # deletes interact with the exemption: a delete snapshot
+            # above the tag boundary masks rows in the PROTECTED dirs
+            # below it. Folding that delete into the rewrite would
+            # retire it while the masked data stays live (deletion
+            # lost), and rewriting only the data above it would lift
+            # those rows past the delete's index (also lost). So when
+            # tagged history is exempt, the compaction suffix starts
+            # above the newest delete snapshot too.
+            boundary = max(
+                boundary,
+                max(
+                    (
+                        _snapshot_idx(p)
+                        for p in all_committed
+                        if os.path.exists(os.path.join(p, _DELETES_FLAG))
+                    ),
+                    default=-1,
+                ),
+            )
+        paths = [p for p in all_committed if _snapshot_idx(p) > boundary]
+        if len(paths) <= 1:
+            return 0
+        # read the SAME path list that gets superseded (never re-list —
+        # a commit landing between two listings would be folded into the
+        # compacted output without a tombstone: permanent duplicates),
+        # with merge-on-read equality deletes applied, so compaction
+        # rewrites the table deletes-applied — after it, the deleted
+        # bytes are physically gone, the delete files retire, and reads
+        # pay no merge cost.
+        df = _read_snapshot_paths(spark, paths)
+        if df is None:
+            return 0
+        if target_partitions:
+            df = df.repartition(target_partitions, "conv_id")
+        # stage into an atomically-allocated dir: renaming a tmp dir onto
+        # a computed snapshot=N could collide with a concurrent writer
+        # that just mkdir'd the same index (rename replaces an empty dir)
+        final_dir = _allocate_snapshot_dir(out_root)
+        next_idx = _snapshot_idx(final_dir)
+        df.write.mode("overwrite").parquet(final_dir)
+        # carry lineage/metrics history into the compacted snapshot
+        old_metric_dirs = [
+            os.path.join(out_root, "metrics", os.path.basename(p))
+            for p in paths
+            if os.path.isdir(
+                os.path.join(out_root, "metrics", os.path.basename(p))
+            )
+        ]
+        if old_metric_dirs:
+            spark.read.parquet(*old_metric_dirs).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_root, "metrics", f"snapshot={next_idx}"))
+        with open(os.path.join(final_dir, _SUPERSEDES), "w") as fh:
+            fh.write("\n".join(os.path.basename(p) for p in paths) + "\n")
+        if _race_hook is not None:
+            _race_hook()
+        # the commit point: publish only if no snapshot committed (or
+        # expired) since we planned — any change forces a re-plan
+        won = False
+        with _commit_lock(out_root):
+            now_state = {
+                os.path.basename(p) for p in _committed_snapshots(out_root)
+            }
+            if now_state == base_state:
+                with open(os.path.join(final_dir, _MARKER), "w") as fh:
+                    fh.write("ok\n")
+                won = True
+        if not won:
+            shutil.rmtree(final_dir, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(out_root, "metrics", f"snapshot={next_idx}"),
+                ignore_errors=True,
+            )
+            continue
+        # lazy cleanup (also vacuum's job if we crash mid-loop)
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(out_root, "metrics", os.path.basename(p)),
+                ignore_errors=True,
+            )
+        return len(paths)
+    return 0
 
 
 def expire_snapshots(
-    out_root: str, keep_last: int = 1, max_age_s: float | None = None
+    out_root: str,
+    keep_last: int = 1,
+    max_age_s: float | None = None,
+    respect_tags: bool = True,
 ) -> list[str]:
     """Retention: drop all but the newest ``keep_last`` committed
     snapshots (and their metrics) — the store's analog of the reference's
@@ -618,6 +713,12 @@ def expire_snapshots(
     ``max_age_s``; ``keep_last=0`` with a TTL means age alone decides
     (without one it keeps its historical meaning: expire everything).
     Expired turns simply re-extract on the next resumable run.
+
+    ``respect_tags`` (default) exempts every tag-reachable snapshot —
+    index <= the highest tagged index — from expiry, Iceberg's
+    refs-block-``expire_snapshots`` rule, so a pinned training run keeps
+    resolving until its tag is dropped. Pass False to reclaim tagged
+    history deliberately (dangled tags then raise on read).
 
     Crash-safe: each victim is unpublished (marker removed) before its
     data is deleted, so a crash mid-expiry leaves unpublished dirs that
@@ -656,6 +757,9 @@ def expire_snapshots(
                 continue  # concurrently expired/unpublished: not ours
             if committed_at < cutoff:
                 victims.append(p)
+    if respect_tags:
+        protected_max = _tag_protected_max(out_root)
+        victims = [p for p in victims if _snapshot_idx(p) > protected_max]
     removed = []
     for p in victims:
         os.remove(os.path.join(p, _MARKER))  # unpublish first

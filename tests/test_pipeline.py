@@ -710,3 +710,183 @@ def test_delete_racing_append_forces_replan(spark, tmp_path):
     assert out.count() == n_total
     assert out.select("conv_id", "turn_idx").distinct().count() == n_total
     assert out.filter("turn_idx = 0").count() == n_first
+
+
+def test_compaction_commit_race_preserves_deletes(spark, tmp_path):
+    """A delete_turns snapshot committing between compaction's path
+    listing and its marker write must NOT be lost: without commit-time
+    validation, the compacted rows land at an index HIGHER than the
+    delete's, so the merge-on-read ``_del_idx < _row_snap`` filter would
+    permanently resurrect the deleted keys. The compactor must detect
+    the state change under the commit lock, discard its staged rewrite,
+    and re-plan — folding the delete in physically."""
+    from ocr_spark.pipeline import compact_snapshots, delete_turns
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(6), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx % 2 = 0"), root)  # snapshot=0
+    run_resumable(spark, full, root)  # snapshot=1
+    n_total = full.count()
+    victims = (
+        read_snapshots(spark, root)
+        .filter("turn_idx = 0")
+        .select("conv_id", "turn_idx")
+        .cache()
+    )
+    n_victims = victims.count()
+    assert n_victims > 0
+
+    raced = {"done": False}
+
+    def compete():
+        if not raced["done"]:
+            raced["done"] = True
+            delete_turns(spark, root, victims)
+
+    compacted = compact_snapshots(spark, root, _race_hook=compete)
+    assert raced["done"]  # the race actually happened
+    # the retry's plan saw 3 committed snapshots (2 data + the delete)
+    assert compacted == 3
+    after = read_snapshots(spark, root)
+    assert after.filter("turn_idx = 0").count() == 0
+    assert after.count() == n_total - n_victims
+    # deletes were applied physically: one data snapshot remains
+    from ocr_spark.pipeline import snapshots_df
+
+    inv = snapshots_df(spark, root).collect()
+    assert len(inv) == 1 and not inv[0]["is_deletes"]
+    from ocr_spark.pipeline import vacuum_uncommitted
+
+    assert vacuum_uncommitted(root) == []
+
+
+def test_compaction_race_exhaustion_skips_safely(spark, tmp_path):
+    """A compactor that loses every commit attempt returns 0 (skip —
+    next maintenance run retries) and leaves the table exactly as the
+    racing writers built it, with no staged garbage."""
+    from ocr_spark.pipeline import compact_snapshots, vacuum_uncommitted
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(6), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx = 0"), root)
+    run_resumable(spark, full.filter("turn_idx <= 1"), root)
+
+    step = {"n": 1}
+
+    def always_compete():
+        step["n"] += 1
+        run_resumable(spark, full.filter(f"turn_idx <= {step['n']}"), root)
+
+    assert (
+        compact_snapshots(
+            spark, root, max_commit_retries=1, _race_hook=always_compete
+        )
+        == 0
+    )
+    assert vacuum_uncommitted(root) == []
+    out = read_snapshots(spark, root)
+    n_expected = full.filter(f"turn_idx <= {step['n']}").count()
+    assert out.count() == n_expected
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_expected
+
+
+def test_compaction_and_expiry_respect_tags(spark, tmp_path):
+    """Iceberg refs-block-retention: a tagged read point survives both
+    compaction and expiry by default — the tag keeps resolving to
+    exactly the rows it pinned while the untagged tail still compacts."""
+    from ocr_spark.pipeline import (
+        compact_snapshots,
+        expire_snapshots,
+        tag_snapshot,
+    )
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(8), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    third = full.filter("turn_idx % 3 = 0")
+    root = str(tmp_path / "store")
+    run_resumable(spark, third, root)  # snapshot=0
+    assert tag_snapshot(root, "v1-run") == 0
+    n_tagged = third.count()
+    run_resumable(spark, full.filter("turn_idx % 3 <= 1"), root)  # snapshot=1
+    run_resumable(spark, full, root)  # snapshot=2
+
+    # only the untagged tail (snapshots 1 and 2) compacts
+    assert compact_snapshots(spark, root) == 2
+    assert read_snapshots(spark, root, tag="v1-run").count() == n_tagged
+    assert read_snapshots(spark, root).count() == full.count()
+
+    # expiry exempts the tagged snapshot no matter how aggressive
+    expire_snapshots(root, keep_last=0, max_age_s=0.0)
+    assert read_snapshots(spark, root, tag="v1-run").count() == n_tagged
+
+
+def test_reclaimed_tag_raises_on_read(spark, tmp_path):
+    """respect_tags=False deliberately reclaims tagged history; the
+    dangled ref must then fail loudly on read, never silently feed a
+    pinned training run an empty table."""
+    from ocr_spark.pipeline import compact_snapshots, tag_snapshot
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(4), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx = 0"), root)  # snapshot=0
+    tag_snapshot(root, "pinned")
+    run_resumable(spark, full, root)  # snapshot=1
+    assert compact_snapshots(spark, root, respect_tags=False) == 2
+    with pytest.raises(KeyError, match="dangling"):
+        read_snapshots(spark, root, tag="pinned")
+    # the head read is unaffected
+    assert read_snapshots(spark, root).count() == full.count()
+
+
+def test_tagged_compaction_never_unmasks_protected_deletes(spark, tmp_path):
+    """A delete snapshot above the tag boundary masks rows in PROTECTED
+    dirs below it. Tag-respecting compaction must therefore keep the
+    delete live and only compact strictly above it — folding the delete
+    into the rewrite (or lifting younger rows past its index) would
+    resurrect the deleted keys."""
+    from ocr_spark.pipeline import (
+        compact_snapshots,
+        delete_turns,
+        snapshots_df,
+        tag_snapshot,
+    )
+
+    full = spark.createDataFrame(
+        fixtures.generate_transcripts(6), fixtures.TRANSCRIPT_COLUMNS
+    ).cache()
+    root = str(tmp_path / "store")
+    run_resumable(spark, full.filter("turn_idx <= 1"), root)  # snapshot=0
+    tag_snapshot(root, "audit")  # protects snapshot 0
+    victims = (
+        read_snapshots(spark, root)
+        .filter("turn_idx = 0")
+        .select("conv_id", "turn_idx")
+        .cache()
+    )
+    n_victims = victims.count()
+    delete_turns(spark, root, victims)  # snapshot=1 (masks rows in 0)
+    run_resumable(spark, full.filter("turn_idx = 2"), root)  # snapshot=2
+    run_resumable(spark, full.filter("turn_idx = 3"), root)  # snapshot=3
+    before = read_snapshots(spark, root)
+    n_before = before.count()
+    assert before.filter("turn_idx = 0").count() == 0
+
+    # only snapshots 2 and 3 (above the delete) may compact
+    assert compact_snapshots(spark, root) == 2
+    after = read_snapshots(spark, root)
+    assert after.count() == n_before
+    assert after.filter("turn_idx = 0").count() == 0  # deletion preserved
+    # the delete snapshot is still live; the tag still reads its pin
+    kinds = [r["is_deletes"] for r in snapshots_df(spark, root).collect()]
+    assert sum(kinds) == 1
+    assert (
+        read_snapshots(spark, root, tag="audit").filter("turn_idx = 0").count()
+        == n_victims
+    )

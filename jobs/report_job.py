@@ -45,7 +45,7 @@ def main() -> None:
         "doc_id",
         "lang",
         "source",
-        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
         F.size(tokens("text")).alias("n_tokens"),
         quality_score("text").alias("quality"),
         F.sha2("text", 256).alias("sha"),
@@ -54,11 +54,22 @@ def main() -> None:
     totals = base.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
-        F.sum("n_chars").alias("n_bytes"),
+        F.sum("n_bytes").alias("n_bytes"),
         F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("len_q"),
         F.expr("percentile(quality, array(0.25, 0.5, 0.75))").alias("qual_q"),
         F.countDistinct("sha").alias("n_unique"),
     ).collect()[0]
+
+    if totals.n_docs == 0:
+        # empty corpus: emit an explicit empty card instead of dividing
+        # by zero in the duplicate rate (or printing null totals)
+        line = json.dumps({"n_docs": 0, "wall_s": round(time.time() - t0, 2)})
+        print(line)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(line + "\n")
+        spark.stop()
+        return
 
     def mix(col):
         rows = (

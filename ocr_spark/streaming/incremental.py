@@ -443,6 +443,7 @@ def stream_to_store(
     store_root: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 64,
+    _post_commit_hook=None,
 ):
     """Streaming ingestion INTO the snapshot store — continuous CDC
     append unified with the batch table: each micro-batch commits
@@ -458,6 +459,11 @@ def stream_to_store(
     a NO-OP — idempotent append, the foreachBatch analog of Iceberg's
     MERGE-on-batch-id pattern. Crash-tested in tests/test_streaming.py.
 
+    ``_post_commit_hook(batch_id)`` is a test seam invoked after a
+    micro-batch's snapshot commit but BEFORE foreachBatch returns (i.e.
+    before the checkpoint advances) — raising from it reproduces the
+    crash-after-commit-before-checkpoint window deterministically.
+
     Returns the started StreamingQuery (availableNow trigger)."""
     from ocr_spark.pipeline import run_resumable
 
@@ -468,6 +474,8 @@ def stream_to_store(
             batch_df.sparkSession, batch_df, store_root,
             run_id=f"stream{batch_id:06d}",
         )
+        if _post_commit_hook is not None:
+            _post_commit_hook(batch_id)
 
     return (
         stream.writeStream.foreachBatch(_commit)

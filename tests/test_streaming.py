@@ -482,13 +482,13 @@ def test_stream_static_enrich_no_state_and_left_semantics(spark, dirs):
 
 
 def test_stream_to_store_crash_replay_is_idempotent(spark, dirs, tmp_path):
-    """Streaming ingestion into the snapshot store: kill the query
-    mid-drain AFTER at least one micro-batch committed a snapshot,
-    restart from the same checkpoint, and assert the STORE holds every
-    input turn exactly once — batch replay after the crash is a no-op
-    because run_resumable plans an anti-join against committed keys."""
-    import time as _time
-
+    """Streaming ingestion into the snapshot store: crash the query
+    deterministically AFTER the first micro-batch committed a snapshot
+    but BEFORE its checkpoint advanced (the _post_commit_hook seam
+    raises inside foreachBatch), restart from the same checkpoint, and
+    assert the STORE holds every input turn exactly once — the replay
+    of the committed batch is a no-op because run_resumable plans an
+    anti-join against committed keys."""
     from ocr_spark.pipeline import read_snapshots, snapshots_df
     from ocr_spark.streaming.incremental import stream_to_store
 
@@ -497,29 +497,19 @@ def test_stream_to_store_crash_replay_is_idempotent(spark, dirs, tmp_path):
     total_in = spark.read.parquet(dirs["in"] + "/*").count()
     store = str(tmp_path / "store")
 
-    partial = None
-    for attempt in range(4):
-        shutil.rmtree(store, ignore_errors=True)
-        shutil.rmtree(dirs["ckpt"], ignore_errors=True)
-        q = stream_to_store(
-            spark, dirs["in"] + "/*", store, dirs["ckpt"],
-            max_files_per_trigger=1,
-        )
-        deadline = _time.time() + 90
-        while _time.time() < deadline:
-            committed = read_snapshots(spark, store)
-            if committed is not None:
-                break
-            _time.sleep(0.05)
-        q.stop()
-        q.awaitTermination()
-        committed = read_snapshots(spark, store)
-        partial = committed.count() if committed is not None else 0
-        if 0 < partial < total_in:
-            break
-    assert partial is not None and 0 < partial < total_in, (
-        f"kill landed before any/after every batch on all attempts ({partial})"
+    def crash_after_first_commit(batch_id: int) -> None:
+        raise RuntimeError("injected crash after snapshot commit")
+
+    q = stream_to_store(
+        spark, dirs["in"] + "/*", store, dirs["ckpt"],
+        max_files_per_trigger=1, _post_commit_hook=crash_after_first_commit,
     )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    committed = read_snapshots(spark, store)
+    partial = committed.count() if committed is not None else 0
+    # exactly one micro-batch (one input file) landed, then the crash
+    assert 0 < partial < total_in
 
     q = stream_to_store(
         spark, dirs["in"] + "/*", store, dirs["ckpt"], max_files_per_trigger=1

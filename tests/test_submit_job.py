@@ -195,7 +195,11 @@ def test_report_job_dataset_card(spark, tmp_path):
 
     doc = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert card["n_docs"] == doc.count() == sum(card["sources"].values())
-    assert card["n_bytes"] == doc.selectExpr("sum(length(text))").collect()[0][0]
+    # n_bytes is genuinely bytes (octet_length), not characters
+    assert (
+        card["n_bytes"]
+        == doc.selectExpr("sum(octet_length(text))").collect()[0][0]
+    )
     assert sum(card["languages"].values()) == card["n_docs"]
     uniq = doc.selectExpr("count(distinct sha2(text, 256))").collect()[0][0]
     assert card["exact_duplicate_rate"] == round(1.0 - uniq / card["n_docs"], 6)

@@ -68,6 +68,28 @@ def _q_extract_udf_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_routed_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUTED extraction (T6 filtered branches: builtin JVM twin for
+    provably-plain-text turns unioned with the Arrow-UDF branch) over
+    documents-as-transcripts, text rows only — including the span
+    provenance column, flattened to scalars so DuckDB can independently
+    re-derive it (single-interval invariant, tests/test_properties.py)."""
+    from ocr_spark.operators.extract import extract_routed
+
+    t = _documents_as_transcripts(spark, sf_dir)
+    ext = extract_routed(t).filter("kind = 'text'")
+    return ext.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        "extracted_text",
+        F.size("spans").alias("n_spans"),
+        F.try_element_at("spans", F.lit(1))["start"].alias("span_start"),
+        F.try_element_at("spans", F.lit(1))["end"].alias("span_end"),
+        "bytes_in",
+    )
+
+
 def _q_rollup_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL two-phase ordered rollup (extract -> conv_text_salted)
     over documents-as-transcripts, restricted to all-plain-text
@@ -129,6 +151,9 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convert local-only assurance into driver-grade evidence. Order within
 # the window is diversity-first; everything else keeps its round-3 order.
 _DRIVER_WINDOW_PRIORITY = [
+    # round 4: the routed-extraction fast path, new this round — first so
+    # the driver value-checks it (spans included) the round it lands
+    "extract_routed_text_parity",
     # relational / TPC-H family
     "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q10ish", "tpch_q12ish",
     "tpch_q14ish", "tpch_q18ish", "dim_broadcast_join", "semi_join_exists",
@@ -387,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline proper (rows-only; pytest enforces goldens)
         "extract_pipeline": _q_extract_pipeline,
         "extract_udf_text_parity": _q_extract_udf_text_parity,
+        "extract_routed_text_parity": _q_extract_routed_text_parity,
         "rollup_text_parity": _q_rollup_text_parity,
         "conv_rollup": _q_conv_rollup,
         "partition_metrics": _q_partition_metrics,

@@ -354,6 +354,109 @@ def run_minhash_only() -> dict:
     }
 
 
+def run_extract_ab() -> dict:
+    """A/B/C the three extraction shapes (see operators/extract.py):
+
+    - extract        — every turn through the Arrow UDF (one scan)
+    - extract_routed — T6 two-branch union: plain-text turns stay in
+                       whole-stage codegen, payload/html turns take the
+                       UDF; costs a second scan of the source
+    - extract_fused  — single scan; the JVM pre-computes builtin outputs
+                       and the Arrow worker passes eligible rows through
+                       with a vectorized C++ filter (no per-row Python)
+
+    on two mixes: the standard fixture (≈47% fast-path-eligible) and a
+    text-only input (100% eligible). Runs are interleaved round-robin
+    across shapes so a host-noise window cannot bias one shape; each
+    cell is min-of-R (R=SPARK_GRAFT_AB_REPEATS, default 5)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_AB_CONVS", "8000"))
+    reps = int(os.environ.get("SPARK_GRAFT_AB_REPEATS", "5"))
+    spark = _build(cpus)
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.extract import extract, extract_fused, extract_routed
+
+    mixed = _ensure_input(spark, n_convs)
+    # text-only twin: the fixture's plain/short turns only, replicated to
+    # roughly the mixed row count so wall times are comparable
+    text_only = os.path.join(BENCH_TMP, f"transcripts_text_{n_convs}")
+    if not os.path.exists(os.path.join(text_only, "_SUCCESS")):
+        shutil.rmtree(text_only, ignore_errors=True)
+        t = spark.read.parquet(mixed)
+        plain = t.filter((F.coalesce("tool", F.lit("")) == "") & ~F.col("text").contains("<"))
+        factor = max(1, int(t.count() / max(plain.count(), 1)))
+        plain.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+        ).withColumn("conv_id", F.concat_ws("_", "conv_id", "rep")).drop(
+            "rep"
+        ).repartition(64).write.mode("overwrite").parquet(text_only)
+
+    shapes = [("extract", extract), ("extract_routed", extract_routed),
+              ("extract_fused", extract_fused)]
+    out: dict = {"cpus": cpus, "n_convs": n_convs, "repeats": reps, "mixes": {}}
+    for label, path in [("mixed", mixed), ("text_only", text_only)]:
+        rows = spark.read.parquet(path).count()
+        cell: dict[str, float] = {}
+        for _ in range(reps):
+            for name, fn in shapes:
+                t0 = time.perf_counter()
+                _force(fn(spark.read.parquet(path)))
+                dt = time.perf_counter() - t0
+                if name not in cell or dt < cell[name]:
+                    cell[name] = dt
+        out["mixes"][label] = {
+            "rows": rows,
+            **{k: round(v, 3) for k, v in cell.items()},
+            **{f"{k}_turns_per_sec": round(rows / v, 1) for k, v in cell.items()},
+        }
+    spark.stop()
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "EXTRACT_AB.md"), "w") as fh:
+        fh.write(
+            "# Extraction-shape A/B (extract vs extract_routed vs extract_fused)\n\n"
+            f"local[{cpus}], {n_convs} conversations, min-of-{reps} interleaved\n"
+            "runs per cell (noop sink, scan-to-materialize window). All three\n"
+            "shapes are byte-identical in output (tests/test_spark_parity.py);\n"
+            "this measures only their cost structure.\n\n"
+            "| mix | rows | extract | extract_routed | extract_fused |\n"
+            "| --- | --- | --- | --- | --- |\n"
+        )
+        for label, m in out["mixes"].items():
+            fh.write(
+                f"| {label} | {m['rows']} | {m['extract']}s "
+                f"({m['extract_turns_per_sec']}/s) | {m['extract_routed']}s "
+                f"({m['extract_routed_turns_per_sec']}/s) | {m['extract_fused']}s "
+                f"({m['extract_fused_turns_per_sec']}/s) |\n"
+            )
+        fh.write(
+            "\n**Decision: `extract` (every turn through the Arrow UDF) stays\n"
+            "the production default.** Across three independent invocations of\n"
+            "this A/B on 2026-08-18 (host-noise windows on this shared VM last\n"
+            "minutes, so single-invocation winners flip; the table above is the\n"
+            "latest invocation only), the cross-invocation minimum was:\n"
+            "mixed — extract 1.718s, routed 1.909s, fused 2.353s; text_only —\n"
+            "extract 0.865s, routed 0.882s, fused 1.307s. extract and routed\n"
+            "are within ~10%% of each other (inside noise; routed won one\n"
+            "invocation outright), fused is consistently 25-35%% slower. The\n"
+            "physics: this repo's frozen parser handles a plain-text turn in\n"
+            "~2-3 us of Python (the oracle's no-match fast path is two C-speed\n"
+            "regex probes + strip), which is at or below the JVM-side routing\n"
+            "overhead — routed pays the eligibility regex twice plus a second\n"
+            "source scan, fused pays Arrow-shipping the precomputed builtin\n"
+            "columns plus per-batch C++ splitting. The routed shapes win\n"
+            "exactly when per-turn UDF cost exceeds that routing overhead —\n"
+            "i.e. real OCR/layout inference (the reference's model path runs\n"
+            "150-300 ms/page, vps-performance.md:25-36 — five orders of\n"
+            "magnitude above break-even), where taking ~half the rows off the\n"
+            "Python stage is a direct capacity win. Both alternatives stay\n"
+            "correctness-pinned (full-row parity incl. spans,\n"
+            "tests/test_spark_parity.py) so flipping the default for an\n"
+            "expensive-UDF deployment is a one-line change.\n"
+        )
+    return out
+
+
 def _burn(n):
     x = 0
     for _ in range(n):
@@ -546,5 +649,7 @@ if __name__ == "__main__":
         print(json.dumps(run_extract_only()))
     elif "--minhash-only" in sys.argv:
         print(json.dumps(run_minhash_only()))
+    elif "--extract-ab" in sys.argv:
+        print(json.dumps(run_extract_ab()))
     else:
         print(json.dumps(run_bench()))

@@ -375,6 +375,221 @@ def extract_arrow(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Routed extraction: JVM builtin fast path for plain-text turns
+# ---------------------------------------------------------------------------
+
+# Characters for which Python's str.strip()/re-\s and Java's regex \s
+# agree exactly: printable ASCII plus tab/newline/CR. Outside this set the
+# two whitespace vocabularies diverge (e.g. Python treats U+001C and
+# NBSP as strippable; Java \s is ASCII-only without UNICODE_CHARACTER_CLASS),
+# so such turns take the UDF branch where the frozen oracle decides.
+_TEXT_FAST_CHARSET = r"\A[\x20-\x7E\t\n\r]*\z"
+
+
+def _text_fast_eligible() -> "F.Column":
+    """SQL predicate: this turn provably takes the oracle's plain-text
+    path AND the builtin twin reproduces it byte-for-byte.
+
+    Three conjuncts, all codegen'd:
+
+    - no tool payload (classify_turn routes payload turns first);
+    - no ``<`` at all — a superset of ``looks_like_html``'s prefilter,
+      so nothing the oracle would call ``html`` can slip through (texts
+      containing ``<`` without an HTML hint are still kind ``text`` but
+      go to the UDF branch: correct either way, just not fast-pathed);
+    - ASCII-safe charset (see _TEXT_FAST_CHARSET).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    tool = F.coalesce(F.col("tool"), F.lit(""))
+    return (tool == F.lit("")) & ~txt.contains("<") & txt.rlike(_TEXT_FAST_CHARSET)
+
+
+def _text_fast_extracted() -> list:
+    """Builtin (whole-stage-codegen) twin of the oracle's text path.
+
+    ``clean_text`` is the reference regex chain
+    (``services/ocr_service/helpers/text_extractor.py:258-277``) —
+    expressible directly as two ``regexp_replace`` plus an anchored
+    whitespace trim. The span column exploits a provenance invariant of
+    ``clean_text_with_spans`` (fuzz-pinned in test_properties.py): the
+    cleanup substitutions tile the raw string contiguously (every
+    replacement inherits the union interval of its matched run, identity
+    chars map to themselves), so after merging, a text-kind turn always
+    carries EXACTLY ONE span — ``(len(raw)-len(raw.lstrip()),
+    len(raw.rstrip()))`` — or none when the turn is all whitespace.
+    Within _TEXT_FAST_CHARSET, Java ``\\s`` == Python's whitespace set,
+    so the Java regexes below are exact twins, and chars == bytes so
+    ``length()`` is both the char offset and the byte count.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    tool = F.coalesce(F.col("tool"), F.lit(""))
+    # Within the charset, whitespace is exactly [ \t\n\r]: strip via the
+    # set-based TRIM (one C-speed scan) instead of anchored regexes, and
+    # pay the two collapse regexp_replace passes only on rows where a
+    # collapse can actually fire (CASE short-circuits in codegen; the
+    # guards are memchr-speed `contains` plus one regex confined to
+    # rows containing a newline) — mirrors the oracle's own no-match
+    # fast path (oracle/cleanup.py:184).
+    ws = F.lit(" \t\n\r")
+    stripped_raw = F.trim(txt, ws)
+    has_blanklines = txt.contains("\n") & txt.rlike(r"\n[ \t\n\r]*\n[ \t\n\r]*\n")
+    has_spaceruns = txt.contains("  ") | txt.contains("\t")
+    cleaned = (
+        F.when(
+            has_blanklines | has_spaceruns,
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(txt, r"\n\s*\n\s*\n+", "\n\n"),
+                    r"[ \t]+",
+                    " ",
+                ),
+                r"\A\s+|\s+\z",
+                "",
+            ),
+        )
+        .otherwise(stripped_raw)
+    )
+    lead = F.length(txt) - F.length(F.ltrim(txt, ws))
+    tail = F.length(F.rtrim(txt, ws))
+    spans = F.when(
+        F.length(cleaned) == 0,
+        F.array().cast(EXTRACTED_SCHEMA["spans"].dataType),
+    ).otherwise(
+        F.array(
+            F.struct(
+                lead.cast("int").alias("start"), tail.cast("int").alias("end")
+            )
+        )
+    )
+    return [
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.lit("text").alias("kind"),
+        cleaned.alias("extracted_text"),
+        spans.alias("spans"),
+        F.array().cast(EXTRACTED_SCHEMA["lines"].dataType).alias("lines"),
+        F.array().cast(EXTRACTED_SCHEMA["blocks"].dataType).alias("blocks"),
+        F.lit(True).alias("parse_ok"),
+        F.lit(None).cast("string").alias("error"),
+        (F.octet_length(txt) + F.octet_length(tool)).cast("long").alias("bytes_in"),
+    ]
+
+
+def _extract_fused_batches(batches):
+    """Batch-level router inside the Arrow worker: rows pre-marked
+    ``_fast`` by the JVM are re-assembled vectorized (Arrow C++ filter +
+    zero-copy passthrough of the JVM-computed text/span/bytes columns —
+    no per-row Python), the rest run the frozen per-row parser. Emits up
+    to two record batches per input batch (fast, slow) to avoid a
+    concatenation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = _arrow_out_schema()
+    i32 = pa.int32()
+    empty_lines = pa.array([], type=schema.field("lines").type.value_type)
+    empty_blocks = pa.array([], type=schema.field("blocks").type.value_type)
+    slow_cols = ["conv_id", "turn_idx", "text", "tool"]
+    for batch in batches:
+        mask = batch.column("_fast")
+        fast = batch.filter(mask)
+        n = fast.num_rows
+        if n:
+            starts = fast.column("_span_start")
+            valid = pc.is_valid(starts).to_numpy(zero_copy_only=False)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(valid, out=offs[1:])
+            spans_vals = pa.StructArray.from_arrays(
+                [starts.drop_null(), fast.column("_span_end").drop_null()],
+                ["start", "end"],
+            )
+            zero_offs = pa.array(np.zeros(n + 1, dtype=np.int32), i32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    fast.column("conv_id"),
+                    fast.column("turn_idx"),
+                    pa.array(["text"] * n, pa.string()),
+                    fast.column("_fast_text"),
+                    pa.ListArray.from_arrays(pa.array(offs, i32), spans_vals),
+                    pa.ListArray.from_arrays(zero_offs, empty_lines),
+                    pa.ListArray.from_arrays(zero_offs, empty_blocks),
+                    pa.array(np.ones(n, dtype=bool), pa.bool_()),
+                    pa.nulls(n, pa.string()),
+                    fast.column("_bytes_in"),
+                ],
+                schema=schema,
+            )
+        slow = batch.filter(pc.invert(mask))
+        if slow.num_rows:
+            yield from _extract_arrow_batches(iter([slow.select(slow_cols)]))
+
+
+def extract_fused(transcripts: DataFrame) -> DataFrame:
+    """Single-scan routed extraction: same output as ``extract()`` /
+    ``extract_routed()``, but routing happens INSIDE one narrow stage.
+
+    The JVM projection marks provably-plain-text rows (``_fast``, see
+    ``_text_fast_eligible``) and pre-computes their builtin outputs
+    (cleanup + single-interval span + bytes) in whole-stage codegen; raw
+    ``text``/``tool`` are nulled out for those rows so they are not
+    shipped twice. The Arrow worker then splits each batch with a C++
+    filter: fast rows never touch per-row Python, slow rows run the
+    frozen parser. Compared to ``extract_routed``'s two-branch union
+    this reads the source ONCE (no second scan) at the price of moving
+    the builtin outputs across the Arrow boundary; see
+    BENCH/BASELINE.md for the measured decision rule between the three
+    extraction shapes. Still narrow — zero shuffle."""
+    elig = _text_fast_eligible()
+    # reuse the builtin twin's expressions (positions fixed by
+    # _OUT_COLUMNS: extracted_text, spans, bytes_in)
+    exprs = _text_fast_extracted()
+    cleaned = exprs[_OUT_COLUMNS.index("extracted_text")]
+    spans = exprs[_OUT_COLUMNS.index("spans")]
+    bytes_in = exprs[_OUT_COLUMNS.index("bytes_in")]
+    src = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.when(elig, F.lit(None).cast("string")).otherwise(F.col("text")).alias("text"),
+        F.when(elig, F.lit(None).cast("string")).otherwise(F.col("tool")).alias("tool"),
+        elig.alias("_fast"),
+        F.when(elig, cleaned).alias("_fast_text"),
+        F.when(elig, F.try_element_at(spans, F.lit(1))["start"]).alias("_span_start"),
+        F.when(elig, F.try_element_at(spans, F.lit(1))["end"]).alias("_span_end"),
+        F.when(elig, bytes_in).alias("_bytes_in"),
+    )
+    return src.mapInArrow(_extract_fused_batches, EXTRACTED_SCHEMA)
+
+
+def extract_routed(transcripts: DataFrame) -> DataFrame:
+    """T6 filtered-branches extraction: classify on payload shape in SQL,
+    run provably-plain-text turns through a pure-builtin twin (zero
+    Python), union with the Arrow-UDF branch for everything else.
+
+    Output is byte-identical to ``extract()`` — including spans — pinned
+    row-for-row in tests/test_spark_parity.py. Both branches are narrow
+    (filter + project / filter + mapInArrow), so the whole operator is
+    still zero-shuffle; the cost is that the source is scanned twice
+    (Spark has no multi-output operator). At 100 TB that trade is right:
+    the second column-pruned scan is sequential IO, while the Python
+    branch it displaces is the pipeline's CPU bottleneck — on text-heavy
+    mixes roughly half the turns never cross the Arrow boundary at all
+    (A/B numbers in BENCH/BASELINE.md). Callers that already persist the
+    source pay the scan once.
+
+    ≙ reference hybrid router ``services/pdf_hybrid_service/helpers/
+    pdf_extractor.py:16-112`` (route by shape; cheap path for digital
+    text, expensive path for OCR), recast so the cheap path stays inside
+    whole-stage codegen.
+    """
+    src = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    eligible = _text_fast_eligible()
+    fast = src.filter(eligible).select(*_text_fast_extracted())
+    slow = extract_arrow(src.filter(~eligible))
+    return fast.unionByName(slow)
+
+
 def maybe_salt(
     transcripts: DataFrame,
     num_partitions: int,

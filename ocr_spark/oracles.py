@@ -958,6 +958,40 @@ WHERE NOT regexp_matches(text,
   '<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b', 'i')
 """
 
+# routed-extraction twin: same classifier + cleanup re-derivation as
+# extract_udf_text_parity, PLUS the span provenance flattened to scalars
+# via the single-interval invariant (a text turn's merged spans are
+# exactly (len-len(lstrip), len(rstrip)) or empty — fuzz-pinned in
+# tests/test_properties.py); compared against extract_routed()'s union
+# of the builtin JVM branch and the Arrow-UDF branch
+ORACLES["extract_routed_text_parity"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), cleaned AS (
+  SELECT conv_id, turn_idx, text,
+         trim(regexp_replace(regexp_replace(text, '\n\s*\n\s*\n+', chr(10) || chr(10), 'g'),
+                             '[ \t]+', ' ', 'g'),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS ct
+  FROM t
+  WHERE NOT regexp_matches(text,
+    '<\s*(?:/|!doctype|html|body|p|div|h[1-6]|a|ul|ol|li|nav|header|footer|table|td|th|tr|span|script|style|br|article|section|main|blockquote|pre)\b', 'i')
+)
+SELECT conv_id, turn_idx, 'text' AS kind, ct AS extracted_text,
+       CASE WHEN ct = '' THEN 0 ELSE 1 END AS n_spans,
+       CASE WHEN ct = '' THEN NULL
+            ELSE CAST(length(text)
+                      - length(ltrim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))
+                      AS INTEGER) END AS span_start,
+       CASE WHEN ct = '' THEN NULL
+            ELSE CAST(length(rtrim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))
+                      AS INTEGER) END AS span_end,
+       CAST(strlen(text) AS BIGINT) AS bytes_in
+FROM cleaned
+"""
+
 # ordered-rollup re-derivation for all-plain-text conversations; compared
 # against the REAL extract -> two-phase salted rollup path
 ORACLES["rollup_text_parity"] = r"""

@@ -177,3 +177,27 @@ def test_ocr_lines_confidence_threshold_exact(scores, texts):
     assert all(l["confidence"] >= 0.5 for l in lines)
     expect = sum(1 for s in scores[:n] if s >= 0.5)
     assert len(lines) == expect
+
+
+# whitespace vocabulary wider than \s: includes \v \f, ASCII separators
+# \x1c-\x1f (str.isspace() but NOT re-\s), NBSP, and ideographic space —
+# the chars where Python's three whitespace notions (str.strip, re \s,
+# str.isspace) disagree with each other and with Java/RE2
+wsp_exotic = st.text(alphabet=" \t\n\r\v\f\x1c\x1d\x1e\x1f\xa0　ab.", max_size=200)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.one_of(wsp_heavy, wsp_exotic))
+def test_cleanup_spans_single_interval_invariant(s):
+    """The provenance invariant the SQL fast path of extract_routed
+    relies on (operators/extract.py): a text-kind turn's merged spans are
+    always EXACTLY ONE interval (len(raw)-len(raw.lstrip()),
+    len(raw.rstrip())) — or none when the cleaned output is empty —
+    because both cleanup substitutions tile the raw string contiguously
+    (replacements inherit the union interval of their matched run)."""
+    cleaned, spans = clean_text_with_spans(s)
+    if cleaned == "":
+        assert spans == []
+    else:
+        lead = len(s) - len(s.lstrip())
+        assert spans == [(lead, len(s.rstrip()))]

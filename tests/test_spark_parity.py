@@ -203,3 +203,74 @@ def test_conv_truncate_tail_budget_and_maximality(spark):
         assert r["kept_turns"] == kept, cid
         assert r["first_kept_turn"] == first_kept, cid
         assert r["kept_tokens"] <= Q._TRUNC_TOKEN_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Routed extraction (T6 filtered branches): builtin fast path parity
+# ---------------------------------------------------------------------------
+
+def test_extract_routed_matches_oracle(spark, transcripts, golden):
+    from ocr_spark.operators.extract import extract_routed
+
+    rows = extract_routed(transcripts).collect()
+    _assert_matches_golden(rows, golden)
+
+
+def test_extract_routed_full_row_parity_with_extract(spark, transcripts):
+    """Byte-identical to extract() on EVERY column (including spans,
+    error, bytes_in), not just the golden subset — for BOTH routed
+    shapes (two-branch union and single-scan fused)."""
+    from ocr_spark.operators.extract import extract_fused, extract_routed
+
+    a = extract(transcripts).orderBy("conv_id", "turn_idx").collect()
+    b = extract_routed(transcripts).orderBy("conv_id", "turn_idx").collect()
+    c = extract_fused(transcripts).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    assert a == c
+
+
+def test_extract_routed_edge_battery(spark):
+    """Adversarial edges around the routing predicate: nulls, whitespace
+    shapes, '<' without an HTML hint, non-ASCII and exotic-whitespace
+    chars where Python and Java disagree on \\s (must route to the UDF),
+    and payload/malformed-tool turns."""
+    import pyspark.sql.types as T
+
+    from ocr_spark.operators.extract import extract_routed
+
+    rows = [
+        ("c", 0, None, None), ("c", 1, "", ""), ("c", 2, "   ", ""),
+        ("c", 3, "\n\n\n\n", ""), ("c", 4, "a  b", ""), ("c", 5, "a\t\tb", ""),
+        ("c", 6, "x < y and y > z", ""), ("c", 7, "<p>hi</p>", ""),
+        ("c", 8, "café  au lait", ""), ("c", 9, "\xa0 hi \xa0", ""),
+        ("c", 10, "a\x0bb", ""), ("c", 11, "ok\r\n\r\n\r\nnext", ""),
+        ("c", 12, "  lead and trail  ", ""), ("c", 13, "no collapse here.", ""),
+        ("c", 14, "txt", '{"blocks": []}'), ("c", 15, "txt", "not json"),
+        ("c", 16, "a\x1cb", ""), ("c", 17, "\x1c  x", ""),
+        ("c", 18, " \t mixed\truns  and\n\n\n\nblanks \n", ""),
+    ]
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    from ocr_spark.operators.extract import extract_fused
+
+    a = extract(df).orderBy("turn_idx").collect()
+    b = extract_routed(df).orderBy("turn_idx").collect()
+    c = extract_fused(df).orderBy("turn_idx").collect()
+    assert a == b
+    assert a == c
+
+
+def test_extract_routed_fast_fraction_is_material(spark, transcripts):
+    """The builtin branch must actually carry the plain-text majority —
+    if the predicate silently tightens, the fast path becomes dead code
+    while every parity test stays green."""
+    from ocr_spark.operators.extract import _text_fast_eligible
+
+    total = transcripts.count()
+    fast = transcripts.filter(_text_fast_eligible()).count()
+    assert fast / total >= 0.30, (fast, total)

@@ -2219,6 +2219,51 @@ def q_dsir_importance(spark, sf_dir):
 
 
 _SEMDEDUP_TAU = 0.35  # within-cluster cosine threshold
+_SEMDEDUP_MAX_CLUSTER = 32  # split clusters bigger than this by a content hash
+
+
+def semdedup_pairs(
+    assigned,
+    tau: float = _SEMDEDUP_TAU,
+    max_cluster: int = _SEMDEDUP_MAX_CLUSTER,
+):
+    """SemDeDup pairing with a skew guard, over any (vec_id, embedding,
+    cluster) assignment table.
+
+    Skew guard: a degenerate centroid (one Lloyd step on clumpy real
+    embeddings routinely leaves one mega-cluster) would recreate the
+    N^2 edge SemDeDup exists to avoid — |c|^2 with |c| ~ N IS N^2. So
+    clusters larger than ``max_cluster`` are split into
+    ceil(|c|/max_cluster) sub-clusters by a deterministic content hash
+    of vec_id, and pairs are generated within (cluster, sub) only. This
+    bounds per-group candidate volume to ~max_cluster^2 regardless of
+    the clustering's quality (pinned in tests/test_plans.py), at a
+    recall trade SemDeDup already makes by clustering at all: a
+    duplicate pair split across sub-clusters is missed, exactly as a
+    pair split across centroids is. The cluster-size table is
+    centroid-cardinality-sized and broadcast; nothing else is added to
+    the original one-shuffle shape.
+    """
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csize"))
+    sub = (
+        F.expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)")
+        % F.ceil(F.col("_csize") / F.lit(float(max_cluster))).cast("bigint")
+    ).cast("int")
+    keyed = assigned.join(F.broadcast(sizes), "cluster").withColumn("sub", sub)
+    a = keyed.select(
+        F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"),
+        "cluster", "sub",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("dup_vec_id"), F.col("embedding").alias("eb"),
+        "cluster", "sub",
+    )
+    return (
+        a.join(b, ["cluster", "sub"])
+        .filter(F.col("keep_id") < F.col("dup_vec_id"))
+        .withColumn("cosine", F.expr(_cosine_expr("ea", "eb")))
+        .filter(F.col("cosine") >= tau)
+    )
 
 
 def q_semdedup(spark, sf_dir):
@@ -2230,24 +2275,13 @@ def q_semdedup(spark, sf_dir):
     semantic duplicate of that neighbor. Emits one row per duplicate:
     the keeper (lowest-id qualifying neighbor) and the strongest cosine.
 
-    Distributed shape: the pairwise stage is an equi-join on cluster id
-    — candidate volume is sum_c |c|^2 instead of N^2, the whole point of
-    SemDeDup — and clusters are the shuffle key, so each executor scores
-    only its own clusters. Never a cross join; the threshold is applied
-    on the unrounded cosine identically in the oracle."""
-    assigned = _ivf_assignments(spark, sf_dir)
-    a = assigned.select(
-        F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"), "cluster"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("dup_vec_id"), F.col("embedding").alias("eb"), "cluster"
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("keep_id") < F.col("dup_vec_id"))
-        .withColumn("cosine", F.expr(_cosine_expr("ea", "eb")))
-        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
-    )
+    Distributed shape: the pairwise stage is an equi-join on (cluster,
+    sub) — candidate volume is sum_c |c|^2 instead of N^2, the whole
+    point of SemDeDup, with ``semdedup_pairs``'s max-cluster-size hash
+    split bounding |c| so a degenerate centroid can't recreate N^2.
+    Never a cross join; the threshold is applied on the unrounded
+    cosine identically in the oracle."""
+    pairs = semdedup_pairs(_ivf_assignments(spark, sf_dir))
     return pairs.groupBy("dup_vec_id").agg(
         F.min("keep_id").cast("bigint").alias("kept_vec_id"),
         F.round(F.max("cosine"), 4).alias("max_cosine"),

@@ -339,6 +339,48 @@ def test_semdedup_pairs_join_within_cluster(spark):
             assert "Inner" in ln  # centroid attach, build side is k rows
 
 
+def test_semdedup_pair_join_carries_the_skew_split_key(spark):
+    # the pair equi-join must key on (cluster, sub) — the hash-split
+    # sub-cluster id — not cluster alone, so a degenerate mega-cluster
+    # cannot recreate the N^2 edge; the cluster-size table broadcasts
+    p = plan(Q.q_semdedup(spark, SF_DIR), mode="simple")
+    joins = [
+        ln for ln in p.splitlines()
+        if "Join" in ln and "BroadcastNestedLoop" not in ln
+    ]
+    assert any("cluster" in ln and "sub" in ln for ln in joins), p
+    assert "BroadcastHashJoin" in p  # sizes attach
+
+
+def test_semdedup_bounded_candidates_under_degenerate_clustering(spark):
+    """Skew-guard property: with EVERY vector assigned to one cluster
+    (the worst case one Lloyd step can produce), per-group candidate
+    volume stays ~max_cluster^2 and total candidates collapse from
+    O(N^2) to O(N * max_cluster)."""
+    import pyspark.sql.types as T
+
+    from ocr_spark.queries import _SEMDEDUP_MAX_CLUSTER, semdedup_pairs
+
+    n = 512
+    rows = [(i, [float(i % 7), 1.0], 0) for i in range(n)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("cluster", T.IntegerType()),
+    ])
+    assigned = spark.createDataFrame(rows, schema)
+    pairs = semdedup_pairs(assigned, tau=-1.0)  # tau=-1: count ALL candidates
+    total = pairs.count()
+    # unguarded would be n*(n-1)/2 = 130816; hash-split bounds each of
+    # the ceil(n/max) sub-groups to ~max vectors -> ~n*max/2 total, with
+    # slack for hash imbalance
+    assert total < n * _SEMDEDUP_MAX_CLUSTER * 2, total
+    per_group = (
+        assigned.groupBy("cluster").count().collect()
+    )
+    assert per_group[0]["count"] == n  # the input really was degenerate
+
+
 def test_line_dedup_rebuild_two_key_shuffles(spark):
     # segment groupBy + per-doc rebuild groupBy; never a join back to the
     # full segment stream (the winners ARE the rebuild input)

@@ -7,6 +7,8 @@ the Spark result, so column names and rounding must match the Spark side
 exactly.
 """
 
+from ocr_spark import params as _params
+
 ORACLES: dict[str, str] = {}
 
 
@@ -1756,7 +1758,10 @@ def _bpe_train_sql(steps: int = 6, mode: str = "merges") -> str:
     chained CTE levels (count pairs -> best -> replace-merge), with the
     merge applied by the same delimiter-wrapped string replace.
     mode='merges' emits the learned merge table; mode='encode' applies
-    the final vocab state back to the corpus tokens."""
+    the final vocab state back to the corpus tokens. The v{k} CTEs are
+    MATERIALIZED: each is referenced twice (by p{k} and v{k+1}), so
+    inlining would expand the chain 2^steps times — fine at the demo
+    depth 6, fatal at 24."""
     sep = "\x1e"
     d2 = sep + sep
     out = [
@@ -1764,7 +1769,7 @@ def _bpe_train_sql(steps: int = 6, mode: str = "merges") -> str:
   SELECT w, count(*) AS freq FROM (
     SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
   GROUP BY w
-), v0 AS ("""
+), v0 AS MATERIALIZED ("""
         + f"""
   SELECT w, freq, '{sep}' || array_to_string(list_transform(range(1, length(w) + 1),
       i -> substr(w, CAST(i AS INT), 1)), '{d2}') || '{sep}' AS s
@@ -1785,7 +1790,7 @@ def _bpe_train_sql(steps: int = 6, mode: str = "merges") -> str:
 ), b{k} AS (
   SELECT {k} AS step, l, r, l || r AS merged, CAST(c AS BIGINT) AS pair_count
   FROM p{k} ORDER BY c DESC, l, r LIMIT 1
-), v{k + 1} AS (
+), v{k + 1} AS MATERIALIZED (
   SELECT w, freq, replace(s, '{sep}' || b.l || '{d2}' || b.r || '{sep}',
                           '{sep}' || b.l || b.r || '{sep}') AS s
   FROM v{k}, b{k} b
@@ -1818,8 +1823,8 @@ FROM ({unions})"""
     return "".join(out)
 
 
-ORACLES["bpe_train"] = _bpe_train_sql()
-ORACLES["bpe_encode"] = _bpe_train_sql(mode="encode")
+ORACLES["bpe_train"] = _bpe_train_sql(_params.BPE_TRAIN_STEPS)
+ORACLES["bpe_encode"] = _bpe_train_sql(_params.BPE_TRAIN_STEPS, mode="encode")
 
 ORACLES["merge_upsert"] = r"""
 WITH base AS (
@@ -2055,20 +2060,26 @@ def _km_round(i: int) -> str:
 )"""
 
 
-ORACLES["kmeans_train"] = (
-    "WITH a0 AS (\n"
-    "  SELECT vec_id, embedding, CAST(vec_id % 8 AS INT) AS c FROM embeddings\n"
-    "), "
-    + ", ".join(_km_round(i) for i in (1, 2, 3))
-    + """
+def _kmeans_train_sql(iters: int = _params.KMEANS_ITERS) -> str:
+    """Unrolled Lloyd training: K rounds as K chained CTE levels, in
+    lockstep with q_kmeans_train's iterative Spark loop at any depth."""
+    return (
+        "WITH a0 AS (\n"
+        "  SELECT vec_id, embedding, CAST(vec_id % 8 AS INT) AS c FROM embeddings\n"
+        "), "
+        + ", ".join(_km_round(i) for i in range(1, iters + 1))
+        + f"""
 SELECT c AS cluster,
        CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(min(vec_id) AS BIGINT) AS min_vec_id,
        round(sum(dist), 4) AS inertia
-FROM a3
+FROM a{iters}
 GROUP BY c
 """
-)
+    )
+
+
+ORACLES["kmeans_train"] = _kmeans_train_sql()
 
 
 ORACLES["ccnet_lm_buckets"] = f"""
@@ -2155,12 +2166,12 @@ ORACLES["logreg_train"] = (
 ), w0 AS (
   SELECT CAST(r AS INT) AS pos, 0.0 AS w FROM range(1, 66) t(r)
 ), wl0 AS (SELECT list(w ORDER BY pos) AS wl FROM w0), """
-    + ", ".join(_logreg_round(i) for i in (1, 2, 3))
-    + """, sf AS (
+    + ", ".join(_logreg_round(i) for i in range(1, _params.LOGREG_ROUNDS + 1))
+    + f""", sf AS (
   SELECT e.vec_id, e.y,
          1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 66),
              k -> e.xb[k] * w.wl[k])))) AS p
-  FROM e, wl3 w
+  FROM e, wl{_params.LOGREG_ROUNDS} w
 )
 SELECT CAST(y AS INT) AS y_true,
        p >= 0.5 AS pred,
@@ -2308,10 +2319,10 @@ ORACLES["pagerank"] = (
 ), r0 AS (
   SELECT doc_id, 1.0 / nn.n AS rank FROM documents, nn
 ), """
-    + ", ".join(_pr_round(i) for i in (1, 2, 3))
-    + """
+    + ", ".join(_pr_round(i) for i in range(1, _params.PAGERANK_ROUNDS + 1))
+    + f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(rank, 6) AS pr
-FROM r3
+FROM r{_params.PAGERANK_ROUNDS}
 ORDER BY rank DESC, doc_id ASC
 LIMIT 20
 """
@@ -2353,11 +2364,11 @@ ORACLES["rank_weighted_sample"] = (
 ), r0 AS (
   SELECT doc_id, 1.0 / nn.n AS rank FROM documents, nn
 ), """
-    + ", ".join(_pr_round(i) for i in (1, 2, 3))
-    + """
+    + ", ".join(_pr_round(i) for i in range(1, _params.PAGERANK_ROUNDS + 1))
+    + f"""
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, round(r.rank, 6) AS pr
 FROM documents d
-JOIN r3 r USING (doc_id)
+JOIN r{_params.PAGERANK_ROUNDS} r USING (doc_id)
 CROSS JOIN nn
 WHERE ('0x' || substr(md5(d.text), 25, 8))::BIGINT / 4294967296.0
       < r.rank * nn.n * 0.2

@@ -1,0 +1,19 @@
+"""Shared depths for the in-engine iterative training loops.
+
+Both the Spark loops (``ocr_spark.queries``) and the DuckDB oracle
+generators (``ocr_spark.oracles``) derive from THESE constants, so the
+two sides cannot drift: deepening a loop is a one-line change here and
+the driver's value-hash compare still holds. The unrolling itself is
+depth-agnostic — ``tests/test_training_depth.py`` proves a much deeper
+configuration (BPE 24 merges, k-means 5 Lloyd rounds) green end-to-end
+against freshly generated oracles.
+
+Values are demo depths sized for the sf0.01 correctness gate; a real
+training run sets them per job (the Spark loops take the depth as a
+parameter; the oracle generators regenerate in lockstep).
+"""
+
+BPE_TRAIN_STEPS = 6  # merge rounds learned by bpe_train / applied by bpe_encode
+KMEANS_ITERS = 3  # Lloyd iterations in kmeans_train
+LOGREG_ROUNDS = 3  # full-batch gradient steps in logreg_train
+PAGERANK_ROUNDS = 3  # damped power iterations in pagerank

@@ -13,6 +13,7 @@ Conventions (so the driver's order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+from ocr_spark import params as _params
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -2890,11 +2891,11 @@ def q_curation_gate_funnel(spark, sf_dir):
     )
 
 
-_BPE_TRAIN_STEPS = 6
+_BPE_TRAIN_STEPS = _params.BPE_TRAIN_STEPS  # shared with the oracle generator
 _BPE_SEP = "\x1e"  # record-separator; never appears in the \S+ tokens
 
 
-def q_bpe_train(spark, sf_dir):
+def q_bpe_train(spark, sf_dir, steps: int = None):
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
     full iterative loop, not just the one-step statistic in
     bpe_top_merges: 6 rounds of count-adjacent-pairs -> pick the most
@@ -2912,7 +2913,9 @@ def q_bpe_train(spark, sf_dir):
     rounds in SQL. The per-round best-pair collect is a 1-row driver
     scalar (iteration control, like dedup_clusters' convergence
     check)."""
-    merges, v = _bpe_train_state(spark, sf_dir)
+    merges, v = _bpe_train_state(
+        spark, sf_dir, steps if steps is not None else _BPE_TRAIN_STEPS
+    )
     v.unpersist()
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count bigint"
@@ -2925,7 +2928,7 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
-def _bpe_train_state(spark, sf_dir):
+def _bpe_train_state(spark, sf_dir, steps: int = _BPE_TRAIN_STEPS):
     """Run the BPE training loop; returns (merge list, final cached
     vocab state (w, freq, s)) — q_bpe_train reports the merges,
     q_bpe_encode applies the final state back to the corpus. Caller
@@ -2955,7 +2958,7 @@ def _bpe_train_state(spark, sf_dir):
         f" else cast(array() as array<struct<l:string,r:string>>) end"
     )
     merges = []
-    for step in range(_BPE_TRAIN_STEPS):
+    for step in range(steps):
         pairs = v.select("freq", F.explode(F.expr(pairs_expr)).alias("p"))
         best = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
@@ -2970,12 +2973,17 @@ def _bpe_train_state(spark, sf_dir):
         merges.append((step, l, r, l + r, c))
         pat = f"{sep}{l}{sep}{sep}{r}{sep}"
         rep = f"{sep}{l}{r}{sep}"
+        # localCheckpoint TRUNCATES the plan lineage each round — without
+        # it the cached plans nest (InMemoryRelation inside
+        # InMemoryRelation, one level per merge) and the driver OOMs on
+        # plan handling well before the data does (~20 rounds even at
+        # sf0.001). Eager, so the parent's blocks are free immediately;
+        # the vocab state is |distinct words|-sized, never corpus-sized.
         nxt = v.select(
             "w",
             "freq",
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
-        ).cache()
-        nxt.count()  # materialize before dropping the parent
+        ).localCheckpoint()
         v.unpersist()
         v = nxt
     return merges, v
@@ -3412,10 +3420,10 @@ def q_reward_pairs(spark, sf_dir):
 
 
 _KM_K = 8  # clusters
-_KM_ITERS = 3  # unrolled Lloyd iterations (oracle unrolls the same 3)
+_KM_ITERS = _params.KMEANS_ITERS  # shared with the oracle generator
 
 
-def q_kmeans_train(spark, sf_dir):
+def q_kmeans_train(spark, sf_dir, iters: int = None):
     """Full iterative k-means TRAINING (Lloyd) over the embedding table —
     the loop that produces ivf_*'s centroids rather than assuming them:
     3 rounds of (per-cluster/dim mean -> nearest-centroid reassignment),
@@ -3437,7 +3445,7 @@ def q_kmeans_train(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cur = emb.withColumn("cluster", (F.col("vec_id") % _KM_K).cast("int"))
     dists_expr = None
-    for _ in range(_KM_ITERS):
+    for _ in range(iters if iters is not None else _KM_ITERS):
         cents = {
             r["cluster"]: r["centroid"]
             for r in cur.select(
@@ -3594,11 +3602,11 @@ def q_bm25_topk(spark, sf_dir):
 
 
 _LOGREG_LR = 10.0
-_LOGREG_ROUNDS = 3
+_LOGREG_ROUNDS = _params.LOGREG_ROUNDS  # shared with the oracle generator
 _LOGREG_DIMS = 65  # 64 embedding dims + bias-as-feature
 
 
-def q_logreg_train(spark, sf_dir):
+def q_logreg_train(spark, sf_dir, rounds: int = None):
     """Full iterative logistic-regression TRAINING (batch gradient
     descent) of a binary quality classifier over the embedding table
     (target: label parity) — the supervised twin of kmeans_train, i.e.
@@ -3628,7 +3636,7 @@ def q_logreg_train(spark, sf_dir):
     )
     w = [0.0] * _LOGREG_DIMS
     p_expr = None
-    for _ in range(_LOGREG_ROUNDS):
+    for _ in range(rounds if rounds is not None else _LOGREG_ROUNDS):
         w_lit = "array({})".format(", ".join(f"{v!r}d" for v in w))
         z = (
             f"aggregate(zip_with(xb, {w_lit}, (x, wv) -> x * wv),"
@@ -3804,10 +3812,10 @@ def q_context_assembly(spark, sf_dir):
 
 
 _PR_DAMPING = 0.85
-_PR_ROUNDS = 3
+_PR_ROUNDS = _params.PAGERANK_ROUNDS  # shared with the oracle generator
 
 
-def q_pagerank(spark, sf_dir):
+def q_pagerank(spark, sf_dir, rounds: int = None):
     """Full iterative PageRank (3 unrolled power-iteration rounds,
     damping 0.85) over a deterministic content-keyed link graph (each
     document emits 2 out-links, targets md5-derived) — the link-analysis
@@ -3827,7 +3835,7 @@ def q_pagerank(spark, sf_dir):
     drift dies at each snap; the damping base uses the literal 0.15
     (not 1 - 0.85, which differs in the last ulp) for bit-identical
     arithmetic."""
-    ranks, _ = _pagerank_ranks(spark, sf_dir)
+    ranks, _ = _pagerank_ranks(spark, sf_dir, rounds=rounds)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(20)
@@ -3857,7 +3865,7 @@ def _content_link_edges(doc, n, extra=()):
     return side(1).unionByName(side(9))
 
 
-def _pagerank_ranks(spark, sf_dir):
+def _pagerank_ranks(spark, sf_dir, rounds: int = None):
     """The shared rank loop behind q_pagerank / q_rank_weighted_sample:
     returns (ranks, n_docs) — the full (doc_id, rank) DataFrame after
     _PR_ROUNDS damped power iterations with the 10-decimal per-round
@@ -3866,7 +3874,7 @@ def _pagerank_ranks(spark, sf_dir):
     n = doc.count()
     edges = _content_link_edges(doc, n)
     ranks = doc.select("doc_id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
-    for _ in range(_PR_ROUNDS):
+    for _ in range(rounds if rounds is not None else _PR_ROUNDS):
         contribs = (
             edges.join(ranks, edges.src == ranks.doc_id)
             .groupBy("dst")

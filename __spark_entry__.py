@@ -154,6 +154,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # round 4: the routed-extraction fast path, new this round — first so
     # the driver value-checks it (spans included) the round it lands
     "extract_routed_text_parity",
+    # round 4: bucketed-output layout proof (rows-only), judged artifact
+    "bucketed_layout_audit",
     # relational / TPC-H family
     "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q10ish", "tpch_q12ish",
     "tpch_q14ish", "tpch_q18ish", "dim_broadcast_join", "semi_join_exists",
@@ -380,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_islands": Q.q_dup_span_islands,
         "incremental_band_dedup": Q.q_incremental_band_dedup,
         # data-layout / table-maintenance family
+        "bucketed_layout_audit": Q.q_bucketed_layout_audit,
         "compaction_plan": Q.q_compaction_plan,
         "zorder_layout": Q.q_zorder_layout,
         "manifest_prune_stats": Q.q_manifest_prune_stats,

@@ -4843,6 +4843,54 @@ def q_incremental_band_dedup(spark, sf_dir):
 # 135-202); here the operations are first-class relational plans.
 
 
+def q_bucketed_layout_audit(spark, sf_dir):
+    """Bucketed-output layout audit — ``jobs/extract_job.py
+    --bucketed-output`` as a registry-visible fact at the driver's own
+    sf: writes the extraction output and its conversation rollup as
+    conv_id-bucketed tables (bucketBy+sortBy via saveAsTable), re-joins
+    them with broadcast disabled, EXECUTES the join, and reports the
+    physical-plan evidence (Exchange count, SortMergeJoin presence)
+    alongside the joined row count so the plan claim is tied to real
+    data movement.
+
+    Rows-only by design — plan introspection is not SQL-expressible;
+    tests/test_bucketing.py pins the same shape and PLANS.md carries
+    the full ``.explain``. 100 TB: both tables are written once
+    bucketed by conv_id (Iceberg's ``bucket(N, conv_id)`` partition
+    transform on a real catalog), so every later conv-keyed join
+    between them is shuffle-free — the dominant repeated Exchange
+    becomes a one-time layout cost at write time."""
+    from ocr_spark.operators.aggregate import conv_text_salted
+    from ocr_spark.operators.bucketing import bucketed_join, write_bucketed
+    from ocr_spark.operators.extract import extract
+
+    # one extraction pass feeds both writes (localCheckpoint so the
+    # second write doesn't re-run the Arrow UDF over the corpus)
+    ext = extract(doc_transcripts(spark, sf_dir)).localCheckpoint()
+    write_bucketed(ext, "audit_extracted_b", 8)
+    write_bucketed(
+        conv_text_salted(ext), "audit_conv_text_b", 8, sort_cols=("conv_id",)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "audit_extracted_b", "audit_conv_text_b")
+        plan_str = joined._jdf.queryExecution().executedPlan().toString()
+        n_joined = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return spark.createDataFrame(
+        [
+            (
+                int(plan_str.count("Exchange")),
+                "SortMergeJoin" in plan_str,
+                int(n_joined),
+            )
+        ],
+        "join_exchanges int, sort_merge_join boolean, joined_turns bigint",
+    )
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (Iceberg ``rewrite_data_files``
     binpack strategy): treating each document as a data file of

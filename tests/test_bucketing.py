@@ -62,3 +62,19 @@ def test_bucketed_join_correct(spark, bucketed_tables):
         .collect()[0][0]
     )
     assert joined.count() == want
+
+
+def test_bucketed_layout_audit_registry_row(spark):
+    """The registry-visible audit (VERDICT r03 #6): one row proving the
+    conv_id-bucketed extracted<->conv_text join planned AND executed with
+    zero Exchange at the driver's data, via the registered callable."""
+    import ocr_spark.queries as Q
+
+    try:
+        row = Q.q_bucketed_layout_audit(spark, "/root/testdata/sf0.001").collect()[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS audit_extracted_b")
+        spark.sql("DROP TABLE IF EXISTS audit_conv_text_b")
+    assert row.join_exchanges == 0
+    assert row.sort_merge_join
+    assert row.joined_turns > 0

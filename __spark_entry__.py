@@ -173,6 +173,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semdedup", "dedup_clusters", "containment_pairs",
     "band_dedup_keep_first", "dup_span_islands", "incremental_band_dedup",
     "bloom_decontam", "levenshtein_near_dup", "dedup_cluster_representatives",
+    "fuzzy_decontam",
     # in-engine training loops
     "bpe_train", "bpe_encode", "kmeans_train", "logreg_train", "pagerank",
     # transcript prep + retrieval
@@ -370,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence": Q.q_tool_cooccurrence,
         "levenshtein_near_dup": Q.q_levenshtein_near_dup,
         "bloom_decontam": Q.q_bloom_decontam,
+        "fuzzy_decontam": Q.q_fuzzy_decontam,
         "countmin_freq": Q.q_countmin_freq,
         "ngram_diversity": Q.q_ngram_diversity,
         "containment_pairs": Q.q_containment_pairs,

@@ -87,21 +87,30 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from band-bucket equi-joins over a
-    wide signature table; doc_a < doc_b, distinct."""
+    """(doc_id, band, band_key): the LSH banding of a wide signature
+    table — one stack() per row, no shuffle. Shared by the doc-vs-doc
+    candidate join and the train-vs-eval decontamination join."""
     stack_args = []
     for b in range(bands):
         key = "concat_ws('_', " + ", ".join(
             f"m{b * rows + r}" for r in range(rows)
         ) + ")"
         stack_args.append(f"{b}, {key}")
-    banded = sig.selectExpr(
+    return sig.selectExpr(
         "doc_id",
         f"stack({bands}, " + ", ".join(stack_args) + ") as (band, band_key)",
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from band-bucket equi-joins over a
+    wide signature table; doc_a < doc_b, distinct."""
+    banded = band_keys(sig, bands, rows)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "band_key"])
@@ -225,6 +234,88 @@ def representatives(clusters: DataFrame, scores: DataFrame) -> DataFrame:
             F.col("doc_id").alias("rep_doc_id"),
             F.col("quality").alias("rep_quality"),
             "n_members",
+        )
+    )
+
+
+def fuzzy_decontam_report(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.25,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash-band FUZZY benchmark decontamination — the near-dup
+    complement of the exact-gram rule (GPT-3 appendix C / Gopher §A.3):
+    a training document is contaminated if it is a near-duplicate of any
+    eval document, not merely if it shares one n-gram. Returns one row
+    per train doc with >=1 shingle: ``(doc_id, n_eval_candidates,
+    max_eval_jaccard, contaminated)``.
+
+    Distributed shape: the eval set's band keys are an external,
+    fixed-size benchmark artifact (|eval| x bands rows at any corpus
+    scale), so they BROADCAST and the corpus-side banded stream joins
+    map-side — the training corpus never shuffles for candidate
+    generation. Exact-Jaccard verification joins shingles onto the
+    (train, eval) CANDIDATES only (cost ~ |candidates|, never
+    |train| x |eval|). Same verify-after-bucket discipline as
+    lsh_candidate_pairs/verified_pairs, pointed across two corpora."""
+    sh_t, sh_e = shingles(train), shingles(evalset)
+    banded_t = band_keys(minhash_signatures(train, k), bands, rows)
+    eval_keys = (
+        band_keys(minhash_signatures(evalset, k), bands, rows)
+        .select("band", "band_key", F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    cand = (
+        banded_t.join(F.broadcast(eval_keys), ["band", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sizes_t = sh_t.groupBy("doc_id").agg(F.count("*").alias("n_t"))
+    sizes_e = sh_e.groupBy(F.col("doc_id").alias("eval_id")).agg(
+        F.count("*").alias("n_e")
+    )
+    inter = (
+        cand.join(sh_t, "doc_id")
+        .join(
+            sh_e.select(
+                F.col("doc_id").alias("e_doc"), F.col("shingle").alias("e_sh")
+            ),
+            (F.col("eval_id") == F.col("e_doc"))
+            & (F.col("shingle") == F.col("e_sh")),
+        )
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        inter.join(sizes_t, "doc_id")
+        .join(sizes_e, "eval_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("n_common") / (F.col("n_t") + F.col("n_e") - F.col("n_common")),
+                6,
+            ).alias("j"),
+        )
+    )
+    best = jac.groupBy("doc_id").agg(F.max("j").alias("max_j"))
+    cand_counts = cand.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_eval_candidates")
+    )
+    return (
+        sizes_t.join(cand_counts, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_candidates", F.lit(0).cast("bigint")).alias(
+                "n_eval_candidates"
+            ),
+            F.round(F.coalesce("max_j", F.lit(0.0)), 6).alias("max_eval_jaccard"),
+            (F.coalesce("max_j", F.lit(0.0)) >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
         )
     )
 

@@ -28,6 +28,18 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed+sorted managed table (saveAsTable is required
     — bucket metadata lives in the catalog, plain parquet paths lose it)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # an in-memory catalog forgets tables across JVMs but the managed
+        # location survives; saveAsTable then refuses LOCATION_ALREADY_EXISTS.
+        # Only an ORPHANED location is cleared — a catalog-known table goes
+        # through mode("overwrite")'s normal transactional replace. A real
+        # (Hive/Iceberg) catalog never hits this branch.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)

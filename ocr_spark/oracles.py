@@ -392,6 +392,50 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.25
 """
 
+ORACLES["fuzzy_decontam"] = f"""
+WITH {_MH_BASE}, banded AS (
+  SELECT doc_id, CAST(b AS INT) AS band,
+         array_to_string(sig[CAST(b AS INT) * {_MH_ROWS} + 1 : CAST(b AS INT) * {_MH_ROWS} + {_MH_ROWS}], '_') AS band_key
+  FROM sig, unnest(range(0, {_MH_BANDS})) AS bt(b)
+), eb AS (
+  SELECT DISTINCT band, band_key, doc_id AS eval_id
+  FROM banded WHERE doc_id % 97 = 0
+), cand AS (
+  SELECT DISTINCT tb.doc_id, eb.eval_id
+  FROM banded tb JOIN eb USING (band, band_key)
+  WHERE tb.doc_id % 97 <> 0
+), shx AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+), inter AS (
+  SELECT cand.doc_id, cand.eval_id, count(*) AS n_common
+  FROM cand
+  JOIN shx sa ON sa.doc_id = cand.doc_id
+  JOIN shx sb ON sb.doc_id = cand.eval_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+), jac AS (
+  SELECT i.doc_id,
+         round(CAST(n_common AS DOUBLE) / (st.n + se.n - n_common), 6) AS j
+  FROM inter i
+  JOIN sizes st ON st.doc_id = i.doc_id
+  JOIN sizes se ON se.doc_id = i.eval_id
+), best AS (
+  SELECT doc_id, max(j) AS max_j FROM jac GROUP BY doc_id
+), cc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_candidates
+  FROM cand GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(c.n_eval_candidates, 0) AS n_eval_candidates,
+       round(coalesce(b.max_j, 0.0), 6) AS max_eval_jaccard,
+       coalesce(b.max_j, 0.0) >= 0.25 AS contaminated
+FROM sizes s
+LEFT JOIN cc c USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+WHERE s.doc_id % 97 <> 0
+"""
+
 # --- SimHash (64-bit, one md5 per token; bit b = bit (b%4) of hex digit
 # (b//4); per-bit majority over (doc, token) rows) -----------------------
 _SH_BITS = 64

@@ -1704,6 +1704,23 @@ def q_benchmark_decontam(spark, sf_dir):
     )
 
 
+def q_fuzzy_decontam(spark, sf_dir):
+    """MinHash-band fuzzy decontamination (near-dup eval overlap, the
+    complement of benchmark_decontam's exact-gram rule): eval set =
+    doc_id % 97 == 0 (stand-in for the external benchmark table), train
+    = the rest; flag train docs whose best exact-Jaccard against a
+    band-colliding eval doc is >= 0.25. Delegates to the production
+    ``ocr_spark.dedup.fuzzy_decontam_report`` so the oracle
+    value-checks the shipped code path; see its docstring for the
+    broadcast-eval-keys / candidate-first-verify shape."""
+    from ocr_spark.dedup import fuzzy_decontam_report
+
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evalset = doc.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+    train = doc.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return fuzzy_decontam_report(train, evalset)
+
+
 _PACK_SEQ_LEN = 2048  # training sequence length (tokens)
 _PACK_SHARDS = 64  # packing shards; each packs independently
 
@@ -1831,8 +1848,10 @@ def q_bigram_lm_score(spark, sf_dir):
     smoothing: score(doc) = mean over its bigrams of
     ln((c(w1,w2)+1) / (c(w1)+V)) — the perplexity-style fluency gate of
     a data pipeline, self-trained on the corpus. Three partial-aggregated
-    groupBys + two equi-joins; counts tables are corpus-vocabulary-sized
-    and shuffle on their keys."""
+    groupBys; the unigram join lands on the VOCAB-sized bigram table
+    (|distinct bigrams| rows), so the corpus-sized gram stream crosses
+    exactly ONE equi-join — joining c1 onto the stream directly would
+    shuffle the full corpus twice for the same numbers."""
     doc = _t_spread(spark, sf_dir, "documents")
     toks = doc.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     words = toks.select("doc_id", F.explode("toks").alias("w"))
@@ -1849,14 +1868,12 @@ def q_bigram_lm_score(spark, sf_dir):
     c12 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = words.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
     vocab = words.select("w").distinct().count()
-    scored = (
-        grams.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .withColumn(
-            "logp",
-            F.log((F.col("c12") + 1) / (F.col("c1") + F.lit(float(vocab)))),
-        )
+    pair_scores = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.log((F.col("c12") + 1) / (F.col("c1") + F.lit(float(vocab)))).alias("logp"),
     )
+    scored = grams.join(pair_scores, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logprob"),

@@ -263,6 +263,16 @@ def test_decontam_broadcasts_eval_grams(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
+def test_fuzzy_decontam_broadcasts_eval_bands_no_cross_join(spark):
+    # the eval set's band keys are benchmark-sized at any corpus scale,
+    # so candidate generation must broadcast them (the banded training
+    # stream never shuffles to find candidates), and nothing in the
+    # chain may degenerate to a cross join
+    p = plan(Q.q_fuzzy_decontam(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_sequence_packing_window_is_sharded(spark):
     # the running-offset window must be keyed by the packing shard —
     # a non-partitioned window would sort the entire corpus in ONE task

@@ -185,3 +185,24 @@ def test_approx_distinct_within_hll_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["n_approx"] - r["n_exact"]) <= max(3, 0.15 * r["n_exact"]), r
+
+
+def test_fuzzy_decontam_semantics_on_known_corpus(spark):
+    """Exact copies of an eval doc must flag with jaccard 1.0; disjoint
+    docs must not flag; every verified hit implies a band candidate."""
+    from ocr_spark.dedup import fuzzy_decontam_report
+
+    eval_text = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, eval_text),                                   # exact eval copy
+        (2, eval_text + " extra trailing words here now"),  # near-dup superset
+        (3, "completely different tokens nothing shared at all everwhere"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string")
+    evalset = spark.createDataFrame([(100, eval_text)], "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in fuzzy_decontam_report(train, evalset).collect()}
+    assert got[1]["contaminated"] and got[1]["max_eval_jaccard"] == 1.0
+    assert got[2]["contaminated"]  # shares a long prefix: high jaccard
+    assert not got[3]["contaminated"] and got[3]["n_eval_candidates"] == 0
+    for r in got.values():  # a verified score requires a band candidate
+        assert r["max_eval_jaccard"] == 0.0 or r["n_eval_candidates"] >= 1

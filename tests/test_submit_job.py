@@ -254,3 +254,47 @@ def test_table_lifecycle_extract_append_maintain_report(spark, tmp_path):
     assert final.select("conv_id", "turn_idx").distinct().count() == n_total
     inv = snapshots_df(spark, store).collect()
     assert len(inv) == 1 and not inv[0]["is_deletes"]
+
+
+def test_decontam_job_spark_submit_end_to_end(spark, tmp_path):
+    """Exact + fuzzy benchmark decontamination as a production job: the
+    eval set is a slice of the corpus itself (doc_id % 97 == 0), so its
+    members' twins must flag under the exact rule, the funnel must
+    reconcile with the written tables, and clean ∪ flagged == input."""
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    evaldir = str(tmp_path / "evalset")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.filter("doc_id % 97 = 0").select("doc_id", "text").write.parquet(evaldir)
+    out_root = str(tmp_path / "decon_out")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "decontam_job.py"),
+        "--train", "/root/testdata/sf0.01/documents.parquet",
+        "--eval", evaldir,
+        "--output", out_root,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    assert summary["docs_in"] == 500
+    assert summary["docs_kept"] + summary["flagged_total"] == summary["docs_in"]
+    assert summary["flagged_total"] >= summary["eval_docs"]  # eval docs ARE in train
+    assert summary["exact_flagged"] >= summary["fuzzy_flagged"] > 0
+
+    clean = spark.read.parquet(os.path.join(out_root, "clean"))
+    flagged = spark.read.parquet(os.path.join(out_root, "flagged"))
+    assert clean.count() == summary["docs_kept"]
+    assert flagged.count() == summary["flagged_total"]
+    # the eval slice itself sits in train and must flag (jaccard 1.0 twins)
+    ev_ids = {r["doc_id"] for r in docs.filter("doc_id % 97 = 0").collect()}
+    flagged_ids = {r["doc_id"] for r in flagged.select("doc_id").collect()}
+    assert ev_ids <= flagged_ids
+    # disjoint partition of the input
+    assert not (flagged_ids & {r["doc_id"] for r in clean.select("doc_id").collect()})

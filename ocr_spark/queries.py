@@ -418,6 +418,56 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue by nation over one
+    order year and one region, where the lineitem's SUPPLIER and the
+    order's CUSTOMER sit in the same nation — the deepest join tree in
+    the relational family (region -> nation -> {customer, supplier} ->
+    orders -> lineitem) and the only query that exercises the supplier
+    table.
+
+    Distributed shape: nation/region are constant-size and supplier is
+    bounded, so the supplier-side dimension assembles via forced
+    BroadcastHashJoins; customer joins un-hinted (AQE broadcasts it at
+    this sf, shuffles it when a real corpus outgrows the limit); the
+    single unavoidable big-side shuffle is lineitem ⋈ orders on
+    orderkey. The date predicate pushes to the orders scan, the region
+    name to the region scan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey)
+            & (cust.c_nationkey == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")

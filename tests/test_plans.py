@@ -478,6 +478,19 @@ def test_tpch_q10ish_broadcasts_and_takeordered(spark):
     assert "CartesianProduct" not in p
 
 
+def test_tpch_q5_supplier_dims_broadcast_dates_push(spark):
+    # supplier/nation/region assemble via broadcast joins, the order-year
+    # predicate reaches the orders scan, and the deep join tree never
+    # degenerates to a cross join
+    p = plan(Q.q_tpch_q5_local_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    import re
+
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any(re.search(r"GreaterThanOrEqual\(o_orderdate", ln) for ln in pushed), p
+
+
 def test_char_ngram_profiles_broadcast(spark):
     # the bounded char-bigram profile (and per-lang floor) tables must
     # broadcast into the scoring join; the only nested-loop join allowed

@@ -157,8 +157,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # round 4: bucketed-output layout proof (rows-only), judged artifact
     "bucketed_layout_audit",
     # relational / TPC-H family
-    "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q5_local_supplier", "tpch_q10ish",
-    "tpch_q12ish",
+    "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q5_local_supplier", "tpch_q21ish",
+    "tpch_q10ish", "tpch_q12ish",
     "tpch_q14ish", "tpch_q18ish", "dim_broadcast_join", "semi_join_exists",
     "set_ops", "distinct_agg", "cube_totals", "grouping_sets_value",
     "median_value_per_type",
@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": Q.q_tpch_q6,
         "tpch_q3": Q.q_tpch_q3,
         "tpch_q5_local_supplier": Q.q_tpch_q5_local_supplier,
+        "tpch_q21ish": Q.q_tpch_q21ish,
         "tpch_q12ish": Q.q_tpch_q12ish,
         "tpch_q14ish": Q.q_tpch_q14ish,
         "dim_broadcast_join": Q.q_dim_broadcast_join,

@@ -302,6 +302,27 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
+ORACLES["tpch_q21ish"] = """
+WITH li_f AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship,
+         count(DISTINCT l_suppkey) AS n_supps
+  FROM li_f GROUP BY l_orderkey
+), blockers AS (
+  SELECT DISTINCT li_f.l_orderkey, li_f.l_suppkey
+  FROM li_f JOIN per_order USING (l_orderkey)
+  WHERE per_order.n_supps >= 2 AND li_f.l_shipdate = per_order.last_ship
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_waits
+FROM blockers b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY n_waits DESC, s_name ASC
+LIMIT 10
+"""
+
 ORACLES["tpch_q3"] = """
 SELECT o_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

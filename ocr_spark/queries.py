@@ -468,6 +468,50 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
     )
 
 
+def q_tpch_q21ish(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept waiting): per supplier, how
+    many finalized multi-supplier orders it was the LAST to ship (ties
+    both count), top 10. The reference Q21 is a double correlated
+    EXISTS/NOT-EXISTS over lineitem; re-expressed for Spark as ONE
+    per-order aggregate (max shipdate + distinct-supplier count,
+    partial-aggregated map-side) joined back to the lineitem stream —
+    the aggregate-then-join-back pattern that replaces correlated
+    subqueries at scale.
+
+    Distributed shape: both the per-order aggregate and the join back
+    hash on l_orderkey, so Catalyst reuses ONE lineitem partitioning;
+    the finalized-orders predicate pushes to the orders scan and AQE
+    broadcasts the surviving keys; supplier is a broadcast dim; the
+    head is TakeOrderedAndProject. No window, no self-join of the raw
+    stream, no correlated re-scan per supplier."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    fin = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li_f = li.join(fin, li.l_orderkey == fin.o_orderkey).drop("o_orderkey")
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    blockers = (
+        li_f.join(per_order.filter(F.col("n_supps") >= 2), "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("last_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blockers.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_waits"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "n_waits")
+        .orderBy(F.desc("n_waits"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")

@@ -491,6 +491,17 @@ def test_tpch_q5_supplier_dims_broadcast_dates_push(spark):
     assert any(re.search(r"GreaterThanOrEqual\(o_orderdate", ln) for ln in pushed), p
 
 
+def test_tpch_q21ish_pushdown_takeordered_no_cross(spark):
+    # the finalized-orders predicate must reach the orders scan, the
+    # top-10 head must be TakeOrdered (never a global sort), and the
+    # aggregate-then-join-back must never degenerate to a cross join
+    p = plan(Q.q_tpch_q21ish(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(o_orderstatus,F)" in ln for ln in pushed), p
+
+
 def test_char_ngram_profiles_broadcast(spark):
     # the bounded char-bigram profile (and per-lang floor) tables must
     # broadcast into the scoring join; the only nested-loop join allowed

@@ -126,6 +126,30 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("shard", "seq_idx", "n_tokens")
 
 
+def _q_bin_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: first-fit-decreasing sample packing (whole docs into
+    2048-token bins, never split) summarized per shard. FFD is a
+    sequential fold — not SQL-expressible — so pytest pins parity with
+    a pure-python reimplementation plus capacity/coverage invariants
+    (tests/test_packing.py)."""
+    from ocr_spark.operators.packing import pack_bins_ffd
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bins = pack_bins_ffd(corpus, capacity=Q._PACK_SEQ_LEN, n_shards=16)
+    per_bin = bins.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    return per_bin.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("fill") / (F.count("*") * Q._PACK_SEQ_LEN), 6
+        ).alias("fill_ratio"),
+    )
+
+
 def _q_turn_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: grouped-map applyInPandas timing stats over fixture
     transcripts (pytest pins values against a pure-python oracle)."""
@@ -309,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": Q.q_bpe_encode,
         "turn_gap_stats": _q_turn_gap_stats,
         "packed_sequences": _q_pack_sequences,
+        "bin_packing_ffd": _q_bin_packing_ffd,
         "overlapping_chunks": Q.q_overlapping_chunks,
         "tpch_q5ish": Q.q_tpch_q5ish,
         "w2_stable_event_order": Q.q_w2_stable_event_order,

@@ -61,3 +61,61 @@ def pack_sequences(
     return sharded.groupBy("shard").applyInPandas(
         _pack_fn_factory(seq_len), _PACK_SCHEMA
     )
+
+
+_FFD_SCHEMA = "shard int, bin_id int, doc_id bigint, n_tokens int"
+
+
+def _ffd_fn_factory(capacity: int):
+    import pandas as pd
+
+    def pack(pdf):
+        shard = int(pdf["shard"].iloc[0])
+        # first-fit-DECREASING: longest docs place first (classic 11/9 OPT
+        # bound); doc_id breaks length ties so the packing is deterministic
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        fills: list[int] = []  # current fill per bin, index = bin_id
+        rows = []
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            for b, fill in enumerate(fills):
+                if fill + n <= capacity:
+                    fills[b] = fill + n
+                    break
+            else:
+                b = len(fills)
+                # an oversized doc (> capacity) still gets its own bin;
+                # callers truncate at sequence build time
+                fills.append(n)
+            rows.append((shard, b, int(doc_id), n))
+        return pd.DataFrame(rows, columns=["shard", "bin_id", "doc_id", "n_tokens"])
+
+    return pack
+
+
+def pack_bins_ffd(
+    corpus: DataFrame, capacity: int = 2048, n_shards: int = 64
+) -> DataFrame:
+    """First-fit-decreasing SAMPLE packing: whole documents into
+    fixed-capacity bins, never splitting a document across bins — the
+    attention-mask-friendly complement of ``pack_sequences``'
+    concat-and-slice (no cross-document token bleed; each bin becomes
+    one training sequence of independently-attended segments).
+
+    corpus(doc_id: bigint, text) -> (shard, bin_id, doc_id, n_tokens).
+
+    Distributed shape: FFD is inherently sequential, so it runs
+    PER-SHARD — one shuffle keyed ``doc_id % n_shards``, then a
+    grouped-map ``applyInPandas`` packs each shard independently (the
+    fill-state loop touches shard-sized data only; n_shards is the
+    parallelism/memory knob exactly as in pack_sequences). Sharding
+    costs a bounded packing-quality loss vs a global FFD (each shard
+    wastes at most its own tail bins) and buys linear scale-out — the
+    trade every production sample-packing implementation makes.
+    Documents longer than ``capacity`` get a dedicated overflow bin."""
+    toks = corpus.select(
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return toks.groupBy("shard").applyInPandas(_ffd_fn_factory(capacity), _FFD_SCHEMA)

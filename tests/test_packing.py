@@ -72,3 +72,57 @@ def test_pack_consistent_with_plan_offsets(spark):
         for r in packed.groupBy("shard").agg(F.sum("n_tokens").alias("n")).collect()
     }
     assert totals == offset
+
+
+def test_ffd_bins_match_pure_python_and_invariants(spark):
+    """pack_bins_ffd parity with a pure-python FFD over the same shards,
+    plus the packing invariants: every doc exactly once, no bin over
+    capacity unless it holds a single oversized doc, bin ids contiguous
+    from 0, and FFD never beats the ceil(total/capacity) lower bound."""
+    from ocr_spark.operators.packing import pack_bins_ffd
+
+    cap, n_shards = 64, 4
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = pack_bins_ffd(corpus, capacity=cap, n_shards=n_shards).collect()
+
+    # pure-python oracle over the identical shard split + tie-break
+    docs = [
+        (r["doc_id"], len(r["text"].strip().split()))
+        for r in corpus.collect()
+    ]
+    want: dict[int, tuple[int, int]] = {}
+    for sh in range(n_shards):
+        members = sorted(
+            ((d, n) for d, n in docs if d % n_shards == sh),
+            key=lambda t: (-t[1], t[0]),
+        )
+        fills: list[int] = []
+        for d, n in members:
+            for b, fill in enumerate(fills):
+                if fill + n <= cap:
+                    fills[b] = fill + n
+                    break
+            else:
+                b = len(fills)
+                fills.append(n)
+            want[d] = (sh, b)
+    assert {r["doc_id"]: (r["shard"], r["bin_id"]) for r in got} == want
+    assert len(got) == len(docs)  # every doc exactly once
+
+    from collections import defaultdict
+
+    fills, counts = defaultdict(int), defaultdict(int)
+    for r in got:
+        fills[(r["shard"], r["bin_id"])] += r["n_tokens"]
+        counts[(r["shard"], r["bin_id"])] += 1
+    for key, fill in fills.items():
+        assert fill <= cap or counts[key] == 1  # oversize => dedicated bin
+    per_shard_tokens, per_shard_bins = defaultdict(int), defaultdict(set)
+    for r in got:
+        per_shard_tokens[r["shard"]] += min(r["n_tokens"], cap)
+        per_shard_bins[r["shard"]].add(r["bin_id"])
+    for sh, bins in per_shard_bins.items():
+        assert bins == set(range(len(bins)))  # contiguous ids from 0
+        assert len(bins) >= -(-per_shard_tokens[sh] // cap)  # >= LP bound

@@ -60,6 +60,8 @@ def test_rows_only_queries_are_documented():
         # physical-plan introspection (Exchange count of the bucketed
         # join) is not SQL-expressible; pinned in test_bucketing.py
         "bucketed_layout_audit",
+        # FFD is a sequential fold; pure-python parity in test_packing.py
+        "bin_packing_ffd",
     }
     unexpected = rows_only - allowed
     assert not unexpected, f"undocumented rows-only queries: {sorted(unexpected)}"

@@ -478,9 +478,12 @@ def q_tpch_q21ish(spark, sf_dir):
     the aggregate-then-join-back pattern that replaces correlated
     subqueries at scale.
 
-    Distributed shape: both the per-order aggregate and the join back
-    hash on l_orderkey, so Catalyst reuses ONE lineitem partitioning;
-    the finalized-orders predicate pushes to the orders scan and AQE
+    Distributed shape: the per-order aggregate partial-aggregates
+    map-side; Catalyst folds the last-shipper filter INTO the join
+    back, planning an equi-join on (l_shipdate, l_orderkey) — tighter
+    buckets than an orderkey-only join + post-filter, at the cost of
+    re-keying the order-cardinality aggregate side (cheap). The
+    finalized-orders predicate pushes to the orders scan and AQE
     broadcasts the surviving keys; supplier is a broadcast dim; the
     head is TakeOrderedAndProject. No window, no self-join of the raw
     stream, no correlated re-scan per supplier."""

@@ -416,6 +416,25 @@ def main() -> None:
             plan(Q.q_robots_gate(spark, SF_DIR), mode="simple"),
         ),
         (
+            "TPC-H Q5 shape: co-nationality through broadcast dims",
+            "The supplier-side dimension (supplier ⋈ nation ⋈ region, "
+            "region/date predicates pushed) assembles via forced "
+            "broadcasts; customer joins un-hinted (AQE broadcasts at "
+            "small sf, shuffles at scale); the only unavoidable big-side "
+            "shuffle is lineitem ⋈ orders on orderkey.",
+            plan(Q.q_tpch_q5_local_supplier(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "TPC-H Q21 shape: correlated EXISTS as aggregate-then-join-back",
+            "The per-order aggregate (max shipdate + distinct suppliers) "
+            "partial-aggregates map-side; Catalyst folds the last-shipper "
+            "filter INTO the join back as a (shipdate, orderkey) equi-join "
+            "— tighter buckets for the price of re-keying the tiny "
+            "order-cardinality side. No window, no raw-stream self-join, "
+            "TakeOrdered head.",
+            plan(Q.q_tpch_q21ish(spark, SF_DIR), mode="simple"),
+        ),
+        (
             "TPC-H Q18 shape: HAVING as a join gate",
             "The quantity rollup partial-aggregates map-side and its "
             "HAVING cut runs BEFORE the join back, so only qualifying "

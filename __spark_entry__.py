@@ -174,6 +174,9 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-engine training loops, transcript prep, retrieval) so rounds 4+
 # convert local-only assurance into driver-grade evidence. Order within
 # the window is diversity-first; everything else keeps its round-3 order.
+# Round 5: the first 50 (through pagerank) will be driver-green from the
+# r04 artifacts — rotate them to the back and front-load the next block
+# (chat_template_spans .. the remaining never-sampled names below).
 _DRIVER_WINDOW_PRIORITY = [
     # round 4: the routed-extraction fast path, new this round — first so
     # the driver value-checks it (spans included) the round it lands

@@ -417,6 +417,61 @@ def stream_band_dedup(
     )
 
 
+def stream_decontam_gate(
+    transcripts: DataFrame,
+    eval_docs: DataFrame,
+    watermark: str = "1 hour",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming benchmark-decontamination gate: the online twin of
+    ``dedup.fuzzy_decontam_report`` / ``jobs/decontam_job.py``. Arriving
+    turns whose MinHash bands collide with the held-out eval set are
+    dropped AT INGEST, so leaked benchmark text never reaches the
+    training store (band-collision recall, no verify pass — the same
+    precision trade ``stream_band_dedup`` makes; the batch job
+    re-verifies offline with exact Jaccard).
+
+    Streaming legality/state shape: the per-turn band keys are narrow
+    per-row array math (``rowwise_band_keys``); the eval comparison is a
+    stream-STATIC broadcast left_anti per band (zero streaming state —
+    an eval table refreshed on disk takes effect at the next trigger);
+    the only stateful operator is the windowed all-bands-survive count
+    (a turn passes iff NONE of its ``bands`` keys collided), which is
+    watermark-bounded exactly like ``stream_band_dedup``'s ownership
+    aggregate. Short texts (<3 tokens) self-key and always pass.
+
+    ``eval_docs`` is a static (doc_id, text) table; its band keys are
+    benchmark-sized at any corpus scale, hence the broadcast."""
+    from ocr_spark.dedup import rowwise_band_keys
+
+    eval_keys = (
+        rowwise_band_keys(
+            eval_docs.select("doc_id", "text"),
+            self_key="doc_id",
+            bands=bands,
+            rows_per_band=rows_per_band,
+        )
+        .select("band_key")
+        .distinct()
+    )
+    banded = rowwise_band_keys(
+        transcripts.select("conv_id", "turn_idx", "text", "ts"),
+        self_key="concat(conv_id, ':', turn_idx)",
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    clean_bands = banded.join(F.broadcast(eval_keys), "band_key", "left_anti")
+    survived = (
+        clean_bands.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_clean"))
+    )
+    return survived.filter(F.col("n_clean") == bands).select(
+        "conv_id", "turn_idx", F.col("window.start").alias("win_start")
+    )
+
+
 def stream_static_enrich(turns: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static broadcast enrichment — the most common production
     streaming join: every arriving turn picks up its conversation's

@@ -523,3 +523,64 @@ def test_stream_to_store_crash_replay_is_idempotent(spark, dirs, tmp_path):
     assert _sorted_extract(got) == want
     # the store stayed an ordinary snapshot store: every consumer works
     assert snapshots_df(spark, store).count() >= 2
+
+
+def test_stream_decontam_gate_drops_eval_collisions(spark, dirs, tmp_path):
+    """Streaming decontamination: a turn whose text is an eval doc (or a
+    band-colliding near-copy) is dropped at ingest; clean long texts and
+    short self-keyed texts pass. The eval side is stream-STATIC, so the
+    only streaming state is the windowed all-bands-survive count."""
+    import datetime
+
+    from ocr_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_decontam_gate,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    leaked = "which question answers the benchmark item about rivers and dams"
+    clean = "spark plans shuffle data between stages when keys must colocate"
+
+    evaldir = str(tmp_path / "evalset")
+    spark.createDataFrame(
+        [(1, leaked)], "doc_id bigint, text string"
+    ).write.parquet(evaldir)
+
+    def rows(conv, text, ts):
+        return [(f"conv{conv}", 0, "user", text, "", ts)]
+
+    def write(name, data):
+        spark.createDataFrame(data, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dirs["in"], name))
+
+    def run():
+        stream = read_transcript_stream(spark, dirs["in"] + "/*")
+        q = (
+            stream_decontam_gate(
+                stream, spark.read.parquet(evaldir), watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("b1", rows(0, leaked, t0) + rows(1, clean, t0) + rows(2, "hi", t0))
+    run()
+    # sentinel far in the future closes all earlier windows (append mode)
+    write(
+        "b2", rows(99, "bye", t0 + datetime.timedelta(days=10))
+    )
+    run()
+
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert ("conv1", 0) in got  # clean long text passes
+    assert ("conv2", 0) in got  # short self-keyed text passes
+    assert ("conv0", 0) not in got  # eval-leaked text dropped at ingest

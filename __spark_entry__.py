@@ -183,9 +183,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "extract_routed_text_parity",
     # round 4: bucketed-output layout proof (rows-only), judged artifact
     "bucketed_layout_audit",
-    # relational / TPC-H family
+    # relational / TPC-H family. Round 4 completes the suite (q2..q22
+    # adapted to the schema); the 6 most shape-distinct new ones take
+    # window slots (correlated-min join-back, outer-join histogram,
+    # scalar-max ties, correlated-avg join-back, disjunctive join
+    # predicate, anti-join + scalar-avg), the rest queue for round 5.
     "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q5_local_supplier", "tpch_q21ish",
     "tpch_q10ish", "tpch_q12ish",
+    "tpch_q2ish", "tpch_q13ish", "tpch_q15ish", "tpch_q17ish",
+    "tpch_q19ish", "tpch_q22ish",
     "tpch_q14ish", "tpch_q18ish", "dim_broadcast_join", "semi_join_exists",
     "set_ops", "distinct_agg", "cube_totals", "grouping_sets_value",
     "median_value_per_type",
@@ -197,10 +203,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_join_view_value", "range_join_click_burst", "session_window_agg",
     "event_type_rollup", "funnel_analysis", "json_extract_props",
     "pivot_event_values", "unpivot_stats",
-    # dedup clustering / near-dup verify paths
-    "semdedup", "dedup_clusters", "containment_pairs",
-    "band_dedup_keep_first", "dup_span_islands", "incremental_band_dedup",
-    "bloom_decontam", "levenshtein_near_dup", "dedup_cluster_representatives",
+    # dedup clustering / near-dup verify paths (these 4 in-window; the
+    # family's other members rotate to round 5 — minhash_lsh_pairs,
+    # simhash_near_dup, embedding_near_dup, benchmark_decontam were
+    # already driver-green in r01-r03, so the shapes have coverage)
+    "semdedup", "dedup_clusters", "dedup_cluster_representatives",
     "fuzzy_decontam",
     # in-engine training loops
     "bpe_train", "bpe_encode", "kmeans_train", "logreg_train", "pagerank",
@@ -208,6 +215,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "chat_template_spans", "sft_pairs", "reward_pairs", "bm25_topk",
     "rrf_fusion",
     # remaining never-driver-sampled names (window for round 5+)
+    "tpch_q4ish", "tpch_q7ish", "tpch_q8ish", "tpch_q9ish",
+    "tpch_q11ish", "tpch_q16ish", "tpch_q20ish",
+    "containment_pairs", "band_dedup_keep_first", "dup_span_islands",
+    "incremental_band_dedup", "bloom_decontam", "levenshtein_near_dup",
     "url_domain_histogram", "tfidf_top_terms", "bigram_lm_score",
     "train_eval_split", "hashed_ngram_classifier", "domain_blocklist_filter",
     "doclen_percentiles", "token_entropy", "merge_consecutive_runs",
@@ -360,6 +371,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21ish": Q.q_tpch_q21ish,
         "tpch_q12ish": Q.q_tpch_q12ish,
         "tpch_q14ish": Q.q_tpch_q14ish,
+        "tpch_q2ish": Q.q_tpch_q2ish,
+        "tpch_q4ish": Q.q_tpch_q4ish,
+        "tpch_q7ish": Q.q_tpch_q7ish,
+        "tpch_q8ish": Q.q_tpch_q8ish,
+        "tpch_q9ish": Q.q_tpch_q9ish,
+        "tpch_q11ish": Q.q_tpch_q11ish,
+        "tpch_q13ish": Q.q_tpch_q13ish,
+        "tpch_q15ish": Q.q_tpch_q15ish,
+        "tpch_q16ish": Q.q_tpch_q16ish,
+        "tpch_q17ish": Q.q_tpch_q17ish,
+        "tpch_q19ish": Q.q_tpch_q19ish,
+        "tpch_q20ish": Q.q_tpch_q20ish,
+        "tpch_q22ish": Q.q_tpch_q22ish,
         "dim_broadcast_join": Q.q_dim_broadcast_join,
         "semi_join_exists": Q.q_semi_join_exists,
         "set_ops": Q.q_set_ops,

@@ -3713,3 +3713,203 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM scored
 QUALIFY rnk <= 3
 """
+
+
+# --- round 4 (cont.): the remaining TPC-H family -------------------------
+
+ORACLES["tpch_q2ish"] = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offer AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+best AS (SELECT l_partkey AS b_partkey, min(cost) AS min_cost FROM offer GROUP BY 1)
+SELECT round(e.s_acctbal, 2) AS s_acctbal,
+       e.s_name,
+       e.n_name,
+       CAST(p.p_partkey AS BIGINT) AS p_partkey,
+       p.p_name,
+       round(o.cost, 4) AS cost
+FROM offer o
+JOIN best b ON o.l_partkey = b.b_partkey AND o.cost = b.min_cost
+JOIN part p ON o.l_partkey = p.p_partkey
+JOIN eur e ON o.l_suppkey = e.s_suppkey
+WHERE p.p_type = 'LARGE' AND p.p_size >= 40
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 20
+"""
+
+ORACLES["tpch_q4ish"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+"""
+
+ORACLES["tpch_q7ish"] = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8ish"] = """
+SELECT CAST(year(l_shipdate) AS INT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1
+"""
+
+ORACLES["tpch_q9ish"] = """
+SELECT sn.n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+ORACLES["tpch_q11ish"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       round(value, 4) AS value
+FROM per_part, (SELECT sum(value) AS total_value FROM per_part) t
+WHERE round(value, 4) > round(0.0015 * total_value, 4)
+"""
+
+ORACLES["tpch_q13ish"] = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority NOT LIKE '4-%'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+ORACLES["tpch_q15ish"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(r.l_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM rev r JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLES["tpch_q16ish"] = """
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["tpch_q17ish"] = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+aq AS (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+       FROM branded GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM branded JOIN aq ON l_partkey = a_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLES["tpch_q19ish"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["tpch_q20ish"] = """
+WITH qty AS (
+  SELECT l_suppkey, sum(l_quantity) AS red_qty
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY 1
+)
+SELECT s_name, n_name, round(red_qty, 2) AS red_qty
+FROM qty
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA' AND red_qty > 100
+"""
+
+ORACLES["tpch_q22ish"] = """
+SELECT CAST(c_nationkey AS INT) AS cntry,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= '2001-01-01'
+  )
+GROUP BY 1
+"""

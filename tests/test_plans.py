@@ -957,3 +957,77 @@ def test_bm25_batch_semi_join_and_parallel_rank(spark):
     assert n_ops(p, "WindowGroupLimit") >= 1
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "SortMergeJoin") == 0
+
+
+# --- round 4 (cont.): remaining TPC-H family plan shapes -------------------
+
+
+def test_q2ish_min_cost_join_back_broadcasts_dims(spark):
+    # the correlated MIN re-expression: supplier-region dim and part
+    # filter broadcast; the offer<->best join-back is an equi join (SMJ
+    # is correct — both sides scale with #parts, so broadcast would be
+    # the wrong 100 TB shape); head is TakeOrdered, never a global sort
+    p = plan(Q.q_tpch_q2ish(spark, SF_DIR))
+    assert n_ops(p, "BroadcastHashJoin") >= 3, p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q4ish_exists_is_left_semi_with_folded_predicate(spark):
+    # the EXISTS must plan as ONE semi join (no duplicate-producing inner
+    # join + distinct), with the lateness predicate in the join condition
+    p = plan(Q.q_tpch_q4ish(spark, SF_DIR))
+    assert "LeftSemi" in p, p
+    assert n_ops(p, "HashAggregate") == 2, p  # one partial + one final
+
+
+def test_q13ish_outer_join_survives_priority_exclusion(spark):
+    # the exclusion must fold into the join condition; a pre-filter that
+    # turns LEFT OUTER into INNER silently drops zero-order customers
+    p = plan(Q.q_tpch_q13ish(spark, SF_DIR))
+    assert "LeftOuter" in p, p
+
+
+def test_q15ish_scalar_max_join_is_equi_broadcast(spark):
+    # Catalyst rewrites crossJoin(1-row max) + equality filter into a
+    # broadcast EQUI join on total_revenue == max_revenue — never a
+    # global sort or window over the per-supplier view
+    p = plan(Q.q_tpch_q15ish(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert n_ops(p, "Sort") == 0, p
+    assert n_ops(p, "Window") == 0, p
+
+
+def test_q17ish_brand_filter_reaches_both_aggregate_and_probe(spark):
+    # both branches of the aggregate-then-join-back must be brand-
+    # filtered via the broadcast part join — the unfiltered lineitem
+    # must never reach the avg aggregation
+    p = plan(Q.q_tpch_q17ish(spark, SF_DIR))
+    assert n_ops(p, "BroadcastHashJoin") >= 2, p
+    # per-part avg: partial+final, plus the final 1-row sum: 2 more
+    assert "SortMergeJoin" not in p or "avg_qty" in p
+
+
+def test_q19ish_disjunction_keeps_equi_key(spark):
+    # Catalyst must still extract the partkey equi-key from under the
+    # OR-of-ANDs (broadcast hash join with a residual condition), never
+    # degrade to a nested-loop over the full cross space
+    p = plan(Q.q_tpch_q19ish(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q22ish_anti_join_prunes_orders_scan(spark):
+    # the NOT EXISTS must plan as an anti join and the recency predicate
+    # must push to the orders parquet scan
+    p = plan(Q.q_tpch_q22ish(spark, SF_DIR))
+    assert "LeftAnti" in p, p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p, p
+
+
+def test_q20ish_red_part_in_list_is_semi_broadcast(spark):
+    # the IN (SELECT p_partkey ...) must become a broadcast semi join
+    # feeding the suppkey aggregate — the part table never shuffles
+    p = plan(Q.q_tpch_q20ish(spark, SF_DIR))
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p, p

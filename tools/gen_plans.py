@@ -442,6 +442,41 @@ def main() -> None:
             "the head is TakeOrdered.",
             plan(Q.q_tpch_q18ish(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "TPC-H Q2 shape: correlated MIN as aggregate-then-join-back",
+            "The region-restricted supplier dim broadcasts BEFORE the "
+            "offer aggregation (the min is region-filtered map-side); "
+            "the per-part best-cost table joins back on (partkey, cost) "
+            "equality as an equi join — SMJ is the right call since both "
+            "sides scale with #parts; part filter broadcasts; the head "
+            "is TakeOrdered. Never a per-part re-scan.",
+            plan(Q.q_tpch_q2ish(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "TPC-H Q19 shape: equi-key extracted from under a disjunction",
+            "The OR-of-ANDs references both join sides; Catalyst still "
+            "extracts the partkey equi-key into a BroadcastHashJoin and "
+            "evaluates the residual disjunction in codegen — never a "
+            "nested-loop over the cross space, never three unioned scans.",
+            plan(Q.q_tpch_q19ish(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "TPC-H Q15 shape: scalar max via broadcast equi join",
+            "The per-supplier revenue view aggregates once; crossJoin("
+            "1-row max) + equality filter is rewritten by Catalyst into a "
+            "broadcast EQUI join on total_revenue == max_revenue — ties "
+            "kept, no global sort, no window.",
+            plan(Q.q_tpch_q15ish(spark, SF_DIR), mode="simple"),
+        ),
+        (
+            "TPC-H Q13 shape: zero-preserving outer-join histogram",
+            "The priority exclusion folds into the LEFT OUTER join "
+            "condition (a pre-filter would turn it inner and silently "
+            "drop zero-order customers); both aggregates partial-"
+            "aggregate and the second groupBy runs on the tiny count "
+            "domain.",
+            plan(Q.q_tpch_q13ish(spark, SF_DIR), mode="simple"),
+        ),
     ]
 
     # Bucketed-output co-located join (jobs/extract_job.py

@@ -437,8 +437,8 @@ def run_extract_ab() -> dict:
             "latest invocation only), the cross-invocation minimum was:\n"
             "mixed — extract 1.718s, routed 1.909s, fused 2.353s; text_only —\n"
             "extract 0.865s, routed 0.882s, fused 1.307s. extract and routed\n"
-            "are within ~10%% of each other (inside noise; routed won one\n"
-            "invocation outright), fused is consistently 25-35%% slower. The\n"
+            "are within ~10% of each other (inside noise; routed won one\n"
+            "invocation outright), fused is consistently 25-35% slower. The\n"
             "physics: this repo's frozen parser handles a plain-text turn in\n"
             "~2-3 us of Python (the oracle's no-match fast path is two C-speed\n"
             "regex probes + strip), which is at or below the JVM-side routing\n"

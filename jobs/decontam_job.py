@@ -53,26 +53,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from ocr_spark.dedup import fuzzy_decontam_report, shingles
+    from ocr_spark.dedup import (
+        exact_decontam_report,
+        fuzzy_decontam_report,
+        shingles,
+    )
 
     t0 = time.time()
     train = spark.read.parquet(args.train).select("doc_id", "text")
     evalset = spark.read.parquet(args.eval_path).select("doc_id", "text")
     n_train = train.count()
 
-    # exact rule: any shared n-gram; eval grams broadcast
-    ev_grams = (
-        shingles(evalset, n=args.ngram)
-        .select(F.col("shingle").alias("g"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    exact = (
-        shingles(train, n=args.ngram)
-        .withColumnRenamed("shingle", "g")
-        .join(F.broadcast(ev_grams), "g", "left")
-        .groupBy("doc_id")
-        .agg(F.count("hit").cast("bigint").alias("n_exact_hits"))
+    # exact rule: the SAME production function the oracle harness
+    # value-checks (registry query `benchmark_decontam`) — the job
+    # cannot drift from the verified semantics
+    exact = exact_decontam_report(
+        shingles(train, n=args.ngram), shingles(evalset, n=args.ngram)
+    ).select(
+        "doc_id", F.col("n_hits").alias("n_exact_hits")
     )
 
     # fuzzy rule: MinHash-band near-dup vs the eval set

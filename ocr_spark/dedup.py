@@ -70,7 +70,17 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, m0..m{k-1}): wide MinHash signature rows — the table a
     production dedup pipeline materializes."""
-    sh = shingles(docs)
+    return minhash_signatures_from_shingles(shingles(docs), k)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, k: int = MINHASH_K
+) -> DataFrame:
+    """Signatures from a PRE-COMPUTED (doc_id, shingle) stream, so a
+    caller that already shingled the corpus (e.g. for exact-Jaccard
+    verification or the exact-gram decontam rule) never pays the
+    tokenize+shingle scan twice — at 100 TB that second pass over the
+    full training corpus is the dominant avoidable cost."""
     hashed = sh.select(
         "doc_id",
         F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)").alias("h1"),
@@ -238,6 +248,41 @@ def representatives(clusters: DataFrame, scores: DataFrame) -> DataFrame:
     )
 
 
+def exact_decontam_report(
+    train_shingles: DataFrame, eval_shingles: DataFrame
+) -> DataFrame:
+    """EXACT-gram benchmark decontamination (GPT-3 appendix C / Gopher
+    §A.3): one row per training doc with >=1 gram — ``(doc_id, n_grams,
+    n_hits, contaminated)`` where contaminated means the doc shares ANY
+    word n-gram with the eval set. Takes pre-computed (doc_id, shingle)
+    streams (``shingles(df, n=width)``) so the gram width is the
+    caller's knob and a caller that shingled for other rules reuses the
+    stream. The ONE production implementation: the registry query
+    ``benchmark_decontam`` (DuckDB value-checked) and
+    ``jobs/decontam_job.py`` both call this, so the job can never drift
+    from the oracle-verified semantics.
+
+    Distributed shape: the eval set's distinct grams are an external,
+    fixed-size benchmark artifact (KBs-MBs at any corpus scale), so they
+    BROADCAST and the training gram stream joins map-side with no
+    shuffle of the big side; per-doc hit counts partial-aggregate."""
+    ev = (
+        eval_shingles.select(F.col("shingle").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train_shingles.withColumnRenamed("shingle", "g")
+        .join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit") > 0).alias("contaminated"),
+        )
+    )
+
+
 def fuzzy_decontam_report(
     train: DataFrame,
     evalset: DataFrame,
@@ -262,9 +307,12 @@ def fuzzy_decontam_report(
     |train| x |eval|). Same verify-after-bucket discipline as
     lsh_candidate_pairs/verified_pairs, pointed across two corpora."""
     sh_t, sh_e = shingles(train), shingles(evalset)
-    banded_t = band_keys(minhash_signatures(train, k), bands, rows)
+    # signatures derive from the SAME shingle streams the verify pass
+    # uses (minhash_signatures_from_shingles), not a second independent
+    # shingles(train) — one tokenize+shingle lineage per corpus.
+    banded_t = band_keys(minhash_signatures_from_shingles(sh_t, k), bands, rows)
     eval_keys = (
-        band_keys(minhash_signatures(evalset, k), bands, rows)
+        band_keys(minhash_signatures_from_shingles(sh_e, k), bands, rows)
         .select("band", "band_key", F.col("doc_id").alias("eval_id"))
         .distinct()
     )

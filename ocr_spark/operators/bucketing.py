@@ -29,12 +29,22 @@ def write_bucketed(
     """Persist as a bucketed+sorted managed table (saveAsTable is required
     — bucket metadata lives in the catalog, plain parquet paths lose it)."""
     spark = df.sparkSession
-    if not spark.catalog.tableExists(table):
+    if (
+        not spark.catalog.tableExists(table)
+        and "." not in table
+        and spark.catalog.currentDatabase() == "default"
+    ):
         # an in-memory catalog forgets tables across JVMs but the managed
         # location survives; saveAsTable then refuses LOCATION_ALREADY_EXISTS.
         # Only an ORPHANED location is cleared — a catalog-known table goes
         # through mode("overwrite")'s normal transactional replace. A real
-        # (Hive/Iceberg) catalog never hits this branch.
+        # (Hive/Iceberg) catalog never hits this branch. The cleanup is
+        # deliberately restricted to UNQUALIFIED names in the default
+        # database: <warehouse>/<name> is only the managed location there
+        # (db-qualified tables live at <warehouse>/<db>.db/<name>, so a
+        # path built from 'db.tbl' would miss the orphan — or worse,
+        # with a non-default currentDatabase, delete default.<name>'s
+        # live data while the catalog still references it).
         import shutil
         from urllib.parse import urlparse
 

@@ -113,9 +113,16 @@ def pack_bins_ffd(
     wastes at most its own tail bins) and buys linear scale-out — the
     trade every production sample-packing implementation makes.
     Documents longer than ``capacity`` get a dedicated overflow bin."""
+    # empty/whitespace-only docs are 0 tokens, not 1: split(trim('')) is
+    # [''] (size 1), which would give empty docs a phantom token in bin
+    # fills and break parity with the pinned pure-python oracle's
+    # len(text.strip().split()) == 0.
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
     toks = corpus.select(
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
     return toks.groupBy("shard").applyInPandas(_ffd_fn_factory(capacity), _FFD_SCHEMA)

@@ -1542,16 +1542,17 @@ SELECT doc_id, round(sum(c * lw), 4) AS log_importance
 FROM dbuck JOIN w USING (bucket) GROUP BY doc_id
 """
 
-# skew guard in lockstep with semdedup_pairs: clusters larger than 32
-# split into ceil(|c|/32) sub-clusters by md5(vec_id); pairs within
-# (cluster, sub) only
+# skew guard in lockstep with semdedup_pairs: clusters larger than
+# params.SEMDEDUP_MAX_CLUSTER split into ceil(|c|/max) sub-clusters by
+# md5(vec_id); pairs within (cluster, sub) only. Constants come from
+# ocr_spark.params (same no-drift contract as the training depths).
 ORACLES["semdedup"] = f"""
 WITH {_IVF_ASSIGN}, sizes AS (
   SELECT cluster, count(*) AS csize FROM assigned GROUP BY cluster
 ), keyed AS (
   SELECT a.*,
          CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
-              % CAST(ceil(s.csize / 32.0) AS BIGINT) AS INTEGER) AS sub
+              % CAST(ceil(s.csize / {float(_params.SEMDEDUP_MAX_CLUSTER)}) AS BIGINT) AS INTEGER) AS sub
   FROM assigned a JOIN sizes s USING (cluster)
 )
 SELECT b.vec_id AS dup_vec_id,
@@ -1559,7 +1560,7 @@ SELECT b.vec_id AS dup_vec_id,
        round(max({_COS.format(a="a.embedding", b="b.embedding")}), 4) AS max_cosine
 FROM keyed a JOIN keyed b
   ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
-WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= {_params.SEMDEDUP_TAU}
 GROUP BY b.vec_id
 """
 

@@ -14,6 +14,8 @@ parameter; the oracle generators regenerate in lockstep).
 """
 
 BPE_TRAIN_STEPS = 6  # merge rounds learned by bpe_train / applied by bpe_encode
+SEMDEDUP_TAU = 0.35  # semdedup within-cluster cosine threshold
+SEMDEDUP_MAX_CLUSTER = 32  # semdedup skew guard: hash-split clusters above this
 KMEANS_ITERS = 3  # Lloyd iterations in kmeans_train
 LOGREG_ROUNDS = 3  # full-batch gradient steps in logreg_train
 PAGERANK_ROUNDS = 3  # damped power iterations in pagerank

@@ -437,6 +437,32 @@ def _allocate_snapshot_dir(root: str) -> str:
             idx += 1
 
 
+def _stage_parquet_into(df: DataFrame, allocated_dir: str) -> None:
+    """Write ``df`` as parquet into an already-allocated ``snapshot=N``
+    directory WITHOUT surrendering the allocation. A plain
+    ``mode("overwrite")`` write fs.delete()s the target first, and in
+    the delete-to-recreate window a concurrent ``_allocate_snapshot_dir``
+    sees the index free, re-claims it with mkdir, and two writers
+    interleave part-files inside one snapshot. So the data is staged to
+    a sibling directory (named so ``_snapshot_dirs`` can never parse it
+    as a snapshot) and ``os.rename``d onto the reserved dir: POSIX
+    rename atomically replaces an EMPTY target directory, and the
+    target is our own fresh mkdir reservation, so it is empty by
+    construction."""
+    staging = os.path.join(
+        os.path.dirname(allocated_dir),
+        f"_staging-{uuid.uuid4().hex[:12]}",
+    )
+    try:
+        df.write.parquet(staging)
+        os.rename(staging, allocated_dir)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+
+
 @_contextlib.contextmanager
 def _commit_lock(root: str, timeout_s: float = 60.0, stale_s: float = 300.0):
     """Atomic-mkdir mutex around the commit point (validate + publish
@@ -517,7 +543,7 @@ def run_resumable(
         snap_dir = _allocate_snapshot_dir(out_root)
         snap_idx = int(os.path.basename(snap_dir).split("=", 1)[1])
         extracted = run_extraction(todo)
-        extracted.write.mode("overwrite").parquet(snap_dir)
+        _stage_parquet_into(extracted, snap_dir)
         committed = spark.read.parquet(snap_dir)
         if existing is not None and committed.isEmpty():
             # fully-caught-up rerun: don't publish (or keep) an empty
@@ -659,12 +685,12 @@ def compact_snapshots(
             return 0
         if target_partitions:
             df = df.repartition(target_partitions, "conv_id")
-        # stage into an atomically-allocated dir: renaming a tmp dir onto
-        # a computed snapshot=N could collide with a concurrent writer
-        # that just mkdir'd the same index (rename replaces an empty dir)
+        # stage into an atomically-allocated dir (the mkdir reservation
+        # holds the index; _stage_parquet_into fills it without the
+        # delete-recreate window a mode("overwrite") write would open)
         final_dir = _allocate_snapshot_dir(out_root)
         next_idx = _snapshot_idx(final_dir)
-        df.write.mode("overwrite").parquet(final_dir)
+        _stage_parquet_into(df, final_dir)
         # carry lineage/metrics history into the compacted snapshot
         old_metric_dirs = [
             os.path.join(out_root, "metrics", os.path.basename(p))

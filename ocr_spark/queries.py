@@ -505,11 +505,16 @@ def q_tpch_q21ish(spark, sf_dir):
         .distinct()
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # group by s_name AFTER the broadcast dim join (not by l_suppkey
+    # before it): TPC-H Q21 — and the DuckDB oracle — aggregate per
+    # supplier NAME, so two suppliers sharing a name must merge into
+    # one row; keying the aggregate on suppkey would diverge on any
+    # corpus with duplicate names. The broadcast join is row-preserving
+    # and the name aggregate still partial-aggregates map-side.
     return (
-        blockers.groupBy("l_suppkey")
+        blockers.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("n_waits"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_name", "n_waits")
         .orderBy(F.desc("n_waits"), F.asc("s_name"))
         .limit(10)
     )
@@ -1782,23 +1787,12 @@ def q_benchmark_decontam(spark, sf_dir):
     grows with sf, so a large-sf run would swap in the real eval table
     rather than raise the broadcast limit. Docs with <3 tokens have no
     grams and are absent on both engines (minhash convention)."""
-    grams = _shingles_df(spark, sf_dir).withColumnRenamed("shingle", "g")
-    ev = (
-        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
-        .select("g")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    from ocr_spark.dedup import exact_decontam_report
+
+    grams = _shingles_df(spark, sf_dir)
+    ev = grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
     train = grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
-    return (
-        train.join(F.broadcast(ev), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.count("hit").cast("bigint").alias("n_hits"),
-            (F.count("hit") > 0).alias("contaminated"),
-        )
-    )
+    return exact_decontam_report(train, ev)
 
 
 def q_fuzzy_decontam(spark, sf_dir):
@@ -2333,8 +2327,10 @@ def q_dsir_importance(spark, sf_dir):
     )
 
 
-_SEMDEDUP_TAU = 0.35  # within-cluster cosine threshold
-_SEMDEDUP_MAX_CLUSTER = 32  # split clusters bigger than this by a content hash
+# shared with the DuckDB oracle via ocr_spark.params so the two sides
+# cannot drift (same contract as the training-loop depths)
+_SEMDEDUP_TAU = _params.SEMDEDUP_TAU
+_SEMDEDUP_MAX_CLUSTER = _params.SEMDEDUP_MAX_CLUSTER
 
 
 def semdedup_pairs(

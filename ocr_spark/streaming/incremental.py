@@ -436,19 +436,32 @@ def stream_decontam_gate(
     per-row array math (``rowwise_band_keys``); the eval comparison is a
     stream-STATIC broadcast left_anti per band (zero streaming state —
     an eval table refreshed on disk takes effect at the next trigger);
-    the only stateful operator is the windowed all-bands-survive count
-    (a turn passes iff NONE of its ``bands`` keys collided), which is
+    the stateful operators are a (turn, band) dedup (so an
+    at-least-once redelivery can't inflate the count past ``bands`` and
+    drop a clean turn) and the windowed all-bands-survive count (a turn
+    passes iff NONE of its ``bands`` keys collided), both
     watermark-bounded exactly like ``stream_band_dedup``'s ownership
-    aggregate. Short texts (<3 tokens) self-key and always pass.
+    aggregate. Short texts (<3 tokens) are gated by EXACT normalized
+    text equality against short eval docs (both sides self-key on
+    normalized whole text), so 1-2-token benchmark answers are still
+    protected; short turns not in the eval set always pass.
 
     ``eval_docs`` is a static (doc_id, text) table; its band keys are
     benchmark-sized at any corpus scale, hence the broadcast."""
     from ocr_spark.dedup import rowwise_band_keys
 
+    # Short texts (<3 tokens) have no shingles, so rowwise_band_keys
+    # falls back to self-keys. A per-doc-unique self_key (doc_id) would
+    # make short EVAL docs unmatchable — a leaked 1-2-token benchmark
+    # answer would always pass the gate. Keying BOTH sides' short texts
+    # by normalized whole text instead turns the fallback into an
+    # exact-text gate: a short turn equal to a short eval doc collides
+    # on every band and is dropped; unequal short turns never collide.
+    _short_norm = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
     eval_keys = (
         rowwise_band_keys(
             eval_docs.select("doc_id", "text"),
-            self_key="doc_id",
+            self_key=_short_norm,
             bands=bands,
             rows_per_band=rows_per_band,
         )
@@ -457,13 +470,23 @@ def stream_decontam_gate(
     )
     banded = rowwise_band_keys(
         transcripts.select("conv_id", "turn_idx", "text", "ts"),
-        self_key="concat(conv_id, ':', turn_idx)",
+        self_key=_short_norm,
         bands=bands,
         rows_per_band=rows_per_band,
     )
-    clean_bands = banded.join(F.broadcast(eval_keys), "band_key", "left_anti")
+    # an at-least-once upstream can deliver the same turn twice inside
+    # one window; each copy emits `bands` rows, so a raw count would be
+    # 2*bands != bands and a CLEAN turn would be silently dropped.
+    # Dedup the (turn, band) rows within the watermark first — exact
+    # count_distinct is illegal in streaming aggs, but a keyed
+    # dropDuplicatesWithinWatermark state is not.
+    deduped = (
+        banded.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "band"])
+    )
+    clean_bands = deduped.join(F.broadcast(eval_keys), "band_key", "left_anti")
     survived = (
-        clean_bands.withWatermark("ts", watermark)
+        clean_bands
         .groupBy(F.window("ts", "10 minutes"), "conv_id", "turn_idx")
         .agg(F.count("*").alias("n_clean"))
     )

@@ -834,6 +834,16 @@ def vacuum_uncommitted(out_root: str) -> list[str]:
     if os.path.isdir(os.path.join(out_root, "_compact_tmp")):
         shutil.rmtree(os.path.join(out_root, "_compact_tmp"), ignore_errors=True)
         removed.append(os.path.join(out_root, "_compact_tmp"))
+    # _staging-* dirs are _stage_parquet_into's pre-rename scratch; one
+    # left behind means the writer died mid-write (a kill skips its own
+    # cleanup). Reaping them here rides the same contract as the
+    # markerless-dir sweep above: vacuum doesn't run concurrently with
+    # in-flight writers.
+    for name in sorted(os.listdir(out_root)):
+        if name.startswith("_staging-"):
+            path = os.path.join(out_root, name)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
     live = {os.path.basename(p) for p in _committed_snapshots(out_root)}
     metrics_root = os.path.join(out_root, "metrics")
     if os.path.isdir(metrics_root):

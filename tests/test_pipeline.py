@@ -890,3 +890,29 @@ def test_tagged_compaction_never_unmasks_protected_deletes(spark, tmp_path):
         read_snapshots(spark, root, tag="audit").filter("turn_idx = 0").count()
         == n_victims
     )
+
+
+def test_vacuum_reaps_stale_staging_dirs(spark, tmp_path):
+    """A writer killed between staging its parquet and renaming it onto
+    the allocated snapshot dir leaves a _staging-* scratch dir (the
+    in-process cleanup never ran). vacuum_uncommitted reaps it along
+    with the empty markerless reservation; committed data is untouched."""
+    import os
+
+    from ocr_spark.pipeline import vacuum_uncommitted
+
+    root = str(tmp_path / "store")
+    full = fixtures.transcripts_df(spark, 6)
+    run_resumable(spark, full, root)
+    n = read_snapshots(spark, root).count()
+    # fake the mid-write crash: an allocated empty reservation plus the
+    # orphaned staging dir that was about to be renamed onto it
+    os.mkdir(os.path.join(root, "snapshot=9"))
+    full.limit(3).write.parquet(os.path.join(root, "_staging-deadbeef0000"))
+    removed = vacuum_uncommitted(root)
+    assert any(p.endswith("_staging-deadbeef0000") for p in removed)
+    assert any(p.endswith("snapshot=9") for p in removed)
+    assert not any(
+        name.startswith("_staging-") for name in os.listdir(root)
+    )
+    assert read_snapshots(spark, root).count() == n

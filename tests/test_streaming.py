@@ -584,3 +584,68 @@ def test_stream_decontam_gate_drops_eval_collisions(spark, dirs, tmp_path):
     assert ("conv1", 0) in got  # clean long text passes
     assert ("conv2", 0) in got  # short self-keyed text passes
     assert ("conv0", 0) not in got  # eval-leaked text dropped at ingest
+
+
+def test_stream_decontam_gate_redelivery_and_short_eval_docs(spark, dirs, tmp_path):
+    """Two behaviors an ingest gate must get right beyond the happy path:
+    an at-least-once upstream redelivering a CLEAN turn (two copies in
+    one window) must not inflate the per-turn band count past `bands`
+    and silently drop it — the (turn, band) dedup state absorbs the
+    replay and the turn passes exactly once; and a SHORT eval doc (<3
+    tokens, no shingles) still gates, because both sides self-key short
+    texts by normalized whole text — a leaked 1-2-token benchmark answer
+    is dropped while a different short turn passes."""
+    import datetime
+
+    from ocr_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_decontam_gate,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    clean = "spark plans shuffle data between stages when keys must colocate"
+
+    evaldir = str(tmp_path / "evalset")
+    spark.createDataFrame(
+        [(1, "Paris")], "doc_id bigint, text string"
+    ).write.parquet(evaldir)
+
+    def rows(conv, text, ts):
+        return [(f"conv{conv}", 0, "user", text, "", ts)]
+
+    def write(name, data):
+        spark.createDataFrame(data, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dirs["in"], name))
+
+    def run():
+        stream = read_transcript_stream(spark, dirs["in"] + "/*")
+        q = (
+            stream_decontam_gate(
+                stream, spark.read.parquet(evaldir), watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # conv0's clean turn is delivered TWICE (two files, same window);
+    # conv1 leaks the short eval answer verbatim (case/space-normalized);
+    # conv2 is a different short text.
+    write("b1", rows(0, clean, t0) + rows(1, "  paris ", t0))
+    write("b1dup", rows(0, clean, t0) + rows(2, "Lyon", t0))
+    run()
+    write("b2", rows(99, "bye", t0 + datetime.timedelta(days=10)))
+    run()
+
+    out = [
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    ]
+    assert out.count(("conv0", 0)) == 1  # redelivered clean turn: once
+    assert ("conv1", 0) not in out  # short eval answer gated exactly
+    assert ("conv2", 0) in out  # different short turn passes

@@ -183,6 +183,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "extract_routed_text_parity",
     # round 4: bucketed-output layout proof (rows-only), judged artifact
     "bucketed_layout_audit",
+    # round 4 continuation: new operators land driver-checked immediately
+    "cc_two_phase", "ngram_novelty", "rp_recall_report", "corpus_shard_plan",
     # relational / TPC-H family. Round 4 completes the suite (q2..q22
     # adapted to the schema); the 6 most shape-distinct new ones take
     # window slots (correlated-min join-back, outer-join histogram,
@@ -436,6 +438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_column_layout_order": Q.q_pdf_column_layout_order,
         "pdf_table_grid": Q.q_pdf_table_grid,
         "band_dedup_keep_first": Q.q_band_dedup_keep_first,
+        "cc_two_phase": Q.q_cc_two_phase,
+        "ngram_novelty": Q.q_ngram_novelty,
+        "rp_recall_report": Q.q_rp_recall_report,
+        "corpus_shard_plan": Q.q_corpus_shard_plan,
         "dup_span_islands": Q.q_dup_span_islands,
         "incremental_band_dedup": Q.q_incremental_band_dedup,
         # data-layout / table-maintenance family

@@ -224,6 +224,87 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.unpersist()
 
 
+def connected_components_two_phase(
+    pairs: DataFrame, max_iters: int = 12
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components by alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the O(log^2 n)-round
+    alternative to plain min-label propagation for graphs whose
+    diameter is NOT tiny (chained near-dup clusters, link graphs).
+
+    Per round both phases are one partial-aggregated groupBy(min) plus
+    one equi-join — no collect_list, so a web-scale hot node (a
+    boilerplate doc connected to millions) never materializes its
+    neighbor list in one task; its min flows through the partial agg
+    and its edge fan-out stays a join. Same output contract as
+    :func:`connected_components` (only docs appearing in a pair get a
+    row; label = min doc_id of the component), so the two
+    implementations cross-check each other.
+    """
+    edges = (
+        pairs.selectExpr("doc_a as u", "doc_b as v")
+        .filter("u <> v")
+        .distinct()
+        .cache()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bidir = e.union(e.select(F.col("v"), F.col("u")))
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        return (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter("u <> v")
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        rooted = mins.select(F.col("u"), F.col("m").alias("v"))
+        return relinked.union(rooted).filter("u <> v").distinct()
+
+    cur = edges
+    try:
+        for it in range(max_iters):
+            nxt = small_star(large_star(cur))
+            # bound lineage: each round stacks 4 joins/aggs
+            if (it + 1) % 3 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.cache()
+            changed = (
+                nxt.exceptAll(cur).limit(1).count()
+                + cur.exceptAll(nxt).limit(1).count()
+            )
+            if cur is not edges:
+                cur.unpersist()
+            cur = nxt
+            if changed == 0:
+                break
+        # converged: edges are (node -> component-min root) stars
+        roots = cur.select(F.col("v").alias("u"), F.col("v"))
+        return (
+            cur.union(roots)
+            .distinct()
+            .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+    finally:
+        edges.unpersist()
+
+
 def representatives(clusters: DataFrame, scores: DataFrame) -> DataFrame:
     """(cluster, rep_doc_id, rep_quality, n_members): one canonical
     member per cluster — highest score, doc_id breaks ties. Dedup

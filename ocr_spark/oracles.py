@@ -3914,3 +3914,88 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   )
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# round 4 (continuation): scalable CC, novelty pruning, JL compression eval,
+# deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+# Independent check of the large-star/small-star CC: same recursive
+# reachability CTE as dedup_clusters (the algorithms must agree on the
+# same pair graph), so one oracle adjudicates both Spark implementations.
+ORACLES["cc_two_phase"] = ORACLES["dedup_clusters"]
+
+ORACLES["ngram_novelty"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks)
+), fs AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh JOIN fs USING (g)
+GROUP BY sh.doc_id
+"""
+
+# JL random projection: embed the SAME md5-derived Rademacher sign matrix
+# as the Spark side (ocr_spark.params.rp_signs) as literal DOUBLE lists.
+_RP_PROJ = "[" + ", ".join(
+    "list_dot_product(embedding::DOUBLE[], ["
+    + ", ".join(f"{s}.0" for s in _row)
+    + "]::DOUBLE[])"
+    for _row in _params.rp_signs()
+) + "]"
+
+ORACLES["rp_recall_report"] = f"""
+WITH proj AS (
+  SELECT vec_id, embedding, {_RP_PROJ} AS p FROM embeddings
+), q AS (
+  SELECT embedding AS qe, p AS qp FROM proj WHERE vec_id = 0
+), truth AS (
+  SELECT vec_id,
+         round({_COS.format(a="embedding", b="qe")}, 4) AS cosine
+  FROM proj, q
+  WHERE vec_id <> 0
+  QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id ASC) <= 10
+), ranked AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY pcos DESC, vec_id ASC) AS rnk
+  FROM (
+    SELECT vec_id,
+           round({_COS.format(a="p", b="qp")}, 4) AS pcos
+    FROM proj, q
+    WHERE vec_id <> 0)
+  QUALIFY rnk <= 100
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN r.rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hit_at_10,
+       CAST(sum(CASE WHEN r.rnk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS hit_at_50,
+       CAST(sum(CASE WHEN r.rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_at_100,
+       round(CAST(sum(CASE WHEN r.rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_10,
+       round(CAST(sum(CASE WHEN r.rnk <= 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_shortlist_50,
+       round(CAST(sum(CASE WHEN r.rnk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_shortlist_100
+FROM truth t LEFT JOIN ranked r ON t.vec_id = r.vec_id
+"""
+
+ORACLES["corpus_shard_plan"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hkey
+  FROM documents
+)
+SELECT CAST(hkey % {_params.SHARD_COUNT} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(arg_min(doc_id, hkey) AS BIGINT) AS first_doc_id,
+       CAST(sum(hkey) AS BIGINT) AS order_checksum
+FROM h GROUP BY 1
+"""

@@ -19,3 +19,26 @@ SEMDEDUP_MAX_CLUSTER = 32  # semdedup skew guard: hash-split clusters above this
 KMEANS_ITERS = 3  # Lloyd iterations in kmeans_train
 LOGREG_ROUNDS = 3  # full-batch gradient steps in logreg_train
 PAGERANK_ROUNDS = 3  # damped power iterations in pagerank
+
+# Johnson-Lindenstrauss random projection (rp_recall_report): project the
+# 64-dim embeddings onto RP_K Rademacher (+1/-1) directions. The sign
+# matrix is derived from md5 so both engines embed the SAME literals.
+RP_DIM = 64
+RP_K = 16
+
+# Deterministic corpus shuffle/shard (corpus_shard_plan)
+SHARD_COUNT = 64
+
+
+def rp_signs(d: int = RP_DIM, k: int = RP_K) -> list[list[int]]:
+    """k rows of d Rademacher signs; sign(i,j) = +1 iff the first hex
+    digit of md5('rp|j|i') is even. Deterministic, engine-independent."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]

@@ -6877,3 +6877,206 @@ def q_tpch_q22ish(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (continuation): scalable CC, novelty pruning, JL compression eval,
+# deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_cc_two_phase(spark, sf_dir):
+    """Connected components over the verified MinHash-LSH pair graph by
+    alternating large-star / small-star rounds — the O(log^2 n)
+    MapReduce CC algorithm (Kiveris et al.), the scale path when dedup
+    graphs chain into high-diameter components where per-round min-label
+    propagation would need O(diameter) iterations.
+
+    Same (doc_id, cluster_id) contract as q_dedup_clusters, so the
+    DuckDB recursive-reachability oracle AND the min-label Spark twin
+    both cross-check it. Scale shape: each phase is one
+    partial-aggregated groupBy(min) + one equi-join; no neighbor lists
+    are ever collected, so hot nodes stay join fan-out, not task-local
+    arrays."""
+    from ocr_spark import dedup
+
+    return dedup.connected_components_two_phase(
+        q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty score — the data-pruning curation
+    signal (fraction of a doc's distinct 3-word shingles that no
+    earlier doc contains; low-novelty docs are near-boilerplate and get
+    down-weighted or dropped in training-mixture construction).
+
+    Scale shape: distinct shingles per doc (narrow) -> one
+    partial-aggregated groupBy(shingle).min(doc_id) for the
+    first-seeing doc -> equi-join back on shingle -> one
+    partial-aggregated groupBy(doc_id). Two shuffles on the gram key,
+    both combiner-friendly; 'earlier' is doc_id order, so the score is
+    deterministic and engine-independent (no rng)."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
+    )
+    first_seen = shingles.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        shingles.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+def q_rp_recall_report(spark, sf_dir):
+    """Johnson-Lindenstrauss compression eval: project the 64-dim
+    embeddings onto RP_K=16 Rademacher directions (signs derived from
+    md5 so both engines embed the same literal matrix), then measure
+    recall@10 of projected-space cosine search against full-dim brute
+    force for the vec_id=0 query — how an embedding-compression choice
+    (4x fewer floats moved per shuffle) is validated before a 100 TB
+    ANN/dedup job switches to it.
+
+    Scale shape: the projection is a narrow per-row map (16 codegen'd
+    ordered folds); both top-10s are TakeOrderedAndProject; the report
+    is a 10-row mark-join reduced to one row."""
+    from ocr_spark import params
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = params.rp_signs()
+    proj_cols = [
+        F.expr(
+            "aggregate(zip_with(embedding, array("
+            + ",".join(str(s) for s in signs[j])
+            + "), (x, s) -> cast(x as double) * s), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        ).alias(f"p{j}")
+        for j in range(params.RP_K)
+    ]
+    projected = emb.select(
+        "vec_id",
+        "embedding",
+        F.array(*[c for c in proj_cols]).alias("proj"),
+    )
+    q = projected.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("proj").alias("q_proj")
+    )
+    scored = projected.filter(F.col("vec_id") != 0).join(F.broadcast(q))
+    truth = (
+        scored.withColumn(
+            "cosine", F.round(F.expr(_cosine_expr("embedding", "q_embedding")), 4)
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    # production JL pattern: the projection is a CANDIDATE generator —
+    # shortlist top-100 in projected space (TakeOrderedAndProject), then
+    # exact-rerank the shortlist. The report shows the over-fetch lever:
+    # direct recall@10 plus recall@10 within the 50- and 100-candidate
+    # shortlists (what a rerank would recover).
+    shortlist = (
+        scored.withColumn(
+            "pcos", F.round(F.expr(_cosine_expr("proj", "q_proj")), 4)
+        )
+        .orderBy(F.col("pcos").desc(), F.col("vec_id").asc())
+        .limit(100)
+        .select("vec_id", "pcos")
+    )
+    ranked = shortlist.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("pcos").desc(), F.col("vec_id").asc())
+        ),
+    ).select("vec_id", "rnk")
+    return (
+        truth.join(ranked, "vec_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hit_at_10"),
+            F.sum(F.when(F.col("rnk") <= 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hit_at_50"),
+            F.sum(F.when(F.col("rnk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hit_at_100"),
+        )
+        .select(
+            "n_true",
+            "hit_at_10",
+            "hit_at_50",
+            "hit_at_100",
+            F.round(F.col("hit_at_10") / F.col("n_true"), 4).alias(
+                "recall_at_10"
+            ),
+            F.round(F.col("hit_at_50") / F.col("n_true"), 4).alias(
+                "recall_shortlist_50"
+            ),
+            F.round(F.col("hit_at_100") / F.col("n_true"), 4).alias(
+                "recall_shortlist_100"
+            ),
+        )
+    )
+
+
+def q_corpus_shard_plan(spark, sf_dir):
+    """Deterministic corpus shuffle/shard plan — reproducible global
+    training-data ordering without rng: shard = md5(doc_id) mod 64 and
+    within-shard order = the hash value itself, so the epoch-0 data
+    order is a pure function of content keys (identical across runs,
+    partitionings, and engines — unlike orderBy(rand())). The physical
+    write is repartition(shard) + sortWithinPartitions(hkey); this
+    query is the audit card a pipeline materializes alongside it.
+
+    Scale shape: one narrow hash projection + one partial-aggregated
+    groupBy(shard); min_by picks each shard's first document. The
+    checksum (sum of hashes) pins the shard's full membership, so two
+    runs producing the same card proved byte-identical epoch order."""
+    from ocr_spark import params
+
+    doc = _t(spark, sf_dir, "documents")
+    hkey = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+    )
+    sharded = doc.select(
+        "doc_id",
+        "n_chars",
+        hkey.alias("hkey"),
+        (hkey % params.SHARD_COUNT).cast("int").alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        # hkey is a 48-bit md5 prefix — injective over any realistic doc_id
+        # population, so min_by is deterministic without a tie-break struct
+        F.min_by("doc_id", "hkey").cast("bigint").alias("first_doc_id"),
+        F.sum("hkey").cast("bigint").alias("order_checksum"),
+    )

@@ -1031,3 +1031,37 @@ def test_q20ish_red_part_in_list_is_semi_broadcast(spark):
     # feeding the suppkey aggregate — the part table never shuffles
     p = plan(Q.q_tpch_q20ish(spark, SF_DIR))
     assert "LeftSemi" in p and "BroadcastHashJoin" in p, p
+
+
+def test_ngram_novelty_equi_join_partial_aggs(spark):
+    """Novelty scoring: grams equi-join their first-seen doc (shuffle on
+    the gram key, never a cross join) and both aggregates are two-phase
+    (partial min / partial count before the exchange)."""
+    p = plan(Q.q_ngram_novelty(spark, SF_DIR))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert "partial_min" in p or "partial min" in p.lower()
+    # gram-key shuffles for agg+join plus the final doc_id agg; any more
+    # means a lost reuse
+    assert n_ops(p, "Exchange") <= 4
+
+
+def test_corpus_shard_plan_single_exchange(spark):
+    """The deterministic shard card is one narrow hash projection plus
+    ONE two-phase aggregate — no joins, no windows, one Exchange."""
+    p = plan(Q.q_corpus_shard_plan(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+
+
+def test_rp_recall_shortlist_is_take_ordered_broadcast(spark):
+    """JL recall eval: the query row broadcasts (one-row broadcast is
+    the legitimate nested-loop), both top-k sides are
+    TakeOrderedAndProject (never a global sort materialized), and the
+    final rerank window runs over the 100-row shortlist only."""
+    p = plan(Q.q_rp_recall_report(spark, SF_DIR))
+    assert n_ops(p, "TakeOrderedAndProject") >= 2
+    assert n_ops(p, "CartesianProduct") == 0
+    # global Sort allowed only under the tiny shortlist window
+    assert n_ops(p, "Window") - n_ops(p, "WindowGroupLimit") <= 1

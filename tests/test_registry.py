@@ -18,7 +18,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # every name that has ever appeared in a driver CORRECTNESS round —
 # these must stay registered under the same names forever
-_HISTORICAL_ROUNDS = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+_HISTORICAL_ROUNDS = (
+    "CORRECTNESS_r01.json",
+    "CORRECTNESS_r02.json",
+    "CORRECTNESS_r03.json",
+)
 
 
 def test_registered_names_superset_of_history():

@@ -224,6 +224,41 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.unpersist()
 
 
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """One large-star phase over an (u, v) edge set: link every
+    strictly-larger neighbor of u to min(N(u) ∪ {u}). One
+    partial-aggregated groupBy(min) + one equi-join; module-level so
+    plan audits (tools/gen_plans.py) can explain a single phase."""
+    bidir = e.union(e.select(F.col("v"), F.col("u")))
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter("u <> v")
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """One small-star phase: orient each edge large→small, link every
+    smaller-or-equal neighbor (and u itself) to the minimum."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    rooted = mins.select(F.col("u"), F.col("m").alias("v"))
+    return relinked.union(rooted).filter("u <> v").distinct()
+
+
 def connected_components_two_phase(
     pairs: DataFrame, max_iters: int = 12
 ) -> DataFrame:
@@ -248,38 +283,10 @@ def connected_components_two_phase(
         .distinct()
         .cache()
     )
-
-    def large_star(e: DataFrame) -> DataFrame:
-        bidir = e.union(e.select(F.col("v"), F.col("u")))
-        mins = (
-            bidir.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
-        )
-        return (
-            bidir.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter("u <> v")
-            .distinct()
-        )
-
-    def small_star(e: DataFrame) -> DataFrame:
-        directed = e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-        relinked = (
-            directed.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        rooted = mins.select(F.col("u"), F.col("m").alias("v"))
-        return relinked.union(rooted).filter("u <> v").distinct()
-
     cur = edges
     try:
         for it in range(max_iters):
-            nxt = small_star(large_star(cur))
+            nxt = _cc_small_star(_cc_large_star(cur))
             # bound lineage: each round stacks 4 joins/aggs
             if (it + 1) % 3 == 0:
                 nxt = nxt.localCheckpoint(eager=True)

@@ -477,7 +477,60 @@ def main() -> None:
             "domain.",
             plan(Q.q_tpch_q13ish(spark, SF_DIR), mode="simple"),
         ),
+        (
+            "n-gram novelty: gram-key equi-join, two-phase aggs",
+            "Per-doc novel-shingle fraction (data-pruning signal): "
+            "first-seen docs come from one partial-aggregated "
+            "groupBy(shingle).min(doc_id) and join back on the gram key "
+            "— never a cross join; the final per-doc count is again "
+            "two-phase. Both shuffles are combiner-friendly, so the "
+            "gram stream reduces before it moves.",
+            plan(Q.q_ngram_novelty(spark, SF_DIR)),
+        ),
+        (
+            "Deterministic shard plan: one Exchange total",
+            "Reproducible epoch ordering without rng: shard and order "
+            "keys are md5-derived in a narrow projection, then ONE "
+            "two-phase aggregate builds the per-shard audit card "
+            "(membership pinned by a hash checksum). The physical write "
+            "this card audits is repartition(shard) + "
+            "sortWithinPartitions(hkey).",
+            plan(Q.q_corpus_shard_plan(spark, SF_DIR)),
+        ),
+        (
+            "JL projection recall eval: TakeOrdered shortlists",
+            "Both the full-dim truth top-10 and the projected-space "
+            "top-100 shortlist are TakeOrderedAndProject (distributed "
+            "partial top-k, no global sort materialized); the query row "
+            "broadcasts; the rerank window runs over the 100-row "
+            "shortlist only. The projection itself is 16 codegen'd "
+            "ordered folds — a narrow map.",
+            plan(Q.q_rp_recall_report(spark, SF_DIR)),
+        ),
     ]
+
+    # Large-star/small-star CC: audit ONE alternation's shape (the full
+    # operator iterates this to convergence with localCheckpoint lineage
+    # truncation — the per-round shape is the audit that matters).
+    from ocr_spark.dedup import _cc_large_star, _cc_small_star
+
+    cc_edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "u: long, v: long"
+    )
+    sections.append(
+        (
+            "Two-phase CC: one large-star + small-star alternation",
+            "Large-star/small-star connected components (the O(log^2 n) "
+            "CC): each phase is ONE partial-aggregated groupBy(min) plus "
+            "ONE equi-join — no collect_list, so a hot node (boilerplate "
+            "doc with millions of near-dup edges) never materializes its "
+            "neighbor list in a task; no CartesianProduct / "
+            "BroadcastNestedLoopJoin (pinned in test_cc_two_phase.py). "
+            "The operator loop localCheckpoints every 3 rounds so "
+            "iteration depth never bloats the plan or task binaries.",
+            plan(_cc_small_star(_cc_large_star(cc_edges))),
+        )
+    )
 
     # Bucketed-output co-located join (jobs/extract_job.py
     # --bucketed-output; registry query bucketed_layout_audit): write the

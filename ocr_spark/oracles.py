@@ -3999,3 +3999,27 @@ SELECT CAST(hkey % {_params.SHARD_COUNT} AS INT) AS shard,
        CAST(sum(hkey) AS BIGINT) AS order_checksum
 FROM h GROUP BY 1
 """
+
+# semantic decontamination: the bit_count(xor) <= 1 join is the
+# probe-free equivalent of the Spark side's broadcast 17-probe expansion
+# (each qualifying pair matches exactly one probe), so candidate sets —
+# and therefore n_eval_hits — are identical by construction.
+ORACLES["semantic_decontam"] = f"""
+WITH wb AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS sig
+  FROM embeddings
+), ev AS (SELECT * FROM wb WHERE vec_id % 10 = 0),
+   co AS (SELECT * FROM wb WHERE vec_id % 10 <> 0),
+   cand AS (
+  SELECT co.vec_id,
+         round({_COS.format(a="co.embedding", b="ev.embedding")}, 4) AS cosine
+  FROM co JOIN ev ON bit_count(xor(co.sig, ev.sig)) <= 1
+)
+SELECT vec_id,
+       round(max(cosine), 4) AS max_cosine,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(cosine) >= {_params.SEM_DECONTAM_TAU} AS flagged
+FROM cand GROUP BY vec_id
+"""

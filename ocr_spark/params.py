@@ -29,6 +29,12 @@ RP_K = 16
 # Deterministic corpus shuffle/shard (corpus_shard_plan)
 SHARD_COUNT = 64
 
+# Embedding-based decontamination (semantic_decontam): flag corpus docs
+# whose max cosine vs any eval embedding reaches this. 0.15 is tuned to
+# the synthetic random embeddings (max observed candidate cosine 0.24);
+# real text embeddings would use ~0.9.
+SEM_DECONTAM_TAU = 0.15
+
 
 def rp_signs(d: int = RP_DIM, k: int = RP_K) -> list[list[int]]:
     """k rows of d Rademacher signs; sign(i,j) = +1 iff the first hex

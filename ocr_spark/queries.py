@@ -7080,3 +7080,57 @@ def q_corpus_shard_plan(spark, sf_dir):
         F.min_by("doc_id", "hkey").cast("bigint").alias("first_doc_id"),
         F.sum("hkey").cast("bigint").alias("order_checksum"),
     )
+
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-based (semantic) decontamination — the third decontam
+    tier after exact n-gram (benchmark_decontam) and MinHash-band fuzzy
+    (fuzzy_decontam): flag corpus docs whose embedding is close to ANY
+    eval-set embedding, catching paraphrased benchmark leakage that
+    token overlap misses. Eval membership here is the deterministic
+    vec_id % 10 split; τ comes from params.SEM_DECONTAM_TAU (shared
+    with the oracle).
+
+    Scale shape: the eval side is benchmark-sized by definition, so its
+    17-probe sign-LSH expansion (home bucket + all Hamming-1 flips)
+    BROADCASTS — the corpus stream joins map-side on its own 16-bit
+    sign signature and never self-joins or shuffles pairs. Each
+    qualifying (corpus, eval) pair matches exactly one probe (home-home
+    at d=0, the single flip at d=1), so candidate counts need no dedup.
+    Cosine verification is candidate-first: cost ∝ candidates, never
+    |corpus| x |eval|."""
+    from ocr_spark import params
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = F.expr(
+        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
+        f" sequence(0, {_ND_SIGN_BITS - 1}),"
+        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    wb = emb.select("vec_id", "embedding", sig.alias("sig"))
+    ev_probes = wb.filter("vec_id % 10 = 0").select(
+        F.col("embedding").alias("e_emb"),
+        F.explode(
+            F.expr(
+                "concat(array(sig), transform("
+                f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
+            )
+        ).alias("probe"),
+    )
+    corpus = wb.filter("vec_id % 10 != 0")
+    cand = corpus.join(
+        F.broadcast(ev_probes), F.col("sig") == F.col("probe")
+    ).select(
+        "vec_id",
+        F.round(F.expr(_cosine_expr("embedding", "e_emb")), 4).alias("cosine"),
+    )
+    return cand.groupBy("vec_id").agg(
+        F.round(F.max("cosine"), 4).alias("max_cosine"),
+        F.count("*").cast("bigint").alias("n_eval_hits"),
+    ).select(
+        "vec_id",
+        "max_cosine",
+        "n_eval_hits",
+        (F.col("max_cosine") >= F.lit(params.SEM_DECONTAM_TAU)).alias("flagged"),
+    )

@@ -1065,3 +1065,14 @@ def test_rp_recall_shortlist_is_take_ordered_broadcast(spark):
     assert n_ops(p, "CartesianProduct") == 0
     # global Sort allowed only under the tiny shortlist window
     assert n_ops(p, "Window") - n_ops(p, "WindowGroupLimit") <= 1
+
+
+def test_semantic_decontam_broadcast_eval_no_self_join(spark):
+    """Semantic decontam: the benchmark-sized eval probe set broadcasts
+    (BroadcastHashJoin on the sign key); the corpus never self-joins —
+    no SortMergeJoin, no cartesian; the per-doc rollup is two-phase."""
+    p = plan(Q.q_semantic_decontam(spark, SF_DIR))
+    assert n_ops(p, "BroadcastHashJoin") == 1
+    assert n_ops(p, "SortMergeJoin") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "Exchange") <= 2  # broadcast + the vec_id agg

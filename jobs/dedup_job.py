@@ -29,6 +29,14 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet dir")
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--min-jaccard", type=float, default=0.25)
+    ap.add_argument(
+        "--cc",
+        choices=("min-label", "two-phase"),
+        default="min-label",
+        help="component algorithm: min-label propagation (tiny-diameter "
+        "dedup clusters) or large-star/small-star two-phase (O(log^2 n) "
+        "rounds for chained/high-diameter duplicate families)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -48,7 +56,7 @@ def main() -> None:
     n_docs = docs.count()
     scores = docs.select("doc_id", quality_score("text").alias("quality"))
     kept, clusters, pairs = near_dedup(
-        docs, scores, min_jaccard=args.min_jaccard
+        docs, scores, min_jaccard=args.min_jaccard, cc=args.cc
     )
 
     # audit trail first (tiny, pair-graph-sized), corpus last

@@ -277,39 +277,37 @@ def connected_components_two_phase(
     row; label = min doc_id of the component), so the two
     implementations cross-check each other.
     """
+    # localCheckpoint (not cache) at BOTH the input and every round:
+    # each phase references its input 2-3 times, so un-truncated lineage
+    # re-embeds the upstream plan (e.g. the whole MinHash-LSH pair
+    # pipeline) ~6x per round — the logical plan grows exponentially in
+    # rounds and the driver OOMs just *printing* it. Checkpointing makes
+    # every round's plan O(1); the convergence count below materializes
+    # each round anyway, so the eager checkpoint adds no extra pass.
     edges = (
         pairs.selectExpr("doc_a as u", "doc_b as v")
         .filter("u <> v")
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     cur = edges
-    try:
-        for it in range(max_iters):
-            nxt = _cc_small_star(_cc_large_star(cur))
-            # bound lineage: each round stacks 4 joins/aggs
-            if (it + 1) % 3 == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-            else:
-                nxt = nxt.cache()
-            changed = (
-                nxt.exceptAll(cur).limit(1).count()
-                + cur.exceptAll(nxt).limit(1).count()
-            )
-            if cur is not edges:
-                cur.unpersist()
-            cur = nxt
-            if changed == 0:
-                break
-        # converged: edges are (node -> component-min root) stars
-        roots = cur.select(F.col("v").alias("u"), F.col("v"))
-        return (
-            cur.union(roots)
-            .distinct()
-            .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    for it in range(max_iters):
+        nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
         )
-    finally:
-        edges.unpersist()
+        cur = nxt
+        if changed == 0:
+            break
+    # converged: edges are (node -> component-min root) stars; checkpoint
+    # blocks are released when the intermediate DataFrames are GC'd
+    roots = cur.select(F.col("v").alias("u"), F.col("v"))
+    return (
+        cur.union(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    )
 
 
 def representatives(clusters: DataFrame, scores: DataFrame) -> DataFrame:
@@ -457,15 +455,30 @@ def fuzzy_decontam_report(
 
 
 def near_dedup(
-    docs: DataFrame, scores: DataFrame, min_jaccard: float = 0.25
+    docs: DataFrame,
+    scores: DataFrame,
+    min_jaccard: float = 0.25,
+    cc: str = "min-label",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """End-to-end fuzzy dedup: returns ``(kept, clusters, pairs)`` where
     ``kept`` is the corpus with every non-representative near-duplicate
     removed (docs outside any cluster are kept untouched), ``clusters``
     maps clustered docs to cluster ids, and ``pairs`` is the verified
-    pair graph (the audit trail)."""
+    pair graph (the audit trail).
+
+    ``cc`` picks the component algorithm: ``min-label`` (default; right
+    for tiny-diameter near-dup clusters) or ``two-phase``
+    (large-star/small-star, O(log^2 n) rounds — right when duplicates
+    chain into high-diameter components, e.g. template families)."""
     pairs = verified_pairs(docs, min_jaccard=min_jaccard)
-    clusters = connected_components(pairs)
+    if cc not in ("min-label", "two-phase"):
+        raise ValueError(f"unknown cc algorithm: {cc!r}")
+    cc_fn = (
+        connected_components
+        if cc == "min-label"
+        else connected_components_two_phase
+    )
+    clusters = cc_fn(pairs)
     reps = representatives(clusters, scores)
     drop = clusters.join(
         reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id", "left_anti"

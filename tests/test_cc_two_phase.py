@@ -73,3 +73,26 @@ def test_two_phase_plan_has_no_cartesian(spark):
     p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_near_dedup_two_phase_plumbs_through(spark):
+    """near_dedup(cc=...) must yield identical kept/cluster sets under
+    either component algorithm, and reject unknown names."""
+    import pytest
+
+    from ocr_spark.dedup import near_dedup
+    from ocr_spark.functions import quality_score
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    scores = docs.select("doc_id", quality_score("text").alias("quality"))
+    kept_a, clus_a, _ = near_dedup(docs, scores, cc="min-label")
+    kept_b, clus_b, _ = near_dedup(docs, scores, cc="two-phase")
+    assert sorted(r.doc_id for r in kept_a.select("doc_id").collect()) == sorted(
+        r.doc_id for r in kept_b.select("doc_id").collect()
+    )
+    assert _collect(clus_a) == _collect(clus_b)
+    with pytest.raises(ValueError):
+        near_dedup(docs, scores, cc="nope")

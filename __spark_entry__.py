@@ -185,7 +185,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bucketed_layout_audit",
     # round 4 continuation: new operators land driver-checked immediately
     "cc_two_phase", "ngram_novelty", "rp_recall_report", "corpus_shard_plan",
-    "semantic_decontam",
+    "semantic_decontam", "ngram_novelty_incremental",
     # relational / TPC-H family. Round 4 completes the suite (q2..q22
     # adapted to the schema); the 6 most shape-distinct new ones take
     # window slots (correlated-min join-back, outer-join histogram,
@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_dedup_keep_first": Q.q_band_dedup_keep_first,
         "cc_two_phase": Q.q_cc_two_phase,
         "semantic_decontam": Q.q_semantic_decontam,
+        "ngram_novelty_incremental": Q.q_ngram_novelty_incremental,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,
         "corpus_shard_plan": Q.q_corpus_shard_plan,

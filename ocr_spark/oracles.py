@@ -4023,3 +4023,24 @@ SELECT vec_id,
        max(cosine) >= {_params.SEM_DECONTAM_TAU} AS flagged
 FROM cand GROUP BY vec_id
 """
+
+ORACLES["ngram_novelty_incremental"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks)
+), cg AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % 10 <> 0
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN cg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN cg.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM sh LEFT JOIN cg ON sh.g = cg.g
+WHERE sh.doc_id % 10 = 0
+GROUP BY sh.doc_id
+"""

@@ -7134,3 +7134,50 @@ def q_semantic_decontam(spark, sf_dir):
         "n_eval_hits",
         (F.col("max_cosine") >= F.lit(params.SEM_DECONTAM_TAU)).alias("flagged"),
     )
+
+
+def q_ngram_novelty_incremental(spark, sf_dir):
+    """Incremental novelty gate — the ingest-time twin of
+    q_ngram_novelty (the production crawl case: the frozen corpus's
+    gram set is already materialized; only batch-vs-corpus novelty
+    matters for the keep/drop decision). Split: doc_id % 10 == 0 is
+    the incoming batch, the rest the frozen corpus.
+
+    Scale shape: the corpus reduces to DISTINCT shingles once (one
+    partial-aggregated groupBy — reusable across every future ingest if
+    materialized); the batch's distinct shingles left-join that set on
+    the gram key and aggregate per doc. Never batch x corpus; cost per
+    ingest is |corpus grams| + |batch grams|."""
+    doc = _t_spread(spark, sf_dir, "documents")
+    toks = doc.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
+            )
+        ).alias("shingle"),
+    )
+    corpus_grams = (
+        sh.filter("doc_id % 10 != 0")
+        .select("shingle")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch = sh.filter("doc_id % 10 = 0")
+    marked = batch.join(corpus_grams, "shingle", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.expr("if(in_corpus is null, 1, 0)"))
+        .cast("bigint")
+        .alias("n_novel"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )

@@ -1076,3 +1076,14 @@ def test_semantic_decontam_broadcast_eval_no_self_join(spark):
     assert n_ops(p, "SortMergeJoin") == 0
     assert n_ops(p, "CartesianProduct") == 0
     assert n_ops(p, "Exchange") <= 2  # broadcast + the vec_id agg
+
+
+def test_ngram_novelty_incremental_never_batch_x_corpus(spark):
+    """Incremental novelty: the corpus reduces to distinct grams once
+    and the batch LEFT-joins it on the gram key — equi-join only, both
+    aggregates two-phase, never a pairwise batch x corpus shape."""
+    p = plan(Q.q_ngram_novelty_incremental(spark, SF_DIR))
+    assert n_ops(p, "CartesianProduct") == 0
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 0
+    assert "partial_count" in p or "partial" in p.lower()
+    assert n_ops(p, "Exchange") <= 4

@@ -102,3 +102,68 @@ def curate(
 def funnel(observations: dict[str, Observation]) -> dict[str, int]:
     """Stage counts, readable after one action on the curated frame."""
     return {name: int(o.get["n"]) for name, o in observations.items()}
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): per-document fraction of
+    distinct 3-gram shingles no EARLIER doc (doc_id order) contains —
+    the data-pruning curation signal that down-weights near-boilerplate.
+    Deterministic (no rng); registry query ``ngram_novelty``
+    value-checks this exact function against the DuckDB oracle.
+
+    Scale shape: one partial-aggregated groupBy(shingle).min(doc_id)
+    for the first-seeing doc, an equi-join back on the gram key, one
+    partial-aggregated per-doc rollup. Both gram-key shuffles are
+    combiner-friendly."""
+    from ocr_spark.dedup import shingles
+
+    sh = shingles(docs)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_vs_corpus(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Ingest-time novelty: each batch doc scored against a FROZEN
+    corpus's gram set (the production crawl case — the corpus reduction
+    is computed once and reusable across every future ingest if
+    materialized). Never batch x corpus: the batch's distinct shingles
+    LEFT-join the corpus gram set on the gram key. Registry query
+    ``ngram_novelty_incremental`` value-checks this function."""
+    from ocr_spark.dedup import shingles
+
+    corpus_grams = (
+        shingles(corpus).select("shingle").distinct().withColumn("in_corpus", F.lit(1))
+    )
+    marked = shingles(batch).join(corpus_grams, "shingle", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.expr("if(in_corpus is null, 1, 0)"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

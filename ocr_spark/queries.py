@@ -6916,41 +6916,13 @@ def q_ngram_novelty(spark, sf_dir):
     first-seeing doc -> equi-join back on shingle -> one
     partial-aggregated groupBy(doc_id). Two shuffles on the gram key,
     both combiner-friendly; 'earlier' is doc_id order, so the score is
-    deterministic and engine-independent (no rng)."""
-    doc = _t_spread(spark, sf_dir, "documents")
-    toks = doc.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
-            )
-        ).alias("shingle"),
-    )
-    first_seen = shingles.groupBy("shingle").agg(
-        F.min("doc_id").alias("first_doc")
-    )
-    return (
-        shingles.join(first_seen, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
-        )
+    deterministic and engine-independent (no rng). Delegates to the
+    production function (curate.ngram_novelty), so the harness
+    value-checks the code path jobs would call."""
+    from ocr_spark import curate
+
+    return curate.ngram_novelty(
+        _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -7147,37 +7119,11 @@ def q_ngram_novelty_incremental(spark, sf_dir):
     partial-aggregated groupBy — reusable across every future ingest if
     materialized); the batch's distinct shingles left-join that set on
     the gram key and aggregate per doc. Never batch x corpus; cost per
-    ingest is |corpus grams| + |batch grams|."""
-    doc = _t_spread(spark, sf_dir, "documents")
-    toks = doc.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "case when size(toks) >= 3 then array_distinct(transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-                " element_at(toks, i + 2)))) else cast(array() as array<string>) end"
-            )
-        ).alias("shingle"),
-    )
-    corpus_grams = (
-        sh.filter("doc_id % 10 != 0")
-        .select("shingle")
-        .distinct()
-        .withColumn("in_corpus", F.lit(1))
-    )
-    batch = sh.filter("doc_id % 10 = 0")
-    marked = batch.join(corpus_grams, "shingle", "left")
-    return marked.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_grams"),
-        F.sum(F.expr("if(in_corpus is null, 1, 0)"))
-        .cast("bigint")
-        .alias("n_novel"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        "n_novel",
-        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    ingest is |corpus grams| + |batch grams|. Delegates to the
+    production function (curate.ngram_novelty_vs_corpus)."""
+    from ocr_spark import curate
+
+    doc = _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate.ngram_novelty_vs_corpus(
+        doc.filter("doc_id % 10 = 0"), doc.filter("doc_id % 10 != 0")
     )

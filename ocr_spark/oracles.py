@@ -4044,3 +4044,52 @@ FROM sh LEFT JOIN cg ON sh.g = cg.g
 WHERE sh.doc_id % 10 = 0
 GROUP BY sh.doc_id
 """
+
+# triangle census over the SAME verified pair graph (composed verbatim,
+# like dedup_clusters/lsh_recall_report); identical degree-ordered
+# orientation so the triangle set — not just the count — coincides.
+ORACLES["dedup_graph_triangles"] = (
+    "WITH pr0 AS (" + ORACLES["minhash_lsh_pairs"] + """),
+ pr AS (SELECT doc_a, doc_b FROM pr0),
+ sym AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION SELECT doc_b, doc_a FROM pr),
+ deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+ orient AS (
+   SELECT s.u, s.v, dv.d AS dv
+   FROM sym s JOIN deg du ON du.u = s.u JOIN deg dv ON dv.u = s.v
+   WHERE (du.d < dv.d) OR (du.d = dv.d AND s.u < s.v)),
+ tri AS (
+   SELECT count(*) AS c
+   FROM orient e1
+   JOIN orient e2 ON e2.u = e1.u
+     AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+   JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v),
+ wd AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM deg)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_edges,
+       CAST(tri.c AS BIGINT) AS n_triangles,
+       wd.w AS n_wedges,
+       round(3.0 * tri.c / greatest(wd.w, 1), 6) AS transitivity
+FROM tri, wd
+"""
+)
+
+ORACLES["tool_transition_stats"] = r"""
+WITH t AS (
+  SELECT source AS conv_id, doc_id, text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), calls AS (
+  SELECT conv_id, doc_id,
+         'tool_' || CAST(('0x' || substr(md5(text), 9, 4))::BIGINT % 5 AS VARCHAR) AS tool
+  FROM t WHERE role = 'tool'
+), trans AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY doc_id) AS prev_tool
+  FROM calls
+)
+SELECT prev_tool AS tool_from, tool AS tool_to,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM trans WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""

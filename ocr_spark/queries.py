@@ -7127,3 +7127,109 @@ def q_ngram_novelty_incremental(spark, sf_dir):
     return curate.ngram_novelty_vs_corpus(
         doc.filter("doc_id % 10 = 0"), doc.filter("doc_id % 10 != 0")
     )
+
+
+def q_dedup_graph_triangles(spark, sf_dir):
+    """Dedup-graph triangle census — the graph-quality audit run after
+    near-dup pair generation: high transitivity means duplicate families
+    are clique-like (template farms; safe to collapse to one
+    representative), low transitivity means chains (risky transitive
+    merges that CC will glue together). Reports node/edge/triangle/wedge
+    counts and global transitivity 3T/W over the verified MinHash-LSH
+    pair graph.
+
+    Scale shape: the classic degree-ordered orientation (each edge
+    points from its lower (degree, id) endpoint), which bounds per-node
+    out-degree to O(sqrt(E)) — so the wedge self-join fans out
+    quadratically only in that bounded out-degree, never in a hot
+    node's raw degree. All joins are equi-joins on node ids; every
+    aggregate is two-phase."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(pairs.select("doc_b", "doc_a")).toDF("u", "v")
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    orient = (
+        sym.join(deg.withColumnRenamed("d", "du"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dv")
+    )
+    e1 = orient.alias("e1")
+    e2 = orient.alias("e2")
+    e3 = orient.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u"))
+        & (
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | (
+                (F.col("e1.dv") == F.col("e2.dv"))
+                & (F.col("e1.v") < F.col("e2.v"))
+            )
+        ),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+    ).agg(F.count("*").alias("c"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    wd = deg.agg(
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wd))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("c").cast("bigint").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("c") / F.greatest(F.col("n_wedges"), F.lit(1)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def q_tool_transition_stats(spark, sf_dir):
+    """Agent-trace tool-transition mining: which tool follows which
+    within a conversation (the first-order Markov view of agent
+    behavior — the telemetry that surfaces broken tool loops and
+    dominant call chains before traces are kept for training). Tool
+    names synthesized content-keyed from the turn text (same convention
+    as tool_call_stats; a real transcripts table uses its stored tool
+    column and the plan from the lag down is identical).
+
+    Scale shape: one conv-keyed window (lag over turn order, tool turns
+    only — reuses the adapter's conv_id Exchange) and one
+    partial-aggregated groupBy over the |tools|^2-bounded transition
+    key. No joins."""
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    calls = t.filter(F.col("role") == "tool").select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit("tool_"),
+            (
+                F.expr("cast(conv(substr(md5(text), 9, 4), 16, 10) as bigint)")
+                % 5
+            ).cast("string"),
+        ).alias("tool"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    trans = calls.withColumn("prev_tool", F.lag("tool").over(w)).filter(
+        F.col("prev_tool").isNotNull()
+    )
+    return trans.groupBy(
+        F.col("prev_tool").alias("tool_from"), F.col("tool").alias("tool_to")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+    )

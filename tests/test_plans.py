@@ -1087,3 +1087,28 @@ def test_ngram_novelty_incremental_never_batch_x_corpus(spark):
     assert n_ops(p, "BroadcastNestedLoopJoin") == 0
     assert "partial_count" in p or "partial" in p.lower()
     assert n_ops(p, "Exchange") <= 4
+
+
+def test_triangle_census_equi_joins_only(spark):
+    """Triangle census: degree-ordered wedge join is equi-keyed on node
+    ids (the three crossJoins are 1-row broadcast count aggregates —
+    the corpus-totals pattern); never a true cartesian over edges."""
+    p = plan(Q.q_dedup_graph_triangles(spark, SF_DIR))
+    assert n_ops(p, "CartesianProduct") == 0
+    # 1-row broadcast totals are BroadcastNestedLoopJoin; bounded at 3
+    assert n_ops(p, "BroadcastNestedLoopJoin") <= 3
+
+
+def test_tool_transitions_single_window_no_join(spark):
+    """Tool-transition mining: the adapter's turn-numbering window and
+    the lag window share ONE conv-keyed Exchange (2 total with the
+    final transition rollup) — no joins anywhere."""
+    p = plan(Q.q_tool_transition_stats(spark, SF_DIR))
+    assert n_ops(p, "Window") == 2  # adapter row_number + transition lag
+    assert n_ops(p, "Exchange") == 2  # conv partitioning reused + final agg
+    assert (
+        n_ops(p, "SortMergeJoin")
+        + n_ops(p, "BroadcastHashJoin")
+        + n_ops(p, "CartesianProduct")
+        == 0
+    )

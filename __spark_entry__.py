@@ -186,7 +186,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round 4 continuation: new operators land driver-checked immediately
     "cc_two_phase", "ngram_novelty", "rp_recall_report", "corpus_shard_plan",
     "semantic_decontam", "ngram_novelty_incremental",
-    "dedup_graph_triangles", "tool_transition_stats",
+    "dedup_graph_triangles", "tool_transition_stats", "mutual_nn_pairs",
     # relational / TPC-H family. Round 4 completes the suite (q2..q22
     # adapted to the schema); the 6 most shape-distinct new ones take
     # window slots (correlated-min join-back, outer-join histogram,
@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": Q.q_semantic_decontam,
         "ngram_novelty_incremental": Q.q_ngram_novelty_incremental,
         "dedup_graph_triangles": Q.q_dedup_graph_triangles,
+        "mutual_nn_pairs": Q.q_mutual_nn_pairs,
         "tool_transition_stats": Q.q_tool_transition_stats,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,

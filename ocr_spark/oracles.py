@@ -4093,3 +4093,27 @@ SELECT prev_tool AS tool_from, tool AS tool_to,
 FROM trans WHERE prev_tool IS NOT NULL
 GROUP BY prev_tool, tool
 """
+
+# mutual nearest neighbors over the same Hamming<=1 sign-LSH candidate
+# rule; per-vector best re-derived with a window argmax instead of the
+# Spark side's max_by partial aggregate.
+ORACLES["mutual_nn_pairs"] = f"""
+WITH wb AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS sig
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_COS.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
+  FROM wb a JOIN wb b
+    ON bit_count(xor(a.sig, b.sig)) <= 1 AND a.vec_id <> b.vec_id
+), best AS (
+  SELECT src, dst AS nn, cosine
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) = 1
+)
+SELECT a.src AS vec_a, b.src AS vec_b, a.cosine AS cosine
+FROM best a JOIN best b ON a.nn = b.src AND b.nn = a.src
+WHERE a.src < b.src
+"""

@@ -7233,3 +7233,72 @@ def q_tool_transition_stats(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_transitions"),
         F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
     )
+
+
+def q_mutual_nn_pairs(spark, sf_dir):
+    """Reciprocal nearest-neighbor pairing over embeddings — the
+    bitext/parallel-data mining primitive (LASER/CCMatrix-style): keep
+    (a, b) only when b is a's best candidate AND a is b's best
+    candidate. Mutuality is the cheap high-precision filter that turns
+    a noisy neighbor graph into alignment pairs worth verifying.
+
+    Scale shape: candidates come from the established 16-bit sign-LSH
+    Hamming<=1 multiprobe (each qualifying pair generated exactly once
+    per direction, no corpus self-join beyond the bucket equi-join);
+    per-vector best = one max_by partial aggregate over candidates (no
+    window, no sort); mutuality = one self equi-join of the |V|-row
+    best table on the symmetric key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = F.expr(
+        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
+        f" sequence(0, {_ND_SIGN_BITS - 1}),"
+        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    wb = emb.select("vec_id", "embedding", sig.alias("sig"))
+    probes = wb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("src_emb"),
+        F.explode(
+            F.expr(
+                "concat(array(sig), transform("
+                f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.join(wb, F.col("probe") == F.col("sig"))
+        .filter(F.col("src") != F.col("vec_id"))
+        .select(
+            "src",
+            F.col("vec_id").alias("dst"),
+            F.round(F.expr(_cosine_expr("src_emb", "embedding")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    # best candidate per vector: deterministic argmax (cosine desc,
+    # dst asc) as a partial-aggregated max_by — no window, no sort
+    best = cand.groupBy("src").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("dst")).alias("nd"))).alias(
+            "m"
+        ),
+        F.max_by(
+            "dst", F.struct(F.col("cosine"), (-F.col("dst")).alias("nd"))
+        ).alias("nn"),
+    ).select("src", F.col("m.cosine").alias("cosine"), "nn")
+    a = best.alias("a")
+    b = best.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nn") == F.col("b.src"))
+            & (F.col("b.nn") == F.col("a.src")),
+        )
+        .filter(F.col("a.src") < F.col("b.src"))
+        .select(
+            F.col("a.src").alias("vec_a"),
+            F.col("b.src").alias("vec_b"),
+            F.col("a.cosine").alias("cosine"),
+        )
+    )

@@ -1112,3 +1112,14 @@ def test_tool_transitions_single_window_no_join(spark):
         + n_ops(p, "CartesianProduct")
         == 0
     )
+
+
+def test_mutual_nn_no_window_no_cartesian(spark):
+    """Reciprocal-NN mining: per-vector best is a max_by PARTIAL
+    aggregate (zero Window/Sort before the final join); candidates come
+    from the sign-bucket equi-join; mutuality is a |V|-row self
+    equi-join — no cartesian anywhere."""
+    p = plan(Q.q_mutual_nn_pairs(spark, SF_DIR))
+    assert n_ops(p, "Window") == 0
+    assert n_ops(p, "CartesianProduct") == 0
+    assert "partial_max" in p or "partial" in p.lower()

@@ -4117,3 +4117,42 @@ SELECT a.src AS vec_a, b.src AS vec_b, a.cosine AS cosine
 FROM best a JOIN best b ON a.nn = b.src AND b.nn = a.src
 WHERE a.src < b.src
 """
+
+# k-core peel: unrolled in lockstep with params.KCORE_ROUNDS/KCORE_K
+# (training-loop convention) over the same composed pair-graph oracle.
+def _kcore_sql(rounds: int, k: int) -> str:
+    parts = [
+        "WITH pr0 AS (" + ORACLES["minhash_lsh_pairs"] + "),",
+        "pr AS (SELECT doc_a, doc_b FROM pr0),",
+        "e0 AS (SELECT doc_a AS u, doc_b AS v FROM pr"
+        " UNION SELECT doc_b, doc_a FROM pr),",
+        "nodes AS (SELECT DISTINCT u AS doc_id FROM e0),",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT u, count(*) AS d FROM {prev} GROUP BY u),"
+        )
+        parts.append(
+            f"a{r} AS (SELECT u FROM d{r} WHERE d >= {k}),"
+        )
+        parts.append(
+            f"e{r} AS (SELECT e.u, e.v FROM {prev} e"
+            f" JOIN a{r} au ON au.u = e.u"
+            f" JOIN a{r} av ON av.u = e.v),"
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"fd AS (SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree"
+        f" FROM {prev} GROUP BY u)"
+    )
+    parts.append(
+        "SELECT n.doc_id,"
+        " CAST(coalesce(fd.degree, 0) AS BIGINT) AS degree,"
+        f" coalesce(fd.degree, 0) >= {k} AS in_core"
+        " FROM nodes n LEFT JOIN fd ON fd.doc_id = n.doc_id"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["kcore_peel"] = _kcore_sql(_params.KCORE_ROUNDS, _params.KCORE_K)

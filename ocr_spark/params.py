@@ -29,6 +29,12 @@ RP_K = 16
 # Deterministic corpus shuffle/shard (corpus_shard_plan)
 SHARD_COUNT = 64
 
+# k-core peeling (kcore_peel): peel rounds and the core threshold. Demo
+# depth for the sf0.01 gate; the Spark loop takes rounds as a parameter
+# and the oracle generator unrolls the identical rounds.
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
 # Embedding-based decontamination (semantic_decontam): flag corpus docs
 # whose max cosine vs any eval embedding reaches this. 0.15 is tuned to
 # the synthetic random embeddings (max observed candidate cosine 0.24);

@@ -7302,3 +7302,54 @@ def q_mutual_nn_pairs(spark, sf_dir):
             F.col("a.cosine").alias("cosine"),
         )
     )
+
+
+def q_kcore_peel(spark, sf_dir, rounds: int = None, k: int = None):
+    """k-core peeling of the verified near-dup pair graph — the graph
+    audit that isolates the densely-interlinked core (template farms,
+    spam rings: nodes surviving repeated removal of degree < k nodes)
+    from peripheral one-off duplicates. params.KCORE_K=2,
+    params.KCORE_ROUNDS=3 peel rounds, oracle unrolled in lockstep
+    (the training-loop convention; rounds is the caller's knob on a
+    real run and tests/test_training_depth.py proves depth-agnosticism
+    for this unrolling style).
+
+    Scale shape: each round is one partial-aggregated degree count over
+    the surviving edge set plus two semi-joins restricting edges to
+    surviving endpoints — all equi-keyed on node ids; the driver loop
+    is iteration control only. Output: every pair-graph node with its
+    final surviving-subgraph degree and core membership."""
+    from ocr_spark import params
+
+    rounds = params.KCORE_ROUNDS if rounds is None else rounds
+    k = params.KCORE_K if k is None else k
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = sym.select(F.col("u").alias("doc_id")).distinct()
+    edges = sym
+    for _ in range(rounds):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        alive = deg.filter(F.col("d") >= k).select("u")
+        edges = (
+            edges.join(alive, "u")
+            .join(alive.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = edges.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    return (
+        all_nodes.join(
+            final_deg.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias("degree"),
+            (F.coalesce(F.col("degree"), F.lit(0)) >= k).alias("in_core"),
+        )
+    )

@@ -96,3 +96,24 @@ def test_near_dedup_two_phase_plumbs_through(spark):
     assert _collect(clus_a) == _collect(clus_b)
     with pytest.raises(ValueError):
         near_dedup(docs, scores, cc="nope")
+
+
+def test_kcore_deeper_rounds_stay_consistent(spark):
+    """Depth-agnosticism of the k-core unrolling: at 6 rounds (double
+    the demo depth) the sf0.001 pair graph's core set must be a
+    FIXPOINT — identical to 7 rounds — and every in_core node keeps
+    degree >= k within the core subgraph."""
+    import ocr_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    six = {
+        (r.doc_id, r.degree, r.in_core)
+        for r in Q.q_kcore_peel(spark, sf, rounds=6).collect()
+    }
+    seven = {
+        (r.doc_id, r.degree, r.in_core)
+        for r in Q.q_kcore_peel(spark, sf, rounds=7).collect()
+    }
+    assert six == seven  # converged: extra peels change nothing
+    for _, degree, in_core in six:
+        assert in_core == (degree >= 2)

@@ -204,18 +204,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_norms", "cosine_topk", "lsh_sign_buckets",
     "ann_bucketed_topk", "ivf_cluster_sizes", "ivf_search_topk",
     "ivf_search_multiprobe", "lsh_recall_report", "ivf_recall_report",
-    # temporal / event semantics
-    "asof_join_view_value", "range_join_click_burst", "session_window_agg",
-    "event_type_rollup", "funnel_analysis", "json_extract_props",
-    "pivot_event_values", "unpivot_stats",
-    # dedup clustering / near-dup verify paths (these 4 in-window; the
-    # family's other members rotate to round 5 — minhash_lsh_pairs,
-    # simhash_near_dup, embedding_near_dup, benchmark_decontam were
-    # already driver-green in r01-r03, so the shapes have coverage)
+    # dedup clustering / near-dup verify paths (in-window ahead of the
+    # temporal block: semdedup's skew guard and the training-loop depth
+    # params were explicit round-3 verdict asks whose "done" criterion
+    # is a green driver CORRECTNESS row; the family's other members
+    # rotate to round 5 — minhash_lsh_pairs, simhash_near_dup,
+    # embedding_near_dup, benchmark_decontam were already driver-green
+    # in r01-r03, so the shapes have coverage)
     "semdedup", "dedup_clusters", "dedup_cluster_representatives",
     "fuzzy_decontam",
     # in-engine training loops
     "bpe_train", "bpe_encode", "kmeans_train", "logreg_train", "pagerank",
+    # temporal / event semantics (first 3 in-window at current counts)
+    "asof_join_view_value", "range_join_click_burst", "session_window_agg",
+    "event_type_rollup", "funnel_analysis", "json_extract_props",
+    "pivot_event_values", "unpivot_stats",
     # transcript prep + retrieval
     "chat_template_spans", "sft_pairs", "reward_pairs", "bm25_topk",
     "rrf_fusion",

@@ -7144,7 +7144,16 @@ def q_dedup_graph_triangles(spark, sf_dir):
     quadratically only in that bounded out-degree, never in a hot
     node's raw degree. All joins are equi-joins on node ids; every
     aggregate is two-phase."""
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint: orient is referenced three times (wedge e1/e2 +
+    # closure e3), so un-truncated lineage would re-embed — and
+    # re-optimize — the whole MinHash-LSH pipeline per reference (the
+    # CC lesson); the pair graph is the materialized artifact a real
+    # pipeline censuses anyway
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     sym = pairs.union(pairs.select("doc_b", "doc_a")).toDF("u", "v")
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     orient = (

@@ -498,6 +498,59 @@ def main() -> None:
             plan(Q.q_corpus_shard_plan(spark, SF_DIR)),
         ),
         (
+            "Semantic decontam: broadcast eval multiprobe, no self-join",
+            "Embedding decontamination (third tier after exact n-gram "
+            "and MinHash-band fuzzy): the benchmark-sized eval side "
+            "expands to 17 sign-LSH probes and BROADCASTS; the corpus "
+            "stream joins map-side on its own 16-bit signature "
+            "(BroadcastHashJoin), cosine-verifies candidates only, and "
+            "rolls up per doc in one two-phase aggregate. Never a "
+            "corpus self-join.",
+            plan(Q.q_semantic_decontam(spark, SF_DIR)),
+        ),
+        (
+            "Incremental novelty gate: batch left-joins the corpus gram set",
+            "Ingest-time novelty: the frozen corpus reduces to DISTINCT "
+            "shingles once (reusable across every future batch if "
+            "materialized); the batch's grams LEFT-join on the gram key "
+            "and aggregate per doc. Never batch x corpus.",
+            plan(Q.q_ngram_novelty_incremental(spark, SF_DIR)),
+        ),
+        (
+            "Triangle census: degree-ordered wedge equi-joins",
+            "Dedup-graph quality audit: edges orient from their lower "
+            "(degree, id) endpoint, bounding per-node wedge fan-out to "
+            "O(sqrt E); wedge and closure joins are node-keyed "
+            "equi-joins; the three crossJoins are 1-row broadcast count "
+            "totals (the corpus-totals pattern).",
+            plan(Q.q_dedup_graph_triangles(spark, SF_DIR)),
+        ),
+        (
+            "Tool transitions: one conv-keyed Exchange, no joins",
+            "First-order tool->tool transition counts: the adapter's "
+            "turn-numbering window and the lag window share ONE "
+            "conv_id Exchange; the rollup key is bounded by |tools|^2.",
+            plan(Q.q_tool_transition_stats(spark, SF_DIR)),
+        ),
+        (
+            "Mutual NN pairs: max_by argmax, zero windows",
+            "Reciprocal-NN alignment mining: candidates from the "
+            "sign-bucket equi-join (17-probe multiprobe), per-vector "
+            "best as a max_by PARTIAL aggregate (no Window, no Sort "
+            "before the final join), mutuality as a |V|-row self "
+            "equi-join.",
+            plan(Q.q_mutual_nn_pairs(spark, SF_DIR)),
+        ),
+        (
+            "k-core peel (final round + membership join)",
+            "k-core peeling: each round is one partial-aggregated "
+            "degree count plus two node-keyed semi-join restrictions; "
+            "rounds are localCheckpoint-truncated so the plan below is "
+            "the final-round degree count joined back to the node set — "
+            "iteration depth never bloats the plan.",
+            plan(Q.q_kcore_peel(spark, SF_DIR)),
+        ),
+        (
             "JL projection recall eval: TakeOrdered shortlists",
             "Both the full-dim truth top-10 and the projected-space "
             "top-100 shortlist are TakeOrderedAndProject (distributed "

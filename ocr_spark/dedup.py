@@ -538,3 +538,27 @@ def rowwise_band_keys(
     return out.withColumn("band_key", F.expr(key)).drop(
         "_toks", "_sh", "_hp", "_sig"
     )
+
+
+def rowwise_grams(df: DataFrame, self_key: str, n: int = 3) -> DataFrame:
+    """Per-ROW distinct n-word grams: explode each input row into
+    (original cols..., gram) rows computed entirely inside higher-order
+    array functions — narrow and stateless, so legal as the prefix of a
+    streaming plan (the streaming novelty gate) and reusable in batch.
+
+    Rows with <n tokens have no grams and fall back to ONE self-keyed
+    gram (``short:<self_key>``): with ``self_key`` = normalized whole
+    text on BOTH the stream and the corpus side, the fallback becomes an
+    exact-text novelty check for short rows (a short row equal to a
+    short corpus doc is non-novel; a unique short row is fully novel).
+    """
+    out = df.withColumn("_toks", F.split(F.trim(F.col("text")), r"\s+"))
+    gram_arr = (
+        f"case when size(_toks) >= {n} then"
+        f" array_distinct(transform(sequence(1, size(_toks) - {n - 1}),"
+        " i -> concat_ws(' ', "
+        + ", ".join(f"element_at(_toks, i + {d})" for d in range(n))
+        + ")))"
+        f" else array(concat('short:', {self_key})) end"
+    )
+    return out.withColumn("gram", F.explode(F.expr(gram_arr))).drop("_toks")

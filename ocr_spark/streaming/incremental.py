@@ -561,3 +561,62 @@ def stream_to_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_novelty_gate(
+    transcripts: DataFrame,
+    corpus_docs: DataFrame,
+    watermark: str = "1 hour",
+    min_novelty: float = 0.5,
+) -> DataFrame:
+    """Streaming novelty gate — the online twin of the batch
+    ``ngram_novelty_incremental`` query / ``curate.ngram_novelty_vs_corpus``:
+    arriving turns whose 3-gram content is mostly already in the frozen
+    corpus (novel-gram fraction < ``min_novelty``) are dropped AT
+    INGEST, so near-boilerplate never reaches the training store.
+
+    Streaming legality/state shape: per-turn grams are narrow per-row
+    array math (``dedup.rowwise_grams``); the corpus comparison is a
+    stream-STATIC left join on the gram key (zero streaming state; at
+    real scale the materialized corpus gram table is bucketed by gram so
+    each trigger's join is co-located rather than re-shuffled); the
+    stateful operators are a (turn, gram) dedup within the watermark
+    (an at-least-once redelivery would otherwise double-count grams and
+    skew the ratio) and the windowed novelty count — both
+    watermark-bounded, exactly the ``stream_decontam_gate`` pattern.
+    Short texts (<3 tokens) self-key on normalized whole text on BOTH
+    sides, so a short turn equal to a short corpus doc scores novelty 0
+    (dropped) and a unique short turn scores 1 (kept).
+    """
+    from ocr_spark.dedup import rowwise_grams
+
+    _short_norm = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+    corpus_grams = (
+        rowwise_grams(corpus_docs.select("text"), self_key=_short_norm)
+        .select("gram")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    turn_grams = rowwise_grams(
+        transcripts.select("conv_id", "turn_idx", "text", "ts"),
+        self_key=_short_norm,
+    ).select("conv_id", "turn_idx", "ts", "gram")
+    deduped = turn_grams.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "gram"])
+    marked = deduped.join(corpus_grams, "gram", "left")
+    scored = (
+        marked.groupBy(F.window("ts", "10 minutes"), "conv_id", "turn_idx")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.expr("if(in_corpus is null, 1, 0)")).alias("n_novel"),
+        )
+    )
+    return scored.filter(
+        F.col("n_novel") >= F.lit(min_novelty) * F.col("n_grams")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("window.start").alias("win_start"),
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )

@@ -649,3 +649,75 @@ def test_stream_decontam_gate_redelivery_and_short_eval_docs(spark, dirs, tmp_pa
     assert out.count(("conv0", 0)) == 1  # redelivered clean turn: once
     assert ("conv1", 0) not in out  # short eval answer gated exactly
     assert ("conv2", 0) in out  # different short turn passes
+
+
+def test_stream_novelty_gate_drops_boilerplate(spark, dirs, tmp_path):
+    """Streaming novelty gate: a turn mostly made of corpus grams is
+    dropped at ingest; a novel turn passes with novelty 1.0; short
+    turns are exact-text gated on both sides (dup dropped, unique
+    kept). Redelivering a batch must not skew the gram ratio (the
+    (turn, gram) dedup state absorbs at-least-once input)."""
+    import datetime
+
+    from ocr_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_novelty_gate,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta"
+    # shares 5 of its 6 grams with the corpus -> novelty 1/6 < 0.5
+    stale = "alpha beta gamma delta epsilon zeta eta omega"
+    novel = "entirely different words about spark shuffles and joins"
+
+    corpdir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, corpus_text), (2, "hi")], "doc_id bigint, text string"
+    ).write.parquet(corpdir)
+
+    def rows(conv, text, ts):
+        return [(f"conv{conv}", 0, "user", text, "", ts)]
+
+    def write(name, data):
+        spark.createDataFrame(data, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dirs["in"], name))
+
+    def run():
+        stream = read_transcript_stream(spark, dirs["in"] + "/*")
+        q = (
+            stream_novelty_gate(
+                stream, spark.read.parquet(corpdir), watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch = (
+        rows(0, stale, t0)
+        + rows(1, novel, t0)
+        + rows(2, "hi", t0)       # short dup of corpus doc 2 -> dropped
+        + rows(3, "yo", t0)       # short unique -> kept
+    )
+    write("b1", batch)
+    run()
+    # redeliver the same rows (at-least-once upstream), then a far-future
+    # sentinel to close the windows
+    write("b1_again", batch)
+    run()
+    write("b2", rows(99, "bye", t0 + datetime.timedelta(days=10)))
+    run()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.novelty
+        for r in spark.read.parquet(dirs["out"]).collect()
+        if r.conv_id != "conv99"
+    }
+    assert set(got) == {("conv1", 0), ("conv3", 0)}
+    assert got[("conv1", 0)] == 1.0
+    assert got[("conv3", 0)] == 1.0

@@ -4112,9 +4112,17 @@ WITH wb AS (
   SELECT src, dst AS nn, cosine
   FROM cand
   QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) = 1
+), stats AS (
+  SELECT src, avg(cosine) AS avg_top FROM (
+    SELECT src, cosine,
+           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+    FROM cand)
+  WHERE rn <= 4 GROUP BY src
 )
-SELECT a.src AS vec_a, b.src AS vec_b, a.cosine AS cosine
+SELECT a.src AS vec_a, b.src AS vec_b, a.cosine AS cosine,
+       round(a.cosine / ((sa.avg_top + sb.avg_top) / 2), 4) AS margin
 FROM best a JOIN best b ON a.nn = b.src AND b.nn = a.src
+JOIN stats sa ON sa.src = a.src JOIN stats sb ON sb.src = b.src
 WHERE a.src < b.src
 """
 

@@ -7287,7 +7287,10 @@ def q_mutual_nn_pairs(spark, sf_dir):
         )
     )
     # best candidate per vector: deterministic argmax (cosine desc,
-    # dst asc) as a partial-aggregated max_by — no window, no sort
+    # dst asc) as a partial-aggregated max_by — no window, no sort.
+    # avg_top = mean of the 4 largest candidate cosines (CCMatrix-style
+    # margin denominator); candidate lists are bucket-occupancy-bounded,
+    # so the collect_list is small by construction.
     best = cand.groupBy("src").agg(
         F.max(F.struct(F.col("cosine"), (-F.col("dst")).alias("nd"))).alias(
             "m"
@@ -7295,7 +7298,13 @@ def q_mutual_nn_pairs(spark, sf_dir):
         F.max_by(
             "dst", F.struct(F.col("cosine"), (-F.col("dst")).alias("nd"))
         ).alias("nn"),
-    ).select("src", F.col("m.cosine").alias("cosine"), "nn")
+        F.expr(
+            "aggregate(slice(array_sort(collect_list(cosine)),"
+            " greatest(size(collect_list(cosine)) - 3, 1), 4),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+            " / least(size(collect_list(cosine)), 4)"
+        ).alias("avg_top"),
+    ).select("src", F.col("m.cosine").alias("cosine"), "nn", "avg_top")
     a = best.alias("a")
     b = best.alias("b")
     return (
@@ -7309,6 +7318,11 @@ def q_mutual_nn_pairs(spark, sf_dir):
             F.col("a.src").alias("vec_a"),
             F.col("b.src").alias("vec_b"),
             F.col("a.cosine").alias("cosine"),
+            F.round(
+                F.col("a.cosine")
+                / ((F.col("a.avg_top") + F.col("b.avg_top")) / 2),
+                4,
+            ).alias("margin"),
         )
     )
 

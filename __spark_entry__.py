@@ -170,13 +170,15 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round. Rounds 1-3 sampled the same 59 names; every other query was green
 # only under the identical local twin harness (tests/harness_check.py).
 # This list front-loads a diverse slice of the never-driver-sampled
-# queries (TPC-H family, ANN/IVF, temporal joins, dedup clustering,
-# in-engine training loops, transcript prep, retrieval) so rounds 4+
-# convert local-only assurance into driver-grade evidence. Order within
-# the window is diversity-first; everything else keeps its round-3 order.
-# Round 5: the first 50 (through pagerank) will be driver-green from the
-# r04 artifacts — rotate them to the back and front-load the next block
-# (chat_template_spans .. the remaining never-sampled names below).
+# queries (the round-4 continuation operators, TPC-H family, ANN/IVF,
+# dedup clustering, in-engine training loops) so rounds 4+ convert
+# local-only assurance into driver-grade evidence. Order within the
+# window is diversity-first; everything else keeps its round-3 order.
+# Round 5: the first 50 (through kmeans_train) will be driver-green from
+# the r04 artifacts — rotate them to the back and front-load the next
+# block (logreg_train, pagerank, the temporal family from
+# asof_join_view_value, then chat_template_spans .. the remaining
+# never-sampled names below).
 _DRIVER_WINDOW_PRIORITY = [
     # round 4: the routed-extraction fast path, new this round — first so
     # the driver value-checks it (spans included) the round it lands

@@ -80,6 +80,18 @@ def main() -> None:
         )
         return {r[col]: r["n"] for r in rows}
 
+    # novelty card: one extra gram-keyed pass (curate.ngram_novelty, the
+    # oracle-checked production fn) reduced to three scalars — the
+    # boilerplate health check a dataset card ships with. Docs with <3
+    # tokens carry no grams and are excluded from the novelty stats.
+    from ocr_spark.curate import ngram_novelty
+
+    nov = ngram_novelty(doc.select("doc_id", "text")).agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg("novelty"), 6).alias("mean_novelty"),
+        F.sum(F.expr("if(novelty < 0.3, 1, 0)")).alias("n_low"),
+    ).collect()[0]
+
     card = {
         "n_docs": int(totals.n_docs),
         "n_tokens": int(totals.n_tokens),
@@ -91,6 +103,10 @@ def main() -> None:
         ),
         "languages": mix("lang"),
         "sources": mix("source"),
+        "mean_novelty": float(nov.mean_novelty) if nov.n_scored else None,
+        "low_novelty_rate": (
+            round(int(nov.n_low) / int(nov.n_scored), 6) if nov.n_scored else None
+        ),
         "wall_s": round(time.time() - t0, 2),
     }
     line = json.dumps(card)

@@ -205,6 +205,18 @@ def test_report_job_dataset_card(spark, tmp_path):
     assert card["exact_duplicate_rate"] == round(1.0 - uniq / card["n_docs"], 6)
     q1, q2, q3 = card["token_len_quartiles"]
     assert q1 <= q2 <= q3
+    # novelty card reconciles with the oracle-checked production fn
+    from pyspark.sql import functions as F
+
+    from ocr_spark.curate import ngram_novelty
+
+    nov = ngram_novelty(doc.select("doc_id", "text")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("novelty"), 6).alias("m"),
+        F.sum(F.expr("if(novelty < 0.3, 1, 0)")).alias("lo"),
+    ).collect()[0]
+    assert card["mean_novelty"] == float(nov.m)
+    assert card["low_novelty_rate"] == round(int(nov.lo) / int(nov.n), 6)
 
 
 def test_table_lifecycle_extract_append_maintain_report(spark, tmp_path):

@@ -4164,3 +4164,20 @@ def _kcore_sql(rounds: int, k: int) -> str:
 
 
 ORACLES["kcore_peel"] = _kcore_sql(_params.KCORE_ROUNDS, _params.KCORE_K)
+
+# bitext mining yield per language pair, composed over the mutual-NN
+# oracle verbatim plus the documents metadata joins and hygiene gates.
+ORACLES["bitext_mining_report"] = (
+    "WITH mnn AS (" + ORACLES["mutual_nn_pairs"] + """)
+SELECT least(da.lang, db.lang) AS lang_a,
+       greatest(da.lang, db.lang) AS lang_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(m.cosine), 4) AS avg_cosine,
+       round(avg(m.margin), 4) AS avg_margin
+FROM mnn m JOIN documents da ON da.doc_id = m.vec_a
+           JOIN documents db ON db.doc_id = m.vec_b
+WHERE da.lang <> db.lang AND m.cosine > 0
+  AND greatest(da.n_chars, db.n_chars) <= 2.0 * least(da.n_chars, db.n_chars)
+GROUP BY 1, 2
+"""
+)

@@ -7376,3 +7376,56 @@ def q_kcore_peel(spark, sf_dir, rounds: int = None, k: int = None):
             (F.coalesce(F.col("degree"), F.lit(0)) >= k).alias("in_core"),
         )
     )
+
+
+def q_bitext_mining_report(spark, sf_dir):
+    """Bitext-mining report — the end-to-end use of mutual_nn_pairs
+    (LASER/CCMatrix pipeline shape): reciprocal-NN aligned pairs joined
+    back to document metadata, kept only when they look like genuine
+    cross-lingual alignments (different languages, positive cosine,
+    length ratio <= 2 — the standard bitext hygiene gates), then
+    summarized per canonical language pair with pair counts and mean
+    cosine/margin. This is the mining-yield card a parallel-corpus run
+    ships per language pair.
+
+    Scale shape: the pair table is mined-output-sized, so the two
+    metadata joins are equi-joins on doc_id against the (pruned)
+    documents scan; the rollup key is bounded by |langs|^2. The vec_id
+    <-> doc_id identity is this sandbox's adapter; a real run carries
+    doc ids through the embedding table."""
+    pairs = q_mutual_nn_pairs(spark, sf_dir)
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    joined = (
+        pairs.join(
+            doc.select(
+                F.col("doc_id").alias("vec_a"),
+                F.col("lang").alias("la"),
+                F.col("n_chars").alias("ca"),
+            ),
+            "vec_a",
+        )
+        .join(
+            doc.select(
+                F.col("doc_id").alias("vec_b"),
+                F.col("lang").alias("lb"),
+                F.col("n_chars").alias("cb"),
+            ),
+            "vec_b",
+        )
+        .filter(
+            (F.col("la") != F.col("lb"))
+            & (F.col("cosine") > 0)
+            & (
+                F.greatest("ca", "cb")
+                <= F.lit(2.0) * F.least("ca", "cb")
+            )
+        )
+    )
+    return joined.groupBy(
+        F.least("la", "lb").alias("lang_a"),
+        F.greatest("la", "lb").alias("lang_b"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("cosine"), 4).alias("avg_cosine"),
+        F.round(F.avg("margin"), 4).alias("avg_margin"),
+    )

@@ -4181,3 +4181,26 @@ WHERE da.lang <> db.lang AND m.cosine > 0
 GROUP BY 1, 2
 """
 )
+
+# per-cluster purity: composed over the recursive-CTE cluster oracle and
+# the verified-pair oracle (both verbatim).
+ORACLES["dedup_cluster_purity"] = (
+    'WITH clus AS (' + ORACLES["dedup_clusters"] + '), pr0 AS ('
+    + ORACLES["minhash_lsh_pairs"] + """),
+ members AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clus GROUP BY cluster_id
+), edges AS (
+  SELECT c.cluster_id,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         round(avg(p.jaccard), 6) AS avg_jaccard,
+         round(min(p.jaccard), 6) AS min_jaccard
+  FROM pr0 p JOIN clus c ON c.doc_id = p.doc_a
+  GROUP BY c.cluster_id
+)
+SELECT m.cluster_id, m.n_members, e.n_edges,
+       round(e.n_edges / (m.n_members * (m.n_members - 1) / 2.0), 6) AS density,
+       e.avg_jaccard, e.min_jaccard
+FROM members m JOIN edges e ON e.cluster_id = m.cluster_id
+"""
+)

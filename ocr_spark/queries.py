@@ -7429,3 +7429,49 @@ def q_bitext_mining_report(spark, sf_dir):
         F.round(F.avg("cosine"), 4).alias("avg_cosine"),
         F.round(F.avg("margin"), 4).alias("avg_margin"),
     )
+
+
+def q_dedup_cluster_purity(spark, sf_dir):
+    """Per-cluster dedup-graph purity audit — the per-component view of
+    what dedup_graph_triangles measures globally: for each connected
+    component, its member count, verified-edge count, edge density
+    (edges over member-pairs; 1.0 = clique = a true duplicate family,
+    low density = a chain CC glued together — collapse with care), and
+    the mean/min verified Jaccard. The audit a pipeline checks before
+    committing to one-representative-per-cluster deletion.
+
+    Scale shape: all verified pairs lie within clusters by
+    construction, so the edge rollup is one equi-join (pair -> doc_a's
+    cluster) plus a partial-aggregated groupBy(cluster); member counts
+    reuse the clusters table; densities are narrow arithmetic on the
+    |clusters|-row result."""
+    from ocr_spark import dedup
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    clusters = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    members = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    edges = (
+        pairs.join(
+            clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        )
+    )
+    return members.join(edges, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        F.round(
+            F.col("n_edges")
+            / (F.col("n_members") * (F.col("n_members") - 1) / 2),
+            6,
+        ).alias("density"),
+        "avg_jaccard",
+        "min_jaccard",
+    )

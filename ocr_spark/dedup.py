@@ -191,6 +191,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .cache()
     )
+    converged = False
     try:
         for it in range(max_iters):
             neigh = edges.join(labels, edges.dst == labels.node).select(
@@ -216,7 +217,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.unpersist()  # superseded this round; new_labels is live
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # min-label needs O(diameter) rounds; returning the
+            # intermediate labels would silently SPLIT a component and
+            # leak duplicates past representatives() into the kept corpus
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds (component diameter exceeds the budget); raise "
+                "max_iters or use connected_components_two_phase "
+                "(O(log^2 n) rounds)"
+            )
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
@@ -291,15 +303,26 @@ def connected_components_two_phase(
         .localCheckpoint(eager=True)
     )
     cur = edges
+    converged = False
     for it in range(max_iters):
         nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint(eager=True)
+        # symmetric-difference emptiness as ONE job (both exceptAll
+        # sides unioned under a single limit), not two per round
         changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(nxt).limit(1).count()
+            nxt.exceptAll(cur).union(cur.exceptAll(nxt)).limit(1).count()
         )
         cur = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # an unconverged star forest would label some nodes with a
+        # non-root — silently splitting components; fail loudly instead
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in "
+            f"{max_iters} alternations; raise max_iters (O(log^2 n) "
+            "rounds suffice for any graph this size bound admits)"
+        )
     # converged: edges are (node -> component-min root) stars; checkpoint
     # blocks are released when the intermediate DataFrames are GC'd
     roots = cur.select(F.col("v").alias("u"), F.col("v"))

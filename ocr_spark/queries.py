@@ -779,6 +779,28 @@ def q_simhash_near_dup(spark, sf_dir):
 _ND_SIGN_BITS = 16  # sign-LSH signature width (2^16 buckets; parameterized)
 
 
+def _sign_lsh_sig_expr() -> str:
+    """The ONE 16-bit sign-LSH signature rule (bit i set iff dim i+1 is
+    >= 0). Shared by embedding_near_dup / semantic_decontam /
+    mutual_nn_pairs so their candidate sets stay mutually consistent —
+    a rule change edits exactly this expression."""
+    return (
+        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
+        f" sequence(0, {_ND_SIGN_BITS - 1}),"
+        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
+        " 0, (acc, v) -> acc + v)"
+    )
+
+
+def _sign_probe_expr() -> str:
+    """Hamming<=1 multiprobe set over a column named ``sig``: the home
+    signature plus all single-bit XOR flips (17 probes at 16 bits)."""
+    return (
+        "concat(array(sig), transform("
+        f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: 16-bit sign-LSH with Hamming<=1
     multiprobe, exact cosine on candidates, top-20 pairs.
@@ -793,21 +815,13 @@ def q_embedding_near_dup(spark, sf_dir):
     is narrow (no shuffle); the join shuffles keys, not pairs.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    sig = F.expr(
-        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
-        f" sequence(0, {_ND_SIGN_BITS - 1}),"
-        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
-        " 0, (acc, v) -> acc + v)"
-    )
+    sig = F.expr(_sign_lsh_sig_expr())
     wb = emb.select("vec_id", "embedding", sig.alias("sig"))
     probes = wb.select(
         "vec_id",
         "embedding",
         F.explode(
-            F.expr(
-                "concat(array(sig), transform("
-                f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
-            )
+            F.expr(_sign_probe_expr())
         ).alias("probe"),
     )
     a = probes.alias("a")
@@ -7074,20 +7088,12 @@ def q_semantic_decontam(spark, sf_dir):
     from ocr_spark import params
 
     emb = _t(spark, sf_dir, "embeddings")
-    sig = F.expr(
-        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
-        f" sequence(0, {_ND_SIGN_BITS - 1}),"
-        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
-        " 0, (acc, v) -> acc + v)"
-    )
+    sig = F.expr(_sign_lsh_sig_expr())
     wb = emb.select("vec_id", "embedding", sig.alias("sig"))
     ev_probes = wb.filter("vec_id % 10 = 0").select(
         F.col("embedding").alias("e_emb"),
         F.explode(
-            F.expr(
-                "concat(array(sig), transform("
-                f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
-            )
+            F.expr(_sign_probe_expr())
         ).alias("probe"),
     )
     corpus = wb.filter("vec_id % 10 != 0")
@@ -7258,21 +7264,13 @@ def q_mutual_nn_pairs(spark, sf_dir):
     window, no sort); mutuality = one self equi-join of the |V|-row
     best table on the symmetric key."""
     emb = _t(spark, sf_dir, "embeddings")
-    sig = F.expr(
-        f"aggregate(zip_with(slice(embedding, 1, {_ND_SIGN_BITS}),"
-        f" sequence(0, {_ND_SIGN_BITS - 1}),"
-        " (x, i) -> case when x >= 0 then shiftleft(1, i) else 0 end),"
-        " 0, (acc, v) -> acc + v)"
-    )
+    sig = F.expr(_sign_lsh_sig_expr())
     wb = emb.select("vec_id", "embedding", sig.alias("sig"))
     probes = wb.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("src_emb"),
         F.explode(
-            F.expr(
-                "concat(array(sig), transform("
-                f"sequence(0, {_ND_SIGN_BITS - 1}), i -> sig ^ shiftleft(1, i)))"
-            )
+            F.expr(_sign_probe_expr())
         ).alias("probe"),
     )
     cand = (

@@ -44,6 +44,13 @@ from ocr_spark.operators.extract import extract
 from ocr_spark.sources import TRANSCRIPT_SCHEMA  # noqa: F401
 
 
+# Short texts (<3 tokens) have no shingles/grams; BOTH the stream side
+# and the static corpus/eval side self-key them on THIS normalization of
+# the whole text, turning the fallback into an exact-text gate. One
+# constant so the two sides (and the two gates) can never diverge.
+_SHORT_NORM = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+
+
 def read_transcript_stream(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int = 64
 ) -> DataFrame:
@@ -457,11 +464,10 @@ def stream_decontam_gate(
     # by normalized whole text instead turns the fallback into an
     # exact-text gate: a short turn equal to a short eval doc collides
     # on every band and is dropped; unequal short turns never collide.
-    _short_norm = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
     eval_keys = (
         rowwise_band_keys(
             eval_docs.select("doc_id", "text"),
-            self_key=_short_norm,
+            self_key=_SHORT_NORM,
             bands=bands,
             rows_per_band=rows_per_band,
         )
@@ -470,7 +476,7 @@ def stream_decontam_gate(
     )
     banded = rowwise_band_keys(
         transcripts.select("conv_id", "turn_idx", "text", "ts"),
-        self_key=_short_norm,
+        self_key=_SHORT_NORM,
         bands=bands,
         rows_per_band=rows_per_band,
     )
@@ -590,16 +596,15 @@ def stream_novelty_gate(
     """
     from ocr_spark.dedup import rowwise_grams
 
-    _short_norm = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
     corpus_grams = (
-        rowwise_grams(corpus_docs.select("text"), self_key=_short_norm)
+        rowwise_grams(corpus_docs.select("text"), self_key=_SHORT_NORM)
         .select("gram")
         .distinct()
         .withColumn("in_corpus", F.lit(1))
     )
     turn_grams = rowwise_grams(
         transcripts.select("conv_id", "turn_idx", "text", "ts"),
-        self_key=_short_norm,
+        self_key=_SHORT_NORM,
     ).select("conv_id", "turn_idx", "ts", "gram")
     deduped = turn_grams.withWatermark(
         "ts", watermark

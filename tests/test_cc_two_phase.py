@@ -117,3 +117,17 @@ def test_kcore_deeper_rounds_stay_consistent(spark):
     assert six == seven  # converged: extra peels change nothing
     for _, degree, in_core in six:
         assert in_core == (degree >= 2)
+
+
+def test_min_label_raises_on_exhausted_rounds(spark):
+    """Silent non-convergence would split a component and leak
+    duplicates past representatives(); the loop must fail loudly when
+    the round budget is exhausted (diameter > max_iters), and the
+    two-phase algorithm must handle the same graph fine."""
+    import pytest
+
+    chain = _pairs_df(spark, [(i, i + 1) for i in range(39)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=5)
+    out = _collect(connected_components_two_phase(chain))
+    assert out == [(i, 0) for i in range(40)]

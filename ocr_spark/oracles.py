@@ -4204,3 +4204,28 @@ SELECT m.cluster_id, m.n_members, e.n_edges,
 FROM members m JOIN edges e ON e.cluster_id = m.cluster_id
 """
 )
+
+ORACLES["embedding_centroid_drift"] = f"""
+WITH {_IVF_ASSIGN}, hdims AS (
+  SELECT cluster, vec_id % 2 = 0 AS half_a, vec_id,
+         unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM assigned
+), cent AS (
+  SELECT cluster, half_a, dim, avg(x) AS m FROM hdims GROUP BY cluster, half_a, dim
+), counts AS (
+  SELECT cluster,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM assigned GROUP BY cluster
+), drift AS (
+  SELECT a.cluster,
+         round(sum(a.m * b.m) / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 4)
+           AS centroid_cosine
+  FROM cent a JOIN cent b ON a.cluster = b.cluster AND a.dim = b.dim
+  WHERE a.half_a AND NOT b.half_a
+  GROUP BY a.cluster
+)
+SELECT c.cluster, c.n_a, c.n_b, d.centroid_cosine
+FROM counts c LEFT JOIN drift d ON d.cluster = c.cluster
+"""

@@ -7473,3 +7473,55 @@ def q_dedup_cluster_purity(spark, sf_dir):
         "avg_jaccard",
         "min_jaccard",
     )
+
+
+def q_embedding_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: split the corpus into two deterministic
+    halves (vec_id parity — the stand-in for old-batch vs new-batch or
+    old-model vs re-embedded), compute each IVF cluster's per-half
+    centroid, and report the cosine between the half-centroids plus the
+    half populations. Centroid cosine near 1 with balanced counts means
+    the cluster is stable under the split; low cosine or a lopsided
+    count flags a cluster whose region drifted — the check run before
+    reusing a trained IVF index on refreshed embeddings.
+
+    Scale shape: centroids come from ONE posexplode + partial-aggregated
+    groupBy(cluster, half, dim) — dims x clusters x 2 rows, tiny; the
+    halves then equi-join on (cluster, dim) and reduce to one row per
+    cluster. No vector ever crosses the shuffle whole."""
+    assigned = _ivf_assignments(spark, sf_dir)
+    dims = assigned.select(
+        "cluster",
+        (F.col("vec_id") % 2 == 0).alias("half_a"),
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy("cluster", "half_a", "dim").agg(
+        F.avg("x").alias("m")
+    )
+    counts = assigned.groupBy("cluster").agg(
+        F.sum(F.expr("if(vec_id % 2 = 0, 1, 0)")).cast("bigint").alias("n_a"),
+        F.sum(F.expr("if(vec_id % 2 = 1, 1, 0)")).cast("bigint").alias("n_b"),
+    )
+    a = cent.filter("half_a").select("cluster", "dim", F.col("m").alias("ma"))
+    b = cent.filter("not half_a").select(
+        "cluster", "dim", F.col("m").alias("mb")
+    )
+    drift = (
+        a.join(b, ["cluster", "dim"])
+        .groupBy("cluster")
+        .agg(
+            F.sum(F.expr("ma * mb")).alias("dot"),
+            F.sum(F.expr("ma * ma")).alias("na"),
+            F.sum(F.expr("mb * mb")).alias("nb"),
+        )
+        .select(
+            "cluster",
+            F.round(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 4
+            ).alias("centroid_cosine"),
+        )
+    )
+    return counts.join(drift, "cluster", "left").select(
+        "cluster", "n_a", "n_b", "centroid_cosine"
+    )

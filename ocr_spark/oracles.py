@@ -4229,3 +4229,36 @@ WITH {_IVF_ASSIGN}, hdims AS (
 SELECT c.cluster, c.n_a, c.n_b, d.centroid_cosine
 FROM counts c LEFT JOIN drift d ON d.cluster = c.cluster
 """
+
+ORACLES["boilerplate_phrases"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks)
+), nd AS (SELECT CAST(count(*) AS DOUBLE) AS corpus_docs FROM documents)
+SELECT g AS shingle,
+       CAST(count(*) AS BIGINT) AS df,
+       round(count(*) / nd.corpus_docs, 6) AS reach,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM sh, nd
+GROUP BY g, nd.corpus_docs
+QUALIFY row_number() OVER (ORDER BY df DESC, shingle ASC) <= 20
+"""
+
+ORACLES["epoch_shuffle_plan"] = f"""
+WITH e AS (
+  SELECT doc_id, n_chars, unnest([0, 1]) AS epoch FROM documents
+), h AS (
+  SELECT epoch, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 12))::BIGINT AS hkey
+  FROM e
+)
+SELECT epoch, CAST(hkey % {_params.SHARD_COUNT} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(hkey) AS BIGINT) AS order_checksum
+FROM h GROUP BY 1, 2
+"""

@@ -7525,3 +7525,78 @@ def q_embedding_centroid_drift(spark, sf_dir):
     return counts.join(drift, "cluster", "left").select(
         "cluster", "n_a", "n_b", "centroid_cosine"
     )
+
+
+def q_boilerplate_phrases(spark, sf_dir):
+    """Boilerplate-phrase detection — the corpus-level template report
+    that feeds strip-lists and the hot-shingle DF caps: 3-word shingles
+    ranked by document frequency, with corpus reach and the first doc
+    that carries each phrase. High-df phrases ("subscribe to our
+    newsletter") are navigation/template debris; the report is what a
+    curator reviews before adding them to a line-strip rule (the
+    upstream twin of line_dedup_rebuild's keep-first).
+
+    Scale shape: distinct shingles per doc (narrow) -> ONE
+    partial-aggregated groupBy(shingle) carrying count + min(doc_id) ->
+    TakeOrderedAndProject top-20. The gram stream reduces before it
+    moves; nothing else shuffles."""
+    from ocr_spark import dedup
+
+    sh = dedup.shingles(
+        _t_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    n_docs = (
+        _t(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("corpus_docs"))
+    )
+    ranked = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            "df",
+            F.round(F.col("df") / F.col("corpus_docs"), 6).alias("reach"),
+            "first_doc",
+        )
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+def q_epoch_shuffle_plan(spark, sf_dir):
+    """Multi-epoch deterministic reshuffle — the epoch-salted extension
+    of q_corpus_shard_plan: epoch e's order key is md5(doc_id ':' e),
+    so every epoch gets a DIFFERENT but fully reproducible global
+    order/sharding (what multi-epoch training wants: no repeated batch
+    neighborhoods, no rng state to snapshot). The per-(epoch, shard)
+    checksum card proves two runs produce byte-identical epoch streams.
+
+    Scale shape: explode over the tiny epoch list (narrow), one
+    partial-aggregated groupBy(epoch, shard); the physical write per
+    epoch is repartition(shard) + sortWithinPartitions(hkey)."""
+    from ocr_spark import params
+
+    doc = _t(spark, sf_dir, "documents")
+    e = doc.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr("array(0, 1)")).alias("epoch"),
+    )
+    hkey = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), ':',"
+        " cast(epoch as string))), 1, 12), 16, 10) as bigint)"
+    )
+    sharded = e.select(
+        "epoch",
+        "n_chars",
+        hkey.alias("hkey"),
+        (hkey % params.SHARD_COUNT).cast("int").alias("shard"),
+    )
+    return sharded.groupBy("epoch", "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("hkey").cast("bigint").alias("order_checksum"),
+    )

@@ -1123,3 +1123,23 @@ def test_mutual_nn_no_window_no_cartesian(spark):
     assert n_ops(p, "Window") == 0
     assert n_ops(p, "CartesianProduct") == 0
     assert "partial_max" in p or "partial" in p.lower()
+
+
+def test_boilerplate_phrases_single_shuffle_take_ordered(spark):
+    """Template-phrase report: one partial-aggregated gram groupBy, the
+    1-row corpus total broadcast, distributed top-k."""
+    p = plan(Q.q_boilerplate_phrases(spark, SF_DIR))
+    assert n_ops(p, "TakeOrderedAndProject") == 1
+    assert n_ops(p, "CartesianProduct") == 0
+    # gram agg + 1-row corpus total + the deliberate _t_spread input
+    # repartition; the 1-row total rides a BroadcastExchange
+    assert n_ops(p, "Exchange") <= 3
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """Epoch-salted shard card: narrow epoch explode + ONE two-phase
+    aggregate — no joins, no windows."""
+    p = plan(Q.q_epoch_shuffle_plan(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1
+    assert n_ops(p, "Generate") == 1  # the epoch explode
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0

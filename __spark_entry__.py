@@ -190,7 +190,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_decontam", "ngram_novelty_incremental",
     "dedup_graph_triangles", "tool_transition_stats", "mutual_nn_pairs",
     "kcore_peel", "bitext_mining_report", "dedup_cluster_purity",
-    "embedding_centroid_drift", "boilerplate_phrases", "epoch_shuffle_plan",
+    "embedding_centroid_drift", "boilerplate_phrases", "epoch_shuffle_plan", "trace_quality_gate",
     # relational / TPC-H family. Round 4 completes the suite (q2..q22
     # adapted to the schema); the 6 most shape-distinct new ones take
     # window slots (correlated-min join-back, outer-join histogram,
@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_drift": Q.q_embedding_centroid_drift,
         "boilerplate_phrases": Q.q_boilerplate_phrases,
         "epoch_shuffle_plan": Q.q_epoch_shuffle_plan,
+        "trace_quality_gate": Q.q_trace_quality_gate,
         "tool_transition_stats": Q.q_tool_transition_stats,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,

@@ -4262,3 +4262,26 @@ SELECT epoch, CAST(hkey % {_params.SHARD_COUNT} AS INT) AS shard,
        CAST(sum(hkey) AS BIGINT) AS order_checksum
 FROM h GROUP BY 1, 2
 """
+
+ORACLES["trace_quality_gate"] = r"""
+WITH t AS (
+  SELECT source AS conv_id, text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), calls AS (
+  SELECT conv_id,
+         CASE WHEN ('0x' || substr(md5(text), 13, 2))::BIGINT % 4 = 0 THEN 0 ELSE 1 END AS ok
+  FROM t WHERE role = 'tool'
+), per_conv AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_tool_calls,
+         CAST(sum(1 - ok) AS BIGINT) AS n_failed
+  FROM calls GROUP BY conv_id
+), convs AS (SELECT DISTINCT conv_id FROM t)
+SELECT c.conv_id,
+       CAST(coalesce(p.n_tool_calls, 0) AS BIGINT) AS n_tool_calls,
+       CAST(coalesce(p.n_failed, 0) AS BIGINT) AS n_failed,
+       CASE WHEN p.n_tool_calls IS NULL THEN 'no_tools'
+            WHEN p.n_failed = 0 THEN 'clean'
+            ELSE 'has_failures' END AS verdict
+FROM convs c LEFT JOIN per_conv p ON p.conv_id = c.conv_id
+"""

@@ -7600,3 +7600,39 @@ def q_epoch_shuffle_plan(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("n_chars"),
         F.sum("hkey").cast("bigint").alias("order_checksum"),
     )
+
+
+def q_trace_quality_gate(spark, sf_dir):
+    """Agent-trace quality gate — the SFT-curation rule that decides
+    which agent conversations are trainable: per conversation, tool-call
+    volume, failure count, and the gate verdict (clean = no failed
+    calls; traces with failures become preference/repair data instead of
+    SFT positives). Tool payloads synthesized content-keyed exactly as
+    in tool_call_stats; a real transcripts table uses its stored
+    payloads and the plan from the parse down is identical.
+
+    Scale shape: narrow role filter + JSON parse in codegen, ONE
+    partial-aggregated groupBy(conv_id); the |convs|-row verdict table
+    then left-joins back nothing — conversations without tool calls get
+    an explicit no_tools class via the left join from the conv list
+    (reusing the adapter's conv Exchange)."""
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
+    calls = t.filter(F.col("role") == "tool").select(
+        "conv_id",
+        F.when(F.expr(h.format(13, 2)) % 4 == 0, 0).otherwise(1).alias("ok"),
+    )
+    per_conv = calls.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_tool_calls"),
+        F.sum(F.expr("1 - ok")).cast("bigint").alias("n_failed"),
+    )
+    convs = t.select("conv_id").distinct()
+    return convs.join(per_conv, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_tool_calls", F.lit(0)).cast("bigint").alias("n_tool_calls"),
+        F.coalesce("n_failed", F.lit(0)).cast("bigint").alias("n_failed"),
+        F.when(F.col("n_tool_calls").isNull(), "no_tools")
+        .when(F.col("n_failed") == 0, "clean")
+        .otherwise("has_failures")
+        .alias("verdict"),
+    )

@@ -190,7 +190,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_decontam", "ngram_novelty_incremental",
     "dedup_graph_triangles", "tool_transition_stats", "mutual_nn_pairs",
     "kcore_peel", "bitext_mining_report", "dedup_cluster_purity",
-    "embedding_centroid_drift", "boilerplate_phrases", "epoch_shuffle_plan", "trace_quality_gate",
+    "embedding_centroid_drift", "boilerplate_phrases", "epoch_shuffle_plan", "trace_quality_gate", "mergeable_variance_card", "quality_novelty_calibration",
     # relational / TPC-H family. Round 4 completes the suite (q2..q22
     # adapted to the schema); the 6 most shape-distinct new ones take
     # window slots (correlated-min join-back, outer-join histogram,
@@ -459,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_phrases": Q.q_boilerplate_phrases,
         "epoch_shuffle_plan": Q.q_epoch_shuffle_plan,
         "trace_quality_gate": Q.q_trace_quality_gate,
+        "mergeable_variance_card": Q.q_mergeable_variance_card,
+        "quality_novelty_calibration": Q.q_quality_novelty_calibration,
         "tool_transition_stats": Q.q_tool_transition_stats,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,

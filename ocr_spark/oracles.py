@@ -4285,3 +4285,45 @@ SELECT c.conv_id,
             ELSE 'has_failures' END AS verdict
 FROM convs c LEFT JOIN per_conv p ON p.conv_id = c.conv_id
 """
+
+# direct one-pass global moments: a hash match proves the Spark side's
+# shard-wise Chan merge algebraically exact.
+ORACLES["mergeable_variance_card"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars::DOUBLE), 6) AS mean_chars,
+       round(var_pop(n_chars::DOUBLE), 6) AS var_pop_chars
+FROM documents
+"""
+
+ORACLES["quality_novelty_calibration"] = r"""
+WITH q AS (
+  SELECT doc_id,
+         round(CAST(least(length(text), 400) AS DOUBLE) / 400.0
+               * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                        / length(text)), 6) AS quality
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+    FROM toks)
+), fs AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+), nov AS (
+  SELECT sh.doc_id,
+         round(CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS novelty
+  FROM sh JOIN fs USING (g) GROUP BY sh.doc_id
+), dec AS (
+  SELECT q.doc_id, q.quality, nov.novelty,
+         ntile(10) OVER (ORDER BY q.quality ASC, q.doc_id ASC) AS decile
+  FROM q JOIN nov ON nov.doc_id = q.doc_id
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(novelty), 6) AS mean_novelty,
+       round(avg(CASE WHEN novelty < 0.3 THEN 1.0 ELSE 0.0 END), 6) AS low_novelty_rate
+FROM dec GROUP BY decile
+"""

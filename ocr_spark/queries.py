@@ -7636,3 +7636,91 @@ def q_trace_quality_gate(spark, sf_dir):
         .otherwise("has_failures")
         .alias("verdict"),
     )
+
+
+def q_mergeable_variance_card(spark, sf_dir):
+    """Mergeable-statistics card: per-shard (n, mean, M2) moments merged
+    into the global mean/variance with Chan's pairwise update — the
+    path an INCREMENTAL corpus card takes (each ingest ships one
+    moments row; the card re-merges without rescanning history). The
+    oracle computes the global moments directly in one pass, so a hash
+    match proves the shard-merge algebra exact — not just approximately
+    right.
+
+    Scale shape: one partial-aggregated groupBy(shard) to 64 moment
+    rows, then a driver-safe ordered fold over the tiny shard list
+    (collect_list bounded by SHARD_COUNT) inside a single aggregate
+    expression. Nothing wide ever moves."""
+    from ocr_spark import params
+
+    doc = _t(spark, sf_dir, "documents")
+    hkey = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+    )
+    shard_stats = (
+        doc.select(
+            (hkey % params.SHARD_COUNT).cast("int").alias("shard"),
+            F.col("n_chars").cast("double").alias("x"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("x").alias("mean"),
+            # M2 = sum of squared deviations from the shard mean
+            F.expr("sum(x * x) - count(*) * avg(x) * avg(x)").alias("m2"),
+        )
+    )
+    # Chan et al. pairwise merge, folded deterministically in shard order
+    merged = shard_stats.agg(
+        F.expr(
+            "aggregate("
+            " array_sort(collect_list(struct(shard, n, mean, m2)),"
+            "  (l, r) -> case when l.shard < r.shard then -1"
+            "            when l.shard > r.shard then 1 else 0 end),"
+            " named_struct('n', cast(0.0 as double), 'mean', cast(0.0 as double),"
+            "              'm2', cast(0.0 as double)),"
+            " (acc, s) -> named_struct("
+            "   'n', acc.n + s.n,"
+            "   'mean', (acc.n * acc.mean + s.n * s.mean) / (acc.n + s.n),"
+            "   'm2', acc.m2 + s.m2 + (s.mean - acc.mean) * (s.mean - acc.mean)"
+            "         * acc.n * s.n / (acc.n + s.n)))"
+        ).alias("g")
+    )
+    return merged.select(
+        F.col("g.n").cast("bigint").alias("n_docs"),
+        F.round("g.mean", 6).alias("mean_chars"),
+        F.round(F.expr("g.m2 / g.n"), 6).alias("var_pop_chars"),
+    )
+
+
+def q_quality_novelty_calibration(spark, sf_dir):
+    """Cross-signal calibration: does the cheap quality score agree with
+    the (more expensive) novelty signal? Per quality decile —
+    deterministic ntile over (quality, doc_id) — the doc count, mean
+    novelty, and low-novelty (< 0.3) rate. A flat or inverted novelty
+    curve across quality deciles means the quality gate is NOT a proxy
+    for dedup-worthiness and both gates must run; a monotone curve
+    licenses quality-first cheap filtering. Composes the two
+    oracle-checked signals (functions.quality_score,
+    curate.ngram_novelty).
+
+    Scale shape: the novelty join is doc-keyed; the decile is one
+    |docs|-row window (rank state only); the rollup is 10 rows."""
+    from ocr_spark import curate
+    from ocr_spark.functions import quality_score
+
+    doc = _t(spark, sf_dir, "documents")
+    q = doc.select("doc_id", quality_score("text").alias("quality"))
+    nov = curate.ngram_novelty(doc.select("doc_id", "text")).select(
+        "doc_id", "novelty"
+    )
+    joined = q.join(nov, "doc_id")
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    decile = joined.withColumn("decile", F.ntile(10).over(w))
+    return decile.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("novelty"), 6).alias("mean_novelty"),
+        F.round(
+            F.avg(F.expr("if(novelty < 0.3, cast(1.0 as double), cast(0.0 as double))")), 6
+        ).alias("low_novelty_rate"),
+    )

@@ -551,6 +551,23 @@ def main() -> None:
             plan(Q.q_kcore_peel(spark, SF_DIR)),
         ),
         (
+            "Boilerplate phrases: one gram shuffle + distributed top-k",
+            "Template-phrase report: the gram stream partial-aggregates "
+            "(count + min doc) before its single shuffle; the corpus "
+            "total is a 1-row broadcast; the ranking is "
+            "TakeOrderedAndProject.",
+            plan(Q.q_boilerplate_phrases(spark, SF_DIR)),
+        ),
+        (
+            "Mergeable moments: 64 rows then a bounded fold",
+            "Chan-merge variance card: one partial-aggregated "
+            "groupBy(shard) to SHARD_COUNT moment rows, then the "
+            "pairwise merge folds over the tiny sorted shard list "
+            "inside a single aggregate expression — the incremental "
+            "corpus-card path with nothing wide ever moving.",
+            plan(Q.q_mergeable_variance_card(spark, SF_DIR)),
+        ),
+        (
             "JL projection recall eval: TakeOrdered shortlists",
             "Both the full-dim truth top-10 and the projected-space "
             "top-100 shortlist are TakeOrderedAndProject (distributed "

@@ -167,81 +167,46 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry keys each
-# round. Rounds 1-3 sampled the same 59 names; every other query was green
-# only under the identical local twin harness (tests/harness_check.py).
-# This list front-loads a diverse slice of the never-driver-sampled
-# queries (the round-4 continuation operators, TPC-H family, ANN/IVF,
-# dedup clustering, in-engine training loops) so rounds 4+ convert
-# local-only assurance into driver-grade evidence. Order within the
-# window is diversity-first; everything else keeps its round-3 order.
-# Round 5: the first 50 (through kmeans_train) will be driver-green from
-# the r04 artifacts — rotate them to the back and front-load the next
-# block (logreg_train, pagerank, the temporal family from
-# asof_join_view_value, then chat_template_spans .. the remaining
-# never-sampled names below).
+# round. Cumulative driver evidence after r4: 109 of 227 names sampled.
+# Round 5 rotates the r4 window (all driver-green in CORRECTNESS_r04) to
+# the back and front-loads the next 50 NEVER-driver-sampled,
+# oracle-checked names exactly as the r4 verdict prescribed: the two
+# production-path extraction parity checks first, then the in-engine
+# training loops, the temporal/event family, transcript-prep +
+# retrieval, the remaining TPC-H adaptations, dedup clustering, and the
+# corpus-stats block. All 7 rows-only entries sit at the very back so
+# every driver-sampled slot is value-checked (no `no_oracle` rows in
+# the window — bucketed_layout_audit additionally gained a DuckDB
+# oracle this round, so it value-checks wherever sampled).
+# After this window: cumulative 159/227; the 62 names queued directly
+# behind slot 50 (rest-never block) are the round-6 window.
 _DRIVER_WINDOW_PRIORITY = [
-    # round 4: the routed-extraction fast path, new this round — first so
-    # the driver value-checks it (spans included) the round it lands
-    "extract_routed_text_parity",
-    # round 4: bucketed-output layout proof (rows-only), judged artifact
-    "bucketed_layout_audit",
-    # round 4 continuation: new operators land driver-checked immediately
-    "cc_two_phase", "ngram_novelty", "rp_recall_report", "corpus_shard_plan",
-    "semantic_decontam", "ngram_novelty_incremental",
-    "dedup_graph_triangles", "tool_transition_stats", "mutual_nn_pairs",
-    "kcore_peel", "bitext_mining_report", "dedup_cluster_purity",
-    "embedding_centroid_drift", "boilerplate_phrases", "epoch_shuffle_plan", "trace_quality_gate", "mergeable_variance_card", "quality_novelty_calibration",
-    # relational / TPC-H family. Round 4 completes the suite (q2..q22
-    # adapted to the schema); the 6 most shape-distinct new ones take
-    # window slots (correlated-min join-back, outer-join histogram,
-    # scalar-max ties, correlated-avg join-back, disjunctive join
-    # predicate, anti-join + scalar-avg), the rest queue for round 5.
-    "tpch_q1", "tpch_q6", "tpch_q3", "tpch_q5_local_supplier", "tpch_q21ish",
-    "tpch_q10ish", "tpch_q12ish",
-    "tpch_q2ish", "tpch_q13ish", "tpch_q15ish", "tpch_q17ish",
-    "tpch_q19ish", "tpch_q22ish",
-    "tpch_q14ish", "tpch_q18ish", "dim_broadcast_join", "semi_join_exists",
-    "set_ops", "distinct_agg", "cube_totals", "grouping_sets_value",
-    "median_value_per_type",
-    # similarity search / ANN
-    "embedding_norms", "cosine_topk", "lsh_sign_buckets",
-    "ann_bucketed_topk", "ivf_cluster_sizes", "ivf_search_topk",
-    "ivf_search_multiprobe", "lsh_recall_report", "ivf_recall_report",
-    # dedup clustering / near-dup verify paths (in-window ahead of the
-    # temporal block: semdedup's skew guard and the training-loop depth
-    # params were explicit round-3 verdict asks whose "done" criterion
-    # is a green driver CORRECTNESS row; the family's other members
-    # rotate to round 5 — minhash_lsh_pairs, simhash_near_dup,
-    # embedding_near_dup, benchmark_decontam were already driver-green
-    # in r01-r03, so the shapes have coverage)
-    "semdedup", "dedup_clusters", "dedup_cluster_representatives",
-    "fuzzy_decontam",
-    # in-engine training loops
-    "bpe_train", "bpe_encode", "kmeans_train", "logreg_train", "pagerank",
-    # temporal / event semantics (first 3 in-window at current counts)
-    "asof_join_view_value", "range_join_click_burst", "session_window_agg",
-    "event_type_rollup", "funnel_analysis", "json_extract_props",
-    "pivot_event_values", "unpivot_stats",
-    # transcript prep + retrieval
-    "chat_template_spans", "sft_pairs", "reward_pairs", "bm25_topk",
-    "rrf_fusion",
-    # remaining never-driver-sampled names (window for round 5+)
-    "tpch_q4ish", "tpch_q7ish", "tpch_q8ish", "tpch_q9ish",
+    # ---- round-5 window: slots 1-50, all never-sampled, all oracle-checked ----
+    "extract_udf_text_parity", "rollup_text_parity", "logreg_train",
+    "pagerank", "asof_join_view_value", "range_join_click_burst",
+    "session_window_agg", "funnel_analysis", "pivot_event_values",
+    "unpivot_stats", "event_type_rollup", "json_extract_props",
+    "chat_template_spans", "sft_pairs", "reward_pairs",
+    "bm25_topk", "rrf_fusion", "tpch_q4ish",
+    "tpch_q7ish", "tpch_q8ish", "tpch_q9ish",
     "tpch_q11ish", "tpch_q16ish", "tpch_q20ish",
-    "containment_pairs", "band_dedup_keep_first", "dup_span_islands",
-    "incremental_band_dedup", "bloom_decontam", "levenshtein_near_dup",
-    "url_domain_histogram", "tfidf_top_terms", "bigram_lm_score",
-    "train_eval_split", "hashed_ngram_classifier", "domain_blocklist_filter",
-    "doclen_percentiles", "token_entropy", "merge_consecutive_runs",
-    "line_dedup_rebuild", "dsir_importance", "source_mixture_weights",
-    "winnowing_candidates", "lang_id_confusion", "vocab_oov_rate",
-    "prefix_dedup", "iqr_length_outliers", "zipf_slope",
-    "intra_doc_segment_dedup", "source_pair_overlap", "merge_upsert",
-    "gopher_repetition_battery", "char_ngram_lang_id",
-    "quality_rank_by_source", "curation_gate_funnel", "turn_gap_stats",
-    "packed_sequences", "overlapping_chunks", "ndcg_at_10",
-    "length_bucket_batches", "md_structure", "analyze_table_stats",
-    "weighted_reservoir_sample", "gap_fill_interpolate",
+    "semdedup", "dedup_clusters", "dedup_cluster_representatives",
+    "fuzzy_decontam", "bpe_train", "bpe_encode",
+    "kmeans_train", "ivf_recall_report", "containment_pairs",
+    "band_dedup_keep_first", "dup_span_islands", "incremental_band_dedup",
+    "bloom_decontam", "levenshtein_near_dup", "winnowing_candidates",
+    "gopher_repetition_battery", "url_domain_histogram", "tfidf_top_terms",
+    "bigram_lm_score", "train_eval_split", "hashed_ngram_classifier",
+    "domain_blocklist_filter", "doclen_percentiles", "token_entropy",
+    "merge_consecutive_runs", "line_dedup_rebuild",
+    # ---- never-sampled queue for the next rotation (slots 51+) ----
+    "dsir_importance", "source_mixture_weights", "lang_id_confusion",
+    "vocab_oov_rate", "prefix_dedup", "iqr_length_outliers",
+    "zipf_slope", "intra_doc_segment_dedup", "source_pair_overlap",
+    "merge_upsert", "char_ngram_lang_id", "quality_rank_by_source",
+    "curation_gate_funnel", "packed_sequences", "overlapping_chunks",
+    "ndcg_at_10", "length_bucket_batches", "md_structure",
+    "analyze_table_stats", "weighted_reservoir_sample", "gap_fill_interpolate",
     "column_correlations", "hard_negative_mining", "scd2_history",
     "robots_gate", "anchor_text_aggregation", "tokenizer_fertility",
     "cluster_size_histogram", "prefix_sharing_stats", "mixture_token_budget",
@@ -253,11 +218,50 @@ _DRIVER_WINDOW_PRIORITY = [
     "context_assembly", "skew_report", "rank_weighted_sample",
     "dedup_weights", "vocab_drift_kl", "embedding_quantize_error",
     "pmi_collocations", "tool_cooccurrence", "countmin_freq",
-    "ngram_diversity", "url_canonicalize", "approx_distinct_grams",
-    "pdf_column_layout_order", "pdf_table_grid", "compaction_plan",
-    "zorder_layout", "manifest_prune_stats", "snapshot_cdc_diff",
-    "extract_pipeline", "extract_udf_text_parity", "rollup_text_parity",
-    "conv_rollup", "partition_metrics",
+    "ngram_diversity", "url_canonicalize", "pdf_column_layout_order",
+    "pdf_table_grid", "compaction_plan", "zorder_layout",
+    "manifest_prune_stats", "snapshot_cdc_diff",
+    # ---- driver-green in earlier rounds (r1-r4), rotated behind ----
+    "extract_routed_text_parity", "cc_two_phase", "ngram_novelty",
+    "rp_recall_report", "corpus_shard_plan", "semantic_decontam",
+    "ngram_novelty_incremental", "dedup_graph_triangles", "tool_transition_stats",
+    "mutual_nn_pairs", "kcore_peel", "bitext_mining_report",
+    "dedup_cluster_purity", "embedding_centroid_drift", "boilerplate_phrases",
+    "epoch_shuffle_plan", "trace_quality_gate", "mergeable_variance_card",
+    "quality_novelty_calibration", "tpch_q1", "tpch_q6",
+    "tpch_q3", "tpch_q5_local_supplier", "tpch_q21ish",
+    "tpch_q10ish", "tpch_q12ish", "tpch_q2ish",
+    "tpch_q13ish", "tpch_q15ish", "tpch_q17ish",
+    "tpch_q19ish", "tpch_q22ish", "tpch_q14ish",
+    "tpch_q18ish", "dim_broadcast_join", "semi_join_exists",
+    "set_ops", "distinct_agg", "cube_totals",
+    "grouping_sets_value", "median_value_per_type", "embedding_norms",
+    "cosine_topk", "lsh_sign_buckets", "ann_bucketed_topk",
+    "ivf_cluster_sizes", "ivf_search_topk", "ivf_search_multiprobe",
+    "lsh_recall_report", "t5_cleanup_normalize", "f1_page_classifier",
+    "f3_empty_text_filter", "s3_content_hash", "a6_dedup_exact",
+    "t9_stats_projection", "t11_merge_lines", "line_stats_agg",
+    "value_histogram", "a3_ordered_concat", "a2_ordered_gather",
+    "a8_top_k", "f7_limit_predicate", "token_count",
+    "doc_fingerprint", "lang_id_heuristic", "quality_score",
+    "ngram_jaccard_pairs", "minhash_signature", "token_count_bpe",
+    "lang_id_script", "rolling_hash_fingerprint", "minhash_lsh_pairs",
+    "simhash_fingerprint", "simhash_near_dup", "embedding_near_dup",
+    "f2_confidence_filter", "f4_file_type_dispatch", "f6_block_projection",
+    "a7_reading_order", "t4_line_join", "s2_base64_roundtrip",
+    "w1_running_count", "w3_event_gap", "topk_per_group",
+    "event_type_rollup_totals", "mm_decode_meta", "mm_resize_plan",
+    "mm_frame_sample", "mm_audio_chunks", "tumbling_window_counts",
+    "mm_feature_extract", "corpus_filter_pipeline", "pii_scrub",
+    "gopher_quality_filter", "repetition_filter", "chunk_dedup_keep_first",
+    "winnowing_fingerprint", "benchmark_decontam", "sequence_packing",
+    "bpe_top_merges", "stratified_sample", "mixture_rebalance",
+    "tpch_q5ish", "w2_stable_event_order", "p1_chunk_split",
+    "a4_batch_summary", "f5_validation_predicates", "sessionize",
+    # ---- rows-only by design (pytest-pinned), permanently behind slot 50 ----
+    "bucketed_layout_audit", "turn_gap_stats", "approx_distinct_grams",
+    "extract_pipeline", "conv_rollup", "partition_metrics",
+    "bin_packing_ffd",
 ]
 
 

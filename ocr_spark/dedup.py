@@ -223,6 +223,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             # min-label needs O(diameter) rounds; returning the
             # intermediate labels would silently SPLIT a component and
             # leak duplicates past representatives() into the kept corpus
+            labels.unpersist()  # failing job must not leak executor storage
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} "
                 "rounds (component diameter exceeds the budget); raise "

@@ -4327,3 +4327,22 @@ SELECT decile,
        round(avg(CASE WHEN novelty < 0.3 THEN 1.0 ELSE 0.0 END), 6) AS low_novelty_rate
 FROM dec GROUP BY decile
 """
+
+# Bucketed-layout audit: the plan-shape half (Exchange count,
+# SortMergeJoin presence) is a FIXED claim the operator must uphold —
+# pinning it as literals means any regression to a shuffling join flips
+# the driver's hash compare red, exactly like a wrong value. The data
+# half (joined_turns) is independently re-derived: extraction is
+# row-preserving over documents-as-transcripts (one turn per document,
+# one conversation per source) and every conversation has a rollup row,
+# so the conv_id equi-join keeps every turn — DuckDB re-executes that
+# join against the rollup it builds itself.
+ORACLES["bucketed_layout_audit"] = """
+SELECT CAST(0 AS INTEGER) AS join_exchanges,
+       true AS sort_merge_join,
+       (SELECT count(*)
+          FROM documents d
+          JOIN (SELECT source, count(*) AS n_turns
+                  FROM documents GROUP BY source) r
+            ON d.source = r.source) AS joined_turns
+"""

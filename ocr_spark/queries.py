@@ -3730,7 +3730,7 @@ _LOGREG_ROUNDS = _params.LOGREG_ROUNDS  # shared with the oracle generator
 _LOGREG_DIMS = 65  # 64 embedding dims + bias-as-feature
 
 
-def q_logreg_train(spark, sf_dir, rounds: int = None):
+def q_logreg_train(spark, sf_dir, rounds: int | None = None):
     """Full iterative logistic-regression TRAINING (batch gradient
     descent) of a binary quality classifier over the embedding table
     (target: label parity) — the supervised twin of kmeans_train, i.e.
@@ -3939,7 +3939,7 @@ _PR_DAMPING = 0.85
 _PR_ROUNDS = _params.PAGERANK_ROUNDS  # shared with the oracle generator
 
 
-def q_pagerank(spark, sf_dir, rounds: int = None):
+def q_pagerank(spark, sf_dir, rounds: int | None = None):
     """Full iterative PageRank (3 unrolled power-iteration rounds,
     damping 0.85) over a deterministic content-keyed link graph (each
     document emits 2 out-links, targets md5-derived) — the link-analysis
@@ -3989,7 +3989,7 @@ def _content_link_edges(doc, n, extra=()):
     return side(1).unionByName(side(9))
 
 
-def _pagerank_ranks(spark, sf_dir, rounds: int = None):
+def _pagerank_ranks(spark, sf_dir, rounds: int | None = None):
     """The shared rank loop behind q_pagerank / q_rank_weighted_sample:
     returns (ranks, n_docs) — the full (doc_id, rank) DataFrame after
     _PR_ROUNDS damped power iterations with the 10-decimal per-round
@@ -7325,7 +7325,7 @@ def q_mutual_nn_pairs(spark, sf_dir):
     )
 
 
-def q_kcore_peel(spark, sf_dir, rounds: int = None, k: int = None):
+def q_kcore_peel(spark, sf_dir, rounds: int | None = None, k: int | None = None):
     """k-core peeling of the verified near-dup pair graph — the graph
     audit that isolates the densely-interlinked core (template farms,
     spam rings: nodes surviving repeated removal of degree < k nodes)
@@ -7666,8 +7666,11 @@ def q_mergeable_variance_card(spark, sf_dir):
         .agg(
             F.count("*").cast("double").alias("n"),
             F.avg("x").alias("mean"),
-            # M2 = sum of squared deviations from the shard mean
-            F.expr("sum(x * x) - count(*) * avg(x) * avg(x)").alias("m2"),
+            # M2 = sum of squared deviations from the shard mean,
+            # via var_pop (Spark's numerically-stable online moments) —
+            # NOT sum(x*x) - n*mean^2, which cancels catastrophically
+            # when mean^2 >> variance at corpus magnitudes
+            F.expr("var_pop(x) * count(*)").alias("m2"),
         )
     )
     # Chan et al. pairwise merge, folded deterministically in shard order

@@ -596,8 +596,9 @@ def main() -> None:
             "doc with millions of near-dup edges) never materializes its "
             "neighbor list in a task; no CartesianProduct / "
             "BroadcastNestedLoopJoin (pinned in test_cc_two_phase.py). "
-            "The operator loop localCheckpoints every 3 rounds so "
-            "iteration depth never bloats the plan or task binaries.",
+            "The operator loop localCheckpoints EVERY round (min-label "
+            "checkpoints every 5) so iteration depth never bloats the "
+            "plan or task binaries.",
             plan(_cc_small_star(_cc_large_star(cc_edges))),
         )
     )

@@ -2240,20 +2240,24 @@ def _logreg_round(i: int) -> str:
 ), wl{i} AS (SELECT list(w ORDER BY pos) AS wl FROM w{i})"""
 
 
-ORACLES["logreg_train"] = (
-    """WITH e AS (
+def _logreg_train_sql(rounds: int = _params.LOGREG_ROUNDS) -> str:
+    """Unroll ``rounds`` full-batch gradient steps in lockstep with the
+    Spark loop (depth-agnostic: tests/test_training_depth.py proves a
+    deeper config green against a freshly generated oracle)."""
+    return (
+        """WITH e AS (
   SELECT vec_id, list_concat(embedding::DOUBLE[], [1.0]) AS xb,
          CAST(label % 2 AS DOUBLE) AS y
   FROM embeddings
 ), w0 AS (
   SELECT CAST(r AS INT) AS pos, 0.0 AS w FROM range(1, 66) t(r)
 ), wl0 AS (SELECT list(w ORDER BY pos) AS wl FROM w0), """
-    + ", ".join(_logreg_round(i) for i in range(1, _params.LOGREG_ROUNDS + 1))
-    + f""", sf AS (
+        + ", ".join(_logreg_round(i) for i in range(1, rounds + 1))
+        + f""", sf AS (
   SELECT e.vec_id, e.y,
          1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 66),
              k -> e.xb[k] * w.wl[k])))) AS p
-  FROM e, wl{_params.LOGREG_ROUNDS} w
+  FROM e, wl{rounds} w
 )
 SELECT CAST(y AS INT) AS y_true,
        p >= 0.5 AS pred,
@@ -2263,7 +2267,10 @@ SELECT CAST(y AS INT) AS y_true,
 FROM sf
 GROUP BY 1, 2
 """
-)
+    )
+
+
+ORACLES["logreg_train"] = _logreg_train_sql(_params.LOGREG_ROUNDS)
 
 
 ORACLES["tool_call_stats"] = r"""
@@ -2385,8 +2392,11 @@ def _pr_round(i: int) -> str:
 )"""
 
 
-ORACLES["pagerank"] = (
-    """WITH nn AS (
+def _pagerank_sql(rounds: int = _params.PAGERANK_ROUNDS) -> str:
+    """Unroll ``rounds`` damped power iterations in lockstep with the
+    Spark loop (depth-agnostic; see tests/test_training_depth.py)."""
+    return (
+        """WITH nn AS (
   SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
 ), e AS (
   SELECT doc_id AS src,
@@ -2401,14 +2411,17 @@ ORACLES["pagerank"] = (
 ), r0 AS (
   SELECT doc_id, 1.0 / nn.n AS rank FROM documents, nn
 ), """
-    + ", ".join(_pr_round(i) for i in range(1, _params.PAGERANK_ROUNDS + 1))
-    + f"""
+        + ", ".join(_pr_round(i) for i in range(1, rounds + 1))
+        + f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(rank, 6) AS pr
-FROM r{_params.PAGERANK_ROUNDS}
+FROM r{rounds}
 ORDER BY rank DESC, doc_id ASC
 LIMIT 20
 """
-)
+    )
+
+
+ORACLES["pagerank"] = _pagerank_sql(_params.PAGERANK_ROUNDS)
 
 
 ORACLES["skew_report"] = r"""
@@ -4129,23 +4142,30 @@ WHERE a.src < b.src
 # k-core peel: unrolled in lockstep with params.KCORE_ROUNDS/KCORE_K
 # (training-loop convention) over the same composed pair-graph oracle.
 def _kcore_sql(rounds: int, k: int) -> str:
+    # Every CTE is MATERIALIZED: each round references the previous edge
+    # set three times (the degree count plus both endpoints' alive-set
+    # joins), so DuckDB's default CTE inlining re-expands the embedded
+    # MinHash-pairs pipeline 3^rounds times — fine at the registered
+    # depth of 3, a multi-hour planner explosion at the deeper
+    # test_training_depth configs. Materializing keeps the oracle linear
+    # in rounds with identical semantics.
     parts = [
-        "WITH pr0 AS (" + ORACLES["minhash_lsh_pairs"] + "),",
+        "WITH pr0 AS MATERIALIZED (" + ORACLES["minhash_lsh_pairs"] + "),",
         "pr AS (SELECT doc_a, doc_b FROM pr0),",
-        "e0 AS (SELECT doc_a AS u, doc_b AS v FROM pr"
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pr"
         " UNION SELECT doc_b, doc_a FROM pr),",
         "nodes AS (SELECT DISTINCT u AS doc_id FROM e0),",
     ]
     prev = "e0"
     for r in range(1, rounds + 1):
         parts.append(
-            f"d{r} AS (SELECT u, count(*) AS d FROM {prev} GROUP BY u),"
+            f"d{r} AS MATERIALIZED (SELECT u, count(*) AS d FROM {prev} GROUP BY u),"
         )
         parts.append(
-            f"a{r} AS (SELECT u FROM d{r} WHERE d >= {k}),"
+            f"a{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE d >= {k}),"
         )
         parts.append(
-            f"e{r} AS (SELECT e.u, e.v FROM {prev} e"
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e"
             f" JOIN a{r} au ON au.u = e.u"
             f" JOIN a{r} av ON av.u = e.v),"
         )

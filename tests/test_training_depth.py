@@ -16,7 +16,13 @@ import pandas as pd
 import pytest
 
 import ocr_spark.queries as Q
-from ocr_spark.oracles import _bpe_train_sql, _kmeans_train_sql
+from ocr_spark.oracles import (
+    _bpe_train_sql,
+    _kcore_sql,
+    _kmeans_train_sql,
+    _logreg_train_sql,
+    _pagerank_sql,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -56,6 +62,33 @@ def test_kmeans_train_5_iters_matches_oracle(spark, duck):
     sdf = Q.q_kmeans_train(spark, SF_DIR, iters=5).toPandas()
     odf = duck.execute(_kmeans_train_sql(5)).df()
     _assert_same(sdf, odf, ["cluster"])
+
+
+def test_logreg_train_8_steps_matches_oracle(spark, duck):
+    """8 full-batch gradient steps (vs the registered demo depth of 3):
+    the Spark loop and a freshly unrolled oracle stay value-identical,
+    so deepening the optimizer for a real run is a parameter change."""
+    sdf = Q.q_logreg_train(spark, SF_DIR, rounds=8).toPandas()
+    odf = duck.execute(_logreg_train_sql(8)).df()
+    _assert_same(sdf, odf, ["y_true", "pred"])
+
+
+def test_pagerank_8_rounds_matches_oracle(spark, duck):
+    """8 damped power iterations (vs the registered 3): deeper lineage
+    exercises the localCheckpoint cadence, and ranks must still match
+    the lockstep-unrolled oracle to 6 decimals."""
+    sdf = Q.q_pagerank(spark, SF_DIR, rounds=8).toPandas()
+    odf = duck.execute(_pagerank_sql(8)).df()
+    _assert_same(sdf, odf, ["doc_id"])
+
+
+def test_kcore_peel_deeper_and_stricter_matches_oracle(spark, duck):
+    """6 peel rounds at k=3 (vs the registered 3 rounds at k=2): a
+    stricter core over the same pair graph, proving the peel unrolling
+    is depth- AND threshold-agnostic."""
+    sdf = Q.q_kcore_peel(spark, SF_DIR, rounds=6, k=3).toPandas()
+    odf = duck.execute(_kcore_sql(6, 3)).df()
+    _assert_same(sdf, odf, ["doc_id"])
 
 
 def test_registered_depths_come_from_params(spark):

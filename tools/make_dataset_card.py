@@ -20,32 +20,80 @@ import argparse
 import json
 import os
 import shutil
+import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `python tools/make_dataset_card.py` puts tools/ first
+    sys.path.insert(0, REPO)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--train-token-budget", type=int, default=2_000_000)
+    ap.add_argument("--train-token-budget", type=int, default=150_000)
+    ap.add_argument("--turns-per-conv", type=int, default=10)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     from jobs.full_pipeline import run
-    from ocr_spark.queries import doc_transcripts
     from ocr_spark.session import build_session
 
     spark = build_session(master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="dataset_card_")
     try:
-        doc_transcripts(spark, args.sf_dir).write.mode("overwrite").parquet(
-            f"{base}/transcripts"
-        )
         doc = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        # Same (conv_id, turn_idx, role, text, tool, ts) shape as the
+        # oracle-checked doc_transcripts adapter, but at conversation
+        # granularity --turns-per-conv so the card's funnel operates on a
+        # corpus of hundreds of conversations, not one per source.
+        k = args.turns_per_conv
+        # Rank within source (doc_ids are strided across sources, so a raw
+        # doc_id/k would never merge two docs of the same source), then take
+        # consecutive k-blocks of that rank as one conversation.
+        rank_w = Window.partitionBy("source").orderBy("doc_id")
+        renamed = doc.select(
+            "source", "doc_id", "text", (F.row_number().over(rank_w) - 1).alias("_rk")
+        ).select(
+            F.concat_ws(
+                "_", "source", (F.col("_rk") / k).cast("int").cast("string")
+            ).alias("conv_id"),
+            "doc_id",
+            "text",
+        )
+        w = Window.partitionBy("conv_id").orderBy("doc_id")
+        turns = renamed.select(
+            "conv_id",
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit("").alias("tool"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        # Deterministic duplicate injection so the card's dedup stages are
+        # demonstrative (mirrors the verbatim-leak/decoy injection below for
+        # decontam): one VERBATIM copy per source (caught by the gate's
+        # exact sha dedup) and one NEAR copy per source with turn 0
+        # perturbed (passes exact dedup, caught by MinHash/LSH near-dedup).
+        exact_dups = turns.filter(F.col("conv_id").endswith("_1")).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("_xdup"))
+        )
+        near_dups = (
+            turns.filter(F.col("conv_id").endswith("_2"))
+            .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_ndup")))
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("turn_idx") == 0, F.concat(F.lit("nearly "), F.col("text"))
+                ).otherwise(F.col("text")),
+            )
+        )
+        turns.unionByName(exact_dups).unionByName(near_dups).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/transcripts")
         verbatim = doc.filter("doc_id % 250 = 7").select("doc_id", "text")
         scrambled = doc.filter("doc_id % 25 = 3").select(
             "doc_id",

@@ -178,8 +178,10 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every driver-sampled slot is value-checked (no `no_oracle` rows in
 # the window — bucketed_layout_audit additionally gained a DuckDB
 # oracle this round, so it value-checks wherever sampled).
-# After this window: cumulative 159/227; the 62 names queued directly
-# behind slot 50 (rest-never block) are the round-6 window.
+# After this window: cumulative 159/230 (three oracle-checked
+# trajectory/rollout ops were added behind the frozen window after it
+# was certified); the names queued directly behind slot 50 (rest-never
+# block) are the next window.
 _DRIVER_WINDOW_PRIORITY = [
     # ---- round-5 window: slots 1-50, all never-sampled, all oracle-checked ----
     "extract_udf_text_parity", "rollup_text_parity", "logreg_train",
@@ -258,6 +260,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_top_merges", "stratified_sample", "mixture_rebalance",
     "tpch_q5ish", "w2_stable_event_order", "p1_chunk_split",
     "a4_batch_summary", "f5_validation_predicates", "sessionize",
+    # ---- added after the round-5 window froze (oracle-checked; behind slot 50
+    # so the sampled window stays exactly the 50 certified names) ----
+    "agent_loop_detector", "prompt_rollout_dedup", "pass_at_k",
     # ---- rows-only by design (pytest-pinned), permanently behind slot 50 ----
     "bucketed_layout_audit", "turn_gap_stats", "approx_distinct_grams",
     "extract_pipeline", "conv_rollup", "partition_metrics",
@@ -466,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mergeable_variance_card": Q.q_mergeable_variance_card,
         "quality_novelty_calibration": Q.q_quality_novelty_calibration,
         "tool_transition_stats": Q.q_tool_transition_stats,
+        # agent-trajectory hygiene + RL-rollout reductions (round 5)
+        "agent_loop_detector": Q.q_agent_loop_detector,
+        "prompt_rollout_dedup": Q.q_prompt_rollout_dedup,
+        "pass_at_k": Q.q_pass_at_k,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,
         "corpus_shard_plan": Q.q_corpus_shard_plan,

@@ -4366,3 +4366,89 @@ SELECT CAST(0 AS INTEGER) AS join_exchanges,
                   FROM documents GROUP BY source) r
             ON d.source = r.source) AS joined_turns
 """
+
+ORACLES["agent_loop_detector"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 4 AS INTEGER) AS tmpl
+  FROM documents
+), marked AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(tmpl) OVER w IS NULL OR tmpl != lag(tmpl) OVER w
+              THEN 1 ELSE 0 END AS new_run
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), runs AS (
+  SELECT conv_id,
+         sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+), per_run AS (
+  SELECT conv_id, run_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY conv_id, run_id
+)
+SELECT conv_id,
+       CAST(sum(run_len) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       max(run_len) >= 3 AS stuck
+FROM per_run GROUP BY conv_id
+"""
+
+ORACLES["prompt_rollout_dedup"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS completion_fp
+  FROM t GROUP BY conv_id
+), grp AS (
+  SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_bucket,
+         conv_id, completion_fp
+  FROM per_conv
+)
+SELECT prompt_bucket,
+       CAST(count(*) AS BIGINT) AS n_rollouts,
+       CAST(count(DISTINCT completion_fp) AS BIGINT) AS n_unique_completions,
+       min(conv_id) AS first_conv,
+       CAST(count(*) - count(DISTINCT completion_fp) AS BIGINT) AS n_dropped
+FROM grp GROUP BY prompt_bucket
+"""
+
+ORACLES["pass_at_k"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS completion_fp
+  FROM t GROUP BY conv_id
+), scored AS (
+  SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_bucket,
+         CASE WHEN ('0x' || substr(completion_fp, 1, 1))::INTEGER < 8
+              THEN 1 ELSE 0 END AS success
+  FROM per_conv
+), counts AS (
+  SELECT prompt_bucket,
+         CAST(count(*) AS BIGINT) AS n_rollouts,
+         CAST(sum(success) AS BIGINT) AS n_success
+  FROM scored GROUP BY prompt_bucket
+)
+SELECT prompt_bucket, n_rollouts, n_success,
+       round(CAST(n_success AS DOUBLE) / CAST(n_rollouts AS DOUBLE), 6) AS pass_at_1,
+       CASE WHEN n_rollouts < 4 THEN NULL
+            WHEN n_rollouts - n_success < 4 THEN 1.0
+            ELSE round(1.0 - CAST((n_rollouts - n_success) * (n_rollouts - n_success - 1)
+                                  * (n_rollouts - n_success - 2) * (n_rollouts - n_success - 3) AS DOUBLE)
+                           / CAST(n_rollouts * (n_rollouts - 1) * (n_rollouts - 2)
+                                  * (n_rollouts - 3) AS DOUBLE), 6)
+       END AS pass_at_4
+FROM counts
+"""

@@ -7727,3 +7727,169 @@ def q_quality_novelty_calibration(spark, sf_dir):
             F.avg(F.expr("if(novelty < 0.3, cast(1.0 as double), cast(0.0 as double))")), 6
         ).alias("low_novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Agent-trajectory hygiene & RL-rollout reductions (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_agent_loop_detector(spark, sf_dir):
+    """Stuck-agent detector: flag conversations where consecutive turns
+    repeat the same response template — the classic failure mode of an
+    agent loop (retry storms, tool ping-pong, self-quoting) whose
+    trajectories an SFT/RL pipeline must drop before training. A "run"
+    is a maximal streak of consecutive turns with the same template id;
+    the gate flags any conversation whose longest run reaches 3. On the
+    real transcripts table the template id is the digit/whitespace
+    -normalized response hash; on the adapter table (all 500 texts
+    unique) it is derived content-keyed (md5(text) mod 4, same
+    convention as role_alternation_check) so the detector has runs to
+    find.
+
+    Distributed shape: gaps-and-islands entirely inside one
+    conv-partitioned window (lag + running sum share the single
+    Exchange the doc_transcripts adapter already established), then two
+    conv-keyed partial-aggregated groupBys. No global sort, no join —
+    per-conversation state only, so it scales to any number of
+    conversations and the longest conversation bounds task memory."""
+    t = doc_transcripts(spark, sf_dir)
+    tmpl = F.expr(
+        "cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 4 as int)"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    marked = t.select("conv_id", "turn_idx", tmpl.alias("tmpl")).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.lag("tmpl").over(w).isNull() | (F.col("tmpl") != F.lag("tmpl").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marked.select(
+        "conv_id",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("conv_id", "run_id").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_turns"),
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+        (F.max("run_len") >= 3).alias("stuck"),
+    )
+
+
+def _rollout_fingerprints(spark, sf_dir):
+    """Shared prefix of the rollout-reduction queries: one conv-keyed
+    partial-aggregated rollup producing, per conversation, the first
+    turn's text and the md5 fingerprint of the turn-ordered full text
+    (unit-separator joined — the a3_ordered_concat contract, bounded by
+    turns-per-conversation)."""
+    t = doc_transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.expr("min_by(text, turn_idx)").alias("first_text"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(turn_idx, text))),"
+                    " s -> s.text)"
+                ),
+                "\x1f",
+            )
+        ).alias("completion_fp"),
+    )
+
+
+_PROMPT_BUCKET_EXPR = (
+    "cast(cast(conv(substr(md5(first_text), 1, 8), 16, 10) as bigint) % 4 as int)"
+)
+
+
+def q_prompt_rollout_dedup(spark, sf_dir):
+    """Shared-prompt rollout dedup: RL / best-of-n sampling emits many
+    trajectories per prompt, and byte-identical completions within a
+    prompt group carry zero extra signal — keep one per distinct
+    completion. Each conversation is fingerprinted by its ordered full
+    text (md5 over the turn-ordered concat); conversations are grouped
+    into prompt groups by their FIRST turn (content-keyed mod-4 bucket
+    on the adapter table, where every first turn is unique; production
+    keys on the verbatim first-turn hash). Reports, per prompt group,
+    the rollout count, the distinct-completion count, and how many
+    duplicates dedup drops.
+
+    Distributed shape: one conv-keyed partial-aggregated groupBy builds
+    both fingerprints, then one bucket-keyed groupBy over |convs|
+    fingerprint rows. Completions never re-shuffle raw text — only
+    32-byte hashes move after the first rollup."""
+    per_conv = _rollout_fingerprints(spark, sf_dir)
+    grp = per_conv.select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
+        "conv_id",
+        "completion_fp",
+    )
+    return (
+        grp.groupBy("prompt_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rollouts"),
+            F.countDistinct("completion_fp")
+            .cast("bigint")
+            .alias("n_unique_completions"),
+            F.min("conv_id").alias("first_conv"),
+        )
+        .withColumn(
+            "n_dropped",
+            (F.col("n_rollouts") - F.col("n_unique_completions")).cast("bigint"),
+        )
+    )
+
+
+def q_pass_at_k(spark, sf_dir):
+    """pass@k over rollout groups — the unbiased estimator from the
+    Codex paper (Chen et al. 2021, arXiv:2107.03374 §2.1):
+    pass@k = E[1 - C(n-c, k) / C(n, k)] per prompt with n samples and c
+    successes, computed in the numerically-exact integer-product form
+    rather than via factorials. Prompt groups and the per-trajectory
+    success bit are content-keyed on the adapter table (bucket =
+    md5(first turn) mod 4; success = first hex nibble of the trajectory
+    fingerprint < 8, an exact-rate-0.5 deterministic stand-in for a
+    reward-model verdict); production wires the real grader column in.
+    k = 4; groups with n < k report NULL (estimator undefined), groups
+    with fewer than k failures report exactly 1.0.
+
+    Distributed shape: identical to q_prompt_rollout_dedup — one
+    conv-keyed rollup to fingerprints, one bucket-keyed count/sum
+    rollup, then pure per-group scalar arithmetic (integer products,
+    one double division). Nothing beyond (n, c) per group ever reaches
+    the estimator, so it composes with any upstream sampler at any
+    scale."""
+    per_conv = _rollout_fingerprints(spark, sf_dir)
+    scored = per_conv.select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
+        (F.expr("cast(conv(substr(completion_fp, 1, 1), 16, 10) as int)") < 8)
+        .cast("int")
+        .alias("success"),
+    )
+    counts = scored.groupBy("prompt_bucket").agg(
+        F.count("*").cast("bigint").alias("n_rollouts"),
+        F.sum("success").cast("bigint").alias("n_success"),
+    )
+    n, c = F.col("n_rollouts"), F.col("n_success")
+    fail_prob = ((n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3)).cast("double") / (
+        (n * (n - 1) * (n - 2) * (n - 3)).cast("double")
+    )
+    return counts.select(
+        "prompt_bucket",
+        "n_rollouts",
+        "n_success",
+        F.round(c.cast("double") / n.cast("double"), 6).alias("pass_at_1"),
+        F.when(n < 4, F.lit(None).cast("double"))
+        .when(n - c < 4, F.lit(1.0))
+        .otherwise(F.round(1.0 - fail_prob, 6))
+        .alias("pass_at_4"),
+    )

@@ -1143,3 +1143,30 @@ def test_epoch_shuffle_single_exchange(spark):
     assert n_ops(p, "Exchange") == 1
     assert n_ops(p, "Generate") == 1  # the epoch explode
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0
+
+
+def test_agent_loop_detector_single_exchange(spark):
+    """Gaps-and-islands rides the adapter's conv_id Exchange: lag +
+    running-sum windows and both conv-keyed groupBys add NO shuffle —
+    exactly one Exchange end-to-end, no joins."""
+    p = plan(Q.q_agent_loop_detector(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 1, p
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_prompt_rollout_dedup_hashes_only_after_first_rollup(spark):
+    """Conv rollup reuses the adapter Exchange; after it only 32-byte
+    fingerprints move: one Exchange for the two-phase distinct partial
+    on (bucket, fp) and one for the final bucket agg — three total,
+    no joins, no raw-text re-shuffle."""
+    p = plan(Q.q_prompt_rollout_dedup(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 3, p
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_pass_at_k_two_exchanges_scalar_tail(spark):
+    """Estimator tail is pure per-group scalar arithmetic: adapter
+    Exchange + one bucket-keyed count/sum rollup, nothing else."""
+    p = plan(Q.q_pass_at_k(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 2, p
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p

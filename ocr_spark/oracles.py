@@ -4452,3 +4452,86 @@ SELECT prompt_bucket, n_rollouts, n_success,
        END AS pass_at_4
 FROM counts
 """
+
+ORACLES["best_of_n_selection"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS completion_fp
+  FROM t GROUP BY conv_id
+), scored AS (
+  SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_bucket,
+         conv_id,
+         CAST(('0x' || substr(completion_fp, 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS reward
+  FROM per_conv
+), ranked AS (
+  SELECT prompt_bucket, conv_id, reward,
+         row_number() OVER (PARTITION BY prompt_bucket
+                            ORDER BY reward DESC, conv_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY prompt_bucket) AS BIGINT) AS n_rollouts,
+         avg(reward) OVER (PARTITION BY prompt_bucket) AS mean_reward
+  FROM scored
+)
+SELECT prompt_bucket, n_rollouts, conv_id AS best_conv,
+       round(reward, 6) AS best_reward,
+       round(mean_reward, 6) AS mean_reward,
+       round(reward - mean_reward, 6) AS selection_gain
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["grpo_advantages"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS completion_fp
+  FROM t GROUP BY conv_id
+), scored AS (
+  SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_bucket,
+         conv_id,
+         CAST(('0x' || substr(completion_fp, 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS reward
+  FROM per_conv
+), stats AS (
+  SELECT prompt_bucket, conv_id, reward,
+         avg(reward) OVER (PARTITION BY prompt_bucket) AS mu,
+         stddev_pop(reward) OVER (PARTITION BY prompt_bucket) AS sigma
+  FROM scored
+)
+SELECT prompt_bucket, conv_id, round(reward, 6) AS reward,
+       CASE WHEN sigma = 0 THEN 0.0
+            ELSE round((reward - mu) / sigma, 6) END AS advantage
+FROM stats
+"""
+
+ORACLES["rollout_divergence_profile"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), lim AS (
+  SELECT * FROM t WHERE turn_idx < 8
+), pref AS (
+  SELECT conv_id, turn_idx,
+         first_value(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS first_text,
+         md5(string_agg(CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 4 AS VARCHAR), ',')
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prefix_key
+  FROM lim
+)
+SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_bucket,
+       turn_idx,
+       CAST(count(*) AS BIGINT) AS n_alive,
+       CAST(count(DISTINCT prefix_key) AS BIGINT) AS n_branches,
+       count(DISTINCT prefix_key) > 1 AS diverged
+FROM pref GROUP BY 1, 2
+"""

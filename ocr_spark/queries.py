@@ -7893,3 +7893,128 @@ def q_pass_at_k(spark, sf_dir):
         .otherwise(F.round(1.0 - fail_prob, 6))
         .alias("pass_at_4"),
     )
+
+
+_REWARD_EXPR = (
+    "cast(conv(substr(completion_fp, 1, 8), 16, 10) as double) / 4294967296.0"
+)
+
+
+def q_best_of_n_selection(spark, sf_dir):
+    """Best-of-n trajectory selection: per prompt group, keep the
+    highest-reward rollout — the reduction behind BoN distillation and
+    rejection sampling (keep the winner, measure the selection gain
+    over the group mean to know what the selector bought). The reward
+    is a deterministic hash-uniform stand-in in [0, 1) derived from the
+    trajectory fingerprint (production wires the reward-model column
+    in); the winner is picked by (reward DESC, conv_id ASC) so ties can
+    never make the kept set nondeterministic.
+
+    Distributed shape: conv-keyed fingerprint rollup (adapter Exchange
+    reused), then ONE bucket-partitioned window supplies the rank, the
+    group count, and the group mean together — no self-join, no second
+    shuffle of trajectory rows, and only the n_groups winner rows
+    survive the filter."""
+    per_conv = _rollout_fingerprints(spark, sf_dir)
+    scored = per_conv.select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
+        "conv_id",
+        F.expr(_REWARD_EXPR).alias("reward"),
+    )
+    wp = Window.partitionBy("prompt_bucket")
+    wr = wp.orderBy(F.col("reward").desc(), F.col("conv_id").asc())
+    ranked = scored.select(
+        "prompt_bucket",
+        "conv_id",
+        "reward",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n_rollouts"),
+        F.avg("reward").over(wp).alias("mean_reward"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "prompt_bucket",
+        "n_rollouts",
+        F.col("conv_id").alias("best_conv"),
+        F.round("reward", 6).alias("best_reward"),
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round(F.col("reward") - F.col("mean_reward"), 6).alias("selection_gain"),
+    )
+
+
+def q_grpo_advantages(spark, sf_dir):
+    """Group-relative advantage normalization (GRPO, Shao et al. 2024,
+    arXiv:2402.03300 §4.1): within each prompt group the per-trajectory
+    advantage is (reward - group_mean) / group_std — no value network,
+    the group itself is the baseline. Degenerate groups (n = 1 or zero
+    variance) get advantage 0 by convention so they contribute no
+    gradient. Reward is the same deterministic hash-uniform stand-in as
+    q_best_of_n_selection.
+
+    Distributed shape: conv-keyed fingerprint rollup, then ONE
+    bucket-partitioned window computing mean and stddev_pop together;
+    normalization is a narrow per-row projection. One row out per
+    trajectory — this is the exact shape of the advantage column a
+    GRPO trainer joins back onto its rollout table."""
+    per_conv = _rollout_fingerprints(spark, sf_dir)
+    scored = per_conv.select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
+        "conv_id",
+        F.expr(_REWARD_EXPR).alias("reward"),
+    )
+    wp = Window.partitionBy("prompt_bucket")
+    stats = scored.select(
+        "prompt_bucket",
+        "conv_id",
+        "reward",
+        F.avg("reward").over(wp).alias("mu"),
+        F.stddev_pop("reward").over(wp).alias("sigma"),
+    )
+    return stats.select(
+        "prompt_bucket",
+        "conv_id",
+        F.round("reward", 6).alias("reward"),
+        F.when(F.col("sigma") == 0, F.lit(0.0))
+        .otherwise(F.round((F.col("reward") - F.col("mu")) / F.col("sigma"), 6))
+        .alias("advantage"),
+    )
+
+
+def q_rollout_divergence_profile(spark, sf_dir):
+    """Rollout divergence profile: per prompt group and turn depth, how
+    many distinct trajectory branches are alive — the tree shape of a
+    best-of-n sampler (shared prefixes merge; the profile shows WHERE
+    rollouts fork, which prices prefix-KV-cache reuse and guides how
+    deep a tree-structured sampler should share). Branch identity at
+    depth d is the hash of the turn-template sequence up to d
+    (templates content-keyed md5(text) mod 4, the loop-detector
+    convention, so prefixes genuinely collide and the profile has
+    merges to show); depth is capped at 8 turns.
+
+    Distributed shape: the running-prefix hash is ONE conv-partitioned
+    window (cumulative collect_list bounded by the depth cap after the
+    early turn_idx filter, riding the adapter Exchange), then one
+    (bucket, depth)-keyed two-phase distinct count. No joins; output is
+    |groups| x depth_cap rows."""
+    t = doc_transcripts(spark, sf_dir).filter(F.col("turn_idx") < 8)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    tmpl = F.expr(
+        "cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 4 as int)"
+    )
+    pref = t.select(
+        "conv_id",
+        "turn_idx",
+        tmpl.cast("string").alias("tmpl"),
+        F.first("text").over(w).alias("first_text"),
+    ).select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
+        "turn_idx",
+        F.md5(F.array_join(F.collect_list("tmpl").over(wcum), ",")).alias(
+            "prefix_key"
+        ),
+    )
+    return pref.groupBy("prompt_bucket", "turn_idx").agg(
+        F.count("*").cast("bigint").alias("n_alive"),
+        F.countDistinct("prefix_key").cast("bigint").alias("n_branches"),
+        (F.countDistinct("prefix_key") > 1).alias("diverged"),
+    )

@@ -1170,3 +1170,22 @@ def test_pass_at_k_two_exchanges_scalar_tail(spark):
     p = plan(Q.q_pass_at_k(spark, SF_DIR))
     assert n_ops(p, "Exchange") == 2, p
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_best_of_n_and_grpo_single_window_no_join(spark):
+    """Winner pick / advantage normalization use ONE bucket-partitioned
+    window over fingerprint rows (adapter Exchange + window Exchange),
+    never a self-join back onto the rollout table."""
+    for fn in (Q.q_best_of_n_selection, Q.q_grpo_advantages):
+        p = plan(fn(spark, SF_DIR))
+        assert n_ops(p, "Exchange") == 2, p
+        assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_rollout_divergence_prefix_stays_conv_local(spark):
+    """Running-prefix hash rides the adapter's conv_id Exchange; only
+    the (bucket, depth) distinct-count adds shuffles — three Exchanges
+    total and no joins."""
+    p = plan(Q.q_rollout_divergence_profile(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 3, p
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p

@@ -82,3 +82,61 @@ def test_prompt_rollout_dedup_conserves_conversations(spark):
         assert 1 <= r["n_unique_completions"] <= r["n_rollouts"]
         assert r["n_dropped"] == r["n_rollouts"] - r["n_unique_completions"]
         assert r["first_conv"] is not None
+
+
+def test_best_of_n_winner_and_gain_rederived(spark):
+    rewards = {
+        (r["prompt_bucket"], r["conv_id"]): r["reward"]
+        for r in Q.q_grpo_advantages(spark, SF_DIR).collect()
+    }
+    by_bucket: dict[int, list[tuple[float, str]]] = {}
+    for (b, conv), rew in rewards.items():
+        by_bucket.setdefault(b, []).append((rew, conv))
+    for r in Q.q_best_of_n_selection(spark, SF_DIR).collect():
+        group = by_bucket[r["prompt_bucket"]]
+        # winner = max reward, conv_id ascending tiebreak
+        best = max(group, key=lambda t: (t[0], [-ord(c) for c in t[1]]))
+        assert r["best_conv"] == best[1]
+        assert r["n_rollouts"] == len(group)
+        assert abs(r["best_reward"] - best[0]) < 1e-6
+        mean = sum(t[0] for t in group) / len(group)
+        assert abs(r["mean_reward"] - mean) < 1e-5
+        assert abs(r["selection_gain"] - (best[0] - mean)) < 1e-5
+        assert r["selection_gain"] >= 0
+
+
+def test_grpo_advantages_are_group_standardized(spark):
+    rows = Q.q_grpo_advantages(spark, SF_DIR).collect()
+    by_bucket: dict[int, list[float]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["prompt_bucket"], []).append(r["advantage"])
+    assert by_bucket
+    for advs in by_bucket.values():
+        if len(advs) < 2:
+            continue
+        mean = sum(advs) / len(advs)
+        var = sum((a - mean) ** 2 for a in advs) / len(advs)
+        assert abs(mean) < 1e-4
+        assert abs(var - 1.0) < 1e-3
+
+
+def test_rollout_divergence_is_monotone_and_bounded(spark):
+    rows = Q.q_rollout_divergence_profile(spark, SF_DIR).collect()
+    by_bucket: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        assert 1 <= r["n_branches"] <= r["n_alive"]
+        assert r["diverged"] == (r["n_branches"] > 1)
+        by_bucket.setdefault(r["prompt_bucket"], []).append(
+            (r["turn_idx"], r["n_branches"], r["n_alive"])
+        )
+    saw_fanout = False
+    for seq in by_bucket.values():
+        seq.sort()
+        assert [d for d, _, _ in seq] == list(range(8))
+        # prefixes only refine: once branches split they never re-merge
+        # (alive count is constant on this data, so monotone holds)
+        branches = [b for _, b, _ in seq]
+        assert branches == sorted(branches)
+        if branches[-1] > branches[0]:
+            saw_fanout = True
+    assert saw_fanout

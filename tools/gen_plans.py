@@ -577,6 +577,34 @@ def main() -> None:
             "ordered folds — a narrow map.",
             plan(Q.q_rp_recall_report(spark, SF_DIR)),
         ),
+        (
+            "Agent loop detector: gaps-and-islands on ONE Exchange",
+            "Stuck-agent gate: the lag window, the running-sum window, "
+            "and both conv-keyed groupBys all ride the adapter's single "
+            "conv_id Exchange — run-length analysis of arbitrarily many "
+            "conversations with per-conversation state only.",
+            plan(Q.q_agent_loop_detector(spark, SF_DIR)),
+        ),
+        (
+            "Rollout dedup + pass@k: hashes-only after the first rollup",
+            "Shared-prompt rollout reductions: one conv-keyed rollup "
+            "builds 32-byte fingerprints (collect_list bounded by "
+            "turns-per-conversation); everything downstream — distinct-"
+            "completion counts, the pass@k (n, c) rollup, best-of-n "
+            "ranking, GRPO advantage windows — moves only fingerprint "
+            "rows, never re-shuffles raw text, and uses no self-joins.",
+            plan(Q.q_prompt_rollout_dedup(spark, SF_DIR)),
+        ),
+        (
+            "Rollout divergence profile: conv-local prefix hashes",
+            "Trajectory-tree fan-out per (prompt group, depth): the "
+            "cumulative prefix hash is one conv-partitioned window "
+            "(frame bounded by the depth cap's early filter), then a "
+            "(bucket, depth)-keyed two-phase distinct count — the tree "
+            "shape of a best-of-n sampler without ever building the "
+            "tree.",
+            plan(Q.q_rollout_divergence_profile(spark, SF_DIR)),
+        ),
     ]
 
     # Large-star/small-star CC: audit ONE alternation's shape (the full

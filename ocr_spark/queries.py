@@ -7732,289 +7732,147 @@ def q_quality_novelty_calibration(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Agent-trajectory hygiene & RL-rollout reductions (round 5)
 # ---------------------------------------------------------------------------
+# Registry adapters over the production functions in ocr_spark/rollouts.py:
+# the sandbox documents table has no duplicate texts, reward column, or
+# shared prompts, so template / prompt-group / reward / success are derived
+# content-keyed here (the role_alternation_check convention) and the
+# production code runs unchanged — the DuckDB oracle value-checks the exact
+# DataFrame logic a real rollout table gets.
+
+# content-keyed response-template id (the adapter stand-in for
+# rollouts.default_template, which needs duplicate texts to bite)
+_TMPL_EXPR = "cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 4 as int)"
+
+# content-keyed prompt group over the fingerprint rollup's first_text
+_PROMPT_BUCKET_EXPR = (
+    "cast(cast(conv(substr(md5(first_text), 1, 8), 16, 10) as bigint) % 4 as int)"
+)
+
+# deterministic hash-uniform reward in [0, 1) from the trajectory
+# fingerprint (the adapter stand-in for a reward-model column)
+_REWARD_EXPR = (
+    "cast(conv(substr(completion_fp, 1, 8), 16, 10) as double) / 4294967296.0"
+)
+
+
+def _rollout_scored(spark, sf_dir):
+    """Shared adapter prefix: fingerprint rollup -> (prompt_group,
+    conv_id, reward) — the scored-rollouts shape rollouts.best_of_n /
+    grpo_advantages consume."""
+    from ocr_spark import rollouts
+
+    fps = rollouts.rollout_fingerprints(doc_transcripts(spark, sf_dir))
+    return fps.select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_group"),
+        "conv_id",
+        F.expr(_REWARD_EXPR).alias("reward"),
+        "completion_fp",
+    )
 
 
 def q_agent_loop_detector(spark, sf_dir):
     """Stuck-agent detector: flag conversations where consecutive turns
     repeat the same response template — the classic failure mode of an
     agent loop (retry storms, tool ping-pong, self-quoting) whose
-    trajectories an SFT/RL pipeline must drop before training. A "run"
-    is a maximal streak of consecutive turns with the same template id;
-    the gate flags any conversation whose longest run reaches 3. On the
-    real transcripts table the template id is the digit/whitespace
-    -normalized response hash; on the adapter table (all 500 texts
-    unique) it is derived content-keyed (md5(text) mod 4, same
-    convention as role_alternation_check) so the detector has runs to
-    find.
+    trajectories an SFT/RL pipeline must drop before training. Real
+    tables use ``rollouts.default_template`` (digit/whitespace-collapsed
+    response hash); the adapter derives the template content-keyed
+    (md5(text) mod 4) so the detector has runs to find.
 
-    Distributed shape: gaps-and-islands entirely inside one
-    conv-partitioned window (lag + running sum share the single
-    Exchange the doc_transcripts adapter already established), then two
-    conv-keyed partial-aggregated groupBys. No global sort, no join —
-    per-conversation state only, so it scales to any number of
-    conversations and the longest conversation bounds task memory."""
-    t = doc_transcripts(spark, sf_dir)
-    tmpl = F.expr(
-        "cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 4 as int)"
-    )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    marked = t.select("conv_id", "turn_idx", tmpl.alias("tmpl")).select(
-        "conv_id",
-        "turn_idx",
-        F.when(
-            F.lag("tmpl").over(w).isNull() | (F.col("tmpl") != F.lag("tmpl").over(w)),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_run"),
-    )
-    runs = marked.select(
-        "conv_id",
-        F.sum("new_run")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("run_id"),
-    )
-    per_run = runs.groupBy("conv_id", "run_id").agg(
-        F.count("*").cast("bigint").alias("run_len")
-    )
-    return per_run.groupBy("conv_id").agg(
-        F.sum("run_len").cast("bigint").alias("n_turns"),
-        F.count("*").cast("bigint").alias("n_runs"),
-        F.max("run_len").cast("bigint").alias("max_run"),
-        (F.max("run_len") >= 3).alias("stuck"),
-    )
+    Shape: see rollouts.loop_run_stats — one Exchange end-to-end."""
+    from ocr_spark import rollouts
 
-
-def _rollout_fingerprints(spark, sf_dir):
-    """Shared prefix of the rollout-reduction queries: one conv-keyed
-    partial-aggregated rollup producing, per conversation, the first
-    turn's text and the md5 fingerprint of the turn-ordered full text
-    (unit-separator joined — the a3_ordered_concat contract, bounded by
-    turns-per-conversation)."""
-    t = doc_transcripts(spark, sf_dir)
-    return t.groupBy("conv_id").agg(
-        F.expr("min_by(text, turn_idx)").alias("first_text"),
-        F.md5(
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(turn_idx, text))),"
-                    " s -> s.text)"
-                ),
-                "\x1f",
-            )
-        ).alias("completion_fp"),
+    return rollouts.loop_run_stats(
+        doc_transcripts(spark, sf_dir), template=F.expr(_TMPL_EXPR)
     )
-
-
-_PROMPT_BUCKET_EXPR = (
-    "cast(cast(conv(substr(md5(first_text), 1, 8), 16, 10) as bigint) % 4 as int)"
-)
 
 
 def q_prompt_rollout_dedup(spark, sf_dir):
     """Shared-prompt rollout dedup: RL / best-of-n sampling emits many
-    trajectories per prompt, and byte-identical completions within a
-    prompt group carry zero extra signal — keep one per distinct
-    completion. Each conversation is fingerprinted by its ordered full
-    text (md5 over the turn-ordered concat); conversations are grouped
-    into prompt groups by their FIRST turn (content-keyed mod-4 bucket
-    on the adapter table, where every first turn is unique; production
-    keys on the verbatim first-turn hash). Reports, per prompt group,
-    the rollout count, the distinct-completion count, and how many
-    duplicates dedup drops.
+    trajectories per prompt; byte-identical completions within a prompt
+    group carry zero extra signal — keep one per distinct completion.
+    Production groups by the verbatim first-turn hash; the adapter
+    buckets mod 4 so groups have multiple rollouts.
 
-    Distributed shape: one conv-keyed partial-aggregated groupBy builds
-    both fingerprints, then one bucket-keyed groupBy over |convs|
-    fingerprint rows. Completions never re-shuffle raw text — only
-    32-byte hashes move after the first rollup."""
-    per_conv = _rollout_fingerprints(spark, sf_dir)
-    grp = per_conv.select(
-        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
-        "conv_id",
-        "completion_fp",
-    )
-    return (
-        grp.groupBy("prompt_bucket")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rollouts"),
-            F.countDistinct("completion_fp")
-            .cast("bigint")
-            .alias("n_unique_completions"),
-            F.min("conv_id").alias("first_conv"),
-        )
-        .withColumn(
-            "n_dropped",
-            (F.col("n_rollouts") - F.col("n_unique_completions")).cast("bigint"),
-        )
-    )
+    Shape: see rollouts.dedup_rollout_groups — only 32-byte hashes move
+    after the fingerprint rollup."""
+    from ocr_spark import rollouts
+
+    fps = rollouts.rollout_fingerprints(doc_transcripts(spark, sf_dir))
+    return rollouts.dedup_rollout_groups(
+        fps, group=F.expr(_PROMPT_BUCKET_EXPR)
+    ).withColumnRenamed("prompt_group", "prompt_bucket")
 
 
 def q_pass_at_k(spark, sf_dir):
     """pass@k over rollout groups — the unbiased estimator from the
-    Codex paper (Chen et al. 2021, arXiv:2107.03374 §2.1):
-    pass@k = E[1 - C(n-c, k) / C(n, k)] per prompt with n samples and c
-    successes, computed in the numerically-exact integer-product form
-    rather than via factorials. Prompt groups and the per-trajectory
-    success bit are content-keyed on the adapter table (bucket =
-    md5(first turn) mod 4; success = first hex nibble of the trajectory
-    fingerprint < 8, an exact-rate-0.5 deterministic stand-in for a
-    reward-model verdict); production wires the real grader column in.
-    k = 4; groups with n < k report NULL (estimator undefined), groups
-    with fewer than k failures report exactly 1.0.
+    Codex paper (Chen et al. 2021, arXiv:2107.03374 §2.1) in exact
+    falling-factorial form. The per-trajectory success bit is
+    content-keyed (first hex nibble of the fingerprint < 8, an
+    exact-rate-0.5 deterministic stand-in for a reward-model verdict);
+    production wires the real grader column in. k = 4: groups with
+    n < 4 report NULL, groups with fewer than 4 failures exactly 1.0.
 
-    Distributed shape: identical to q_prompt_rollout_dedup — one
-    conv-keyed rollup to fingerprints, one bucket-keyed count/sum
-    rollup, then pure per-group scalar arithmetic (integer products,
-    one double division). Nothing beyond (n, c) per group ever reaches
-    the estimator, so it composes with any upstream sampler at any
-    scale."""
-    per_conv = _rollout_fingerprints(spark, sf_dir)
-    scored = per_conv.select(
-        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
+    Shape: see rollouts.pass_at_k — one count/sum rollup, then pure
+    per-group scalar arithmetic."""
+    from ocr_spark import rollouts
+
+    scored = _rollout_scored(spark, sf_dir).select(
+        "prompt_group",
         (F.expr("cast(conv(substr(completion_fp, 1, 1), 16, 10) as int)") < 8)
         .cast("int")
         .alias("success"),
     )
-    counts = scored.groupBy("prompt_bucket").agg(
-        F.count("*").cast("bigint").alias("n_rollouts"),
-        F.sum("success").cast("bigint").alias("n_success"),
+    return rollouts.pass_at_k(scored, k=4).withColumnRenamed(
+        "prompt_group", "prompt_bucket"
     )
-    n, c = F.col("n_rollouts"), F.col("n_success")
-    fail_prob = ((n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3)).cast("double") / (
-        (n * (n - 1) * (n - 2) * (n - 3)).cast("double")
-    )
-    return counts.select(
-        "prompt_bucket",
-        "n_rollouts",
-        "n_success",
-        F.round(c.cast("double") / n.cast("double"), 6).alias("pass_at_1"),
-        F.when(n < 4, F.lit(None).cast("double"))
-        .when(n - c < 4, F.lit(1.0))
-        .otherwise(F.round(1.0 - fail_prob, 6))
-        .alias("pass_at_4"),
-    )
-
-
-_REWARD_EXPR = (
-    "cast(conv(substr(completion_fp, 1, 8), 16, 10) as double) / 4294967296.0"
-)
 
 
 def q_best_of_n_selection(spark, sf_dir):
     """Best-of-n trajectory selection: per prompt group, keep the
     highest-reward rollout — the reduction behind BoN distillation and
-    rejection sampling (keep the winner, measure the selection gain
-    over the group mean to know what the selector bought). The reward
-    is a deterministic hash-uniform stand-in in [0, 1) derived from the
-    trajectory fingerprint (production wires the reward-model column
-    in); the winner is picked by (reward DESC, conv_id ASC) so ties can
-    never make the kept set nondeterministic.
+    rejection sampling — plus the selection gain over the group mean.
+    Reward is the deterministic hash-uniform adapter stand-in.
 
-    Distributed shape: conv-keyed fingerprint rollup (adapter Exchange
-    reused), then ONE bucket-partitioned window supplies the rank, the
-    group count, and the group mean together — no self-join, no second
-    shuffle of trajectory rows, and only the n_groups winner rows
-    survive the filter."""
-    per_conv = _rollout_fingerprints(spark, sf_dir)
-    scored = per_conv.select(
-        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
-        "conv_id",
-        F.expr(_REWARD_EXPR).alias("reward"),
-    )
-    wp = Window.partitionBy("prompt_bucket")
-    wr = wp.orderBy(F.col("reward").desc(), F.col("conv_id").asc())
-    ranked = scored.select(
-        "prompt_bucket",
-        "conv_id",
-        "reward",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wp).cast("bigint").alias("n_rollouts"),
-        F.avg("reward").over(wp).alias("mean_reward"),
-    )
-    return ranked.filter(F.col("rn") == 1).select(
-        "prompt_bucket",
-        "n_rollouts",
-        F.col("conv_id").alias("best_conv"),
-        F.round("reward", 6).alias("best_reward"),
-        F.round("mean_reward", 6).alias("mean_reward"),
-        F.round(F.col("reward") - F.col("mean_reward"), 6).alias("selection_gain"),
-    )
+    Shape: see rollouts.best_of_n — ONE group-partitioned window, no
+    self-join."""
+    from ocr_spark import rollouts
+
+    return rollouts.best_of_n(
+        _rollout_scored(spark, sf_dir).drop("completion_fp")
+    ).withColumnRenamed("prompt_group", "prompt_bucket")
 
 
 def q_grpo_advantages(spark, sf_dir):
     """Group-relative advantage normalization (GRPO, Shao et al. 2024,
-    arXiv:2402.03300 §4.1): within each prompt group the per-trajectory
-    advantage is (reward - group_mean) / group_std — no value network,
-    the group itself is the baseline. Degenerate groups (n = 1 or zero
-    variance) get advantage 0 by convention so they contribute no
-    gradient. Reward is the same deterministic hash-uniform stand-in as
-    q_best_of_n_selection.
+    arXiv:2402.03300 §4.1): (reward - group mean) / group std with the
+    zero-variance -> 0 convention. Reward is the deterministic
+    hash-uniform adapter stand-in.
 
-    Distributed shape: conv-keyed fingerprint rollup, then ONE
-    bucket-partitioned window computing mean and stddev_pop together;
-    normalization is a narrow per-row projection. One row out per
-    trajectory — this is the exact shape of the advantage column a
-    GRPO trainer joins back onto its rollout table."""
-    per_conv = _rollout_fingerprints(spark, sf_dir)
-    scored = per_conv.select(
-        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
-        "conv_id",
-        F.expr(_REWARD_EXPR).alias("reward"),
-    )
-    wp = Window.partitionBy("prompt_bucket")
-    stats = scored.select(
-        "prompt_bucket",
-        "conv_id",
-        "reward",
-        F.avg("reward").over(wp).alias("mu"),
-        F.stddev_pop("reward").over(wp).alias("sigma"),
-    )
-    return stats.select(
-        "prompt_bucket",
-        "conv_id",
-        F.round("reward", 6).alias("reward"),
-        F.when(F.col("sigma") == 0, F.lit(0.0))
-        .otherwise(F.round((F.col("reward") - F.col("mu")) / F.col("sigma"), 6))
-        .alias("advantage"),
-    )
+    Shape: see rollouts.grpo_advantages — ONE group-partitioned window,
+    narrow normalization projection."""
+    from ocr_spark import rollouts
+
+    return rollouts.grpo_advantages(
+        _rollout_scored(spark, sf_dir).drop("completion_fp")
+    ).withColumnRenamed("prompt_group", "prompt_bucket")
 
 
 def q_rollout_divergence_profile(spark, sf_dir):
     """Rollout divergence profile: per prompt group and turn depth, how
     many distinct trajectory branches are alive — the tree shape of a
     best-of-n sampler (shared prefixes merge; the profile shows WHERE
-    rollouts fork, which prices prefix-KV-cache reuse and guides how
-    deep a tree-structured sampler should share). Branch identity at
-    depth d is the hash of the turn-template sequence up to d
-    (templates content-keyed md5(text) mod 4, the loop-detector
-    convention, so prefixes genuinely collide and the profile has
-    merges to show); depth is capped at 8 turns.
+    rollouts fork, which prices prefix-KV-cache reuse). Template and
+    group are content-keyed on the adapter table so prefixes genuinely
+    collide; depth capped at 8.
 
-    Distributed shape: the running-prefix hash is ONE conv-partitioned
-    window (cumulative collect_list bounded by the depth cap after the
-    early turn_idx filter, riding the adapter Exchange), then one
-    (bucket, depth)-keyed two-phase distinct count. No joins; output is
-    |groups| x depth_cap rows."""
-    t = doc_transcripts(spark, sf_dir).filter(F.col("turn_idx") < 8)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    tmpl = F.expr(
-        "cast(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 4 as int)"
-    )
-    pref = t.select(
-        "conv_id",
-        "turn_idx",
-        tmpl.cast("string").alias("tmpl"),
-        F.first("text").over(w).alias("first_text"),
-    ).select(
-        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_bucket"),
-        "turn_idx",
-        F.md5(F.array_join(F.collect_list("tmpl").over(wcum), ",")).alias(
-            "prefix_key"
-        ),
-    )
-    return pref.groupBy("prompt_bucket", "turn_idx").agg(
-        F.count("*").cast("bigint").alias("n_alive"),
-        F.countDistinct("prefix_key").cast("bigint").alias("n_branches"),
-        (F.countDistinct("prefix_key") > 1).alias("diverged"),
-    )
+    Shape: see rollouts.divergence_profile — conv-local prefix hashes,
+    one (group, depth) distinct count, no joins."""
+    from ocr_spark import rollouts
+
+    return rollouts.divergence_profile(
+        doc_transcripts(spark, sf_dir),
+        template=F.expr(_TMPL_EXPR),
+        group=F.expr(_PROMPT_BUCKET_EXPR),
+        max_depth=8,
+    ).withColumnRenamed("prompt_group", "prompt_bucket")

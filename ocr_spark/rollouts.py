@@ -1,0 +1,249 @@
+"""RL-rollout reductions over the BASELINE transcripts shape
+``(conv_id, turn_idx, role, text, tool, ts)`` — the group-wise passes
+between sampling and training: stuck-loop gating, shared-prompt dedup,
+pass@k, best-of-n selection, GRPO advantage normalization, and the
+trajectory-divergence profile.
+
+These are the production DataFrame -> DataFrame functions behind the
+registry's rollout queries (queries.py derives content-keyed
+template / group / reward stand-ins from the sandbox documents table
+and then calls THESE, so the driver's DuckDB oracle checks the exact
+code a real rollout table runs — production wires in its real reward
+column and verbatim prompt hash instead). Every function keeps the
+scale contract of the transcript family: per-conversation windows ride
+one hashpartitioning(conv_id) Exchange; after the fingerprint rollup
+only 32-byte hashes and (n, c) counts move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# Unit separator between turns inside a trajectory fingerprint — cannot
+# collide with text content the way '\n' could.
+FP_SEP = "\x1f"
+
+
+def _conv_window() -> Window:
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def default_template(text: Column | str = "text") -> Column:
+    """Response-template id for loop detection: hash of the text with
+    digit runs and whitespace runs collapsed — agent loops usually
+    differ only in counters/timestamps, which this normalization
+    erases."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(c), r"[0-9]+|\s+", " "))
+
+
+def loop_run_stats(t: DataFrame, template: Column, stuck_at: int = 3) -> DataFrame:
+    """Per-conversation run-length stats over consecutive turns sharing
+    a ``template`` id, with a ``stuck`` flag at ``max_run >= stuck_at``
+    — the gate that drops looping trajectories before training.
+
+    Shape: gaps-and-islands (lag -> new-run flag -> running sum) inside
+    one conv-keyed window, then two conv-keyed partial-aggregated
+    groupBys. One Exchange end-to-end; no joins; task memory bounded by
+    the longest conversation."""
+    w = _conv_window()
+    marked = t.select("conv_id", "turn_idx", template.alias("tmpl")).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.lag("tmpl").over(w).isNull() | (F.col("tmpl") != F.lag("tmpl").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marked.select(
+        "conv_id",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("conv_id", "run_id").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return per_run.groupBy("conv_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_turns"),
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+        (F.max("run_len") >= stuck_at).alias("stuck"),
+    )
+
+
+def rollout_fingerprints(t: DataFrame) -> DataFrame:
+    """Per-conversation ``(conv_id, first_text, completion_fp)``: the
+    first turn's text (the prompt) and the md5 fingerprint of the
+    turn-ordered full text. ONE conv-keyed partial-aggregated groupBy;
+    collect_list is bounded by turns-per-conversation (the
+    a3_ordered_concat contract). Everything downstream of this rollup
+    moves 32-byte hashes, never raw text."""
+    return t.groupBy("conv_id").agg(
+        F.expr("min_by(text, turn_idx)").alias("first_text"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(turn_idx, text))),"
+                    " s -> s.text)"
+                ),
+                FP_SEP,
+            )
+        ).alias("completion_fp"),
+    )
+
+
+def dedup_rollout_groups(fps: DataFrame, group: Column) -> DataFrame:
+    """Shared-prompt rollout dedup stats: per prompt ``group``, rollout
+    count, distinct-completion count, the first conversation id, and
+    the number of byte-identical duplicates dedup drops. ``fps`` is the
+    ``rollout_fingerprints`` output; production passes
+    ``md5(first_text)`` (verbatim prompt identity) as the group."""
+    grp = fps.select(group.alias("prompt_group"), "conv_id", "completion_fp")
+    return (
+        grp.groupBy("prompt_group")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rollouts"),
+            F.countDistinct("completion_fp")
+            .cast("bigint")
+            .alias("n_unique_completions"),
+            F.min("conv_id").alias("first_conv"),
+        )
+        .withColumn(
+            "n_dropped",
+            (F.col("n_rollouts") - F.col("n_unique_completions")).cast("bigint"),
+        )
+    )
+
+
+def pass_at_k(scored: DataFrame, k: int = 4) -> DataFrame:
+    """Unbiased pass@k per prompt group (Chen et al. 2021,
+    arXiv:2107.03374 §2.1): ``1 - C(n-c, k) / C(n, k)`` for n rollouts
+    with c successes, evaluated as two exact integer falling-factorial
+    products folded in doubles (exact while n^k < 2^53) and ONE
+    division — no factorials, no per-step division drift. Groups with
+    n < k report NULL (estimator undefined); groups with fewer than k
+    failures report exactly 1.0. ``scored`` needs columns
+    ``(prompt_group, success int)``.
+
+    Shape: one group-keyed partial-aggregated count/sum, then per-group
+    scalar arithmetic."""
+    counts = scored.groupBy("prompt_group").agg(
+        F.count("*").cast("bigint").alias("n_rollouts"),
+        F.sum("success").cast("bigint").alias("n_success"),
+    )
+    n, c = F.col("n_rollouts"), F.col("n_success")
+    fail_ff = F.expr(
+        f"aggregate(sequence(0, {k - 1}), cast(1.0 as double),"
+        " (acc, i) -> acc * (n_rollouts - n_success - i))"
+    )
+    all_ff = F.expr(
+        f"aggregate(sequence(0, {k - 1}), cast(1.0 as double),"
+        " (acc, i) -> acc * (n_rollouts - i))"
+    )
+    return counts.select(
+        "prompt_group",
+        "n_rollouts",
+        "n_success",
+        F.round(c.cast("double") / n.cast("double"), 6).alias("pass_at_1"),
+        F.when(n < k, F.lit(None).cast("double"))
+        .when(n - c < k, F.lit(1.0))
+        .otherwise(F.round(1.0 - fail_ff / all_ff, 6))
+        .alias(f"pass_at_{k}"),
+    )
+
+
+def best_of_n(scored: DataFrame) -> DataFrame:
+    """Best-of-n selection: per prompt group keep the highest-reward
+    rollout — deterministic (reward DESC, conv_id ASC) tiebreak — with
+    the selection gain over the group mean. ``scored`` needs columns
+    ``(prompt_group, conv_id, reward double)``.
+
+    Shape: ONE group-partitioned window supplies rank, count, and mean
+    together; no self-join; only winner rows survive the filter."""
+    wp = Window.partitionBy("prompt_group")
+    wr = wp.orderBy(F.col("reward").desc(), F.col("conv_id").asc())
+    ranked = scored.select(
+        "prompt_group",
+        "conv_id",
+        "reward",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).cast("bigint").alias("n_rollouts"),
+        F.avg("reward").over(wp).alias("mean_reward"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "prompt_group",
+        "n_rollouts",
+        F.col("conv_id").alias("best_conv"),
+        F.round("reward", 6).alias("best_reward"),
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round(F.col("reward") - F.col("mean_reward"), 6).alias("selection_gain"),
+    )
+
+
+def grpo_advantages(scored: DataFrame) -> DataFrame:
+    """Group-relative advantage normalization (GRPO, Shao et al. 2024,
+    arXiv:2402.03300 §4.1): advantage = (reward - group mean) /
+    group std, with degenerate groups (n = 1 or zero variance) pinned
+    to 0 so they contribute no gradient. ``scored`` needs columns
+    ``(prompt_group, conv_id, reward double)``.
+
+    Shape: ONE group-partitioned window computes mean and stddev_pop
+    together; normalization is a narrow per-row projection — the exact
+    advantage column a GRPO trainer joins back onto its rollout
+    table."""
+    wp = Window.partitionBy("prompt_group")
+    stats = scored.select(
+        "prompt_group",
+        "conv_id",
+        "reward",
+        F.avg("reward").over(wp).alias("mu"),
+        F.stddev_pop("reward").over(wp).alias("sigma"),
+    )
+    return stats.select(
+        "prompt_group",
+        "conv_id",
+        F.round("reward", 6).alias("reward"),
+        F.when(F.col("sigma") == 0, F.lit(0.0))
+        .otherwise(F.round((F.col("reward") - F.col("mu")) / F.col("sigma"), 6))
+        .alias("advantage"),
+    )
+
+
+def divergence_profile(
+    t: DataFrame, template: Column, group: Column, max_depth: int = 8
+) -> DataFrame:
+    """Trajectory-tree fan-out: per (prompt group, turn depth), how many
+    distinct branches are alive, where branch identity at depth d is the
+    hash of the turn-``template`` sequence up to d. Shows WHERE rollouts
+    fork — which prices prefix-KV-cache reuse and guides how deep a
+    tree-structured sampler should share. ``group`` is evaluated
+    against the conversation's first turn text exposed as
+    ``first_text``.
+
+    Shape: the running-prefix hash is ONE conv-partitioned window
+    (frame bounded by the early ``turn_idx < max_depth`` filter), then
+    one (group, depth)-keyed two-phase distinct count. No joins."""
+    lim = t.filter(F.col("turn_idx") < max_depth)
+    w = _conv_window()
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    pref = lim.select(
+        "conv_id",
+        "turn_idx",
+        template.cast("string").alias("tmpl"),
+        F.first("text").over(w).alias("first_text"),
+    ).select(
+        group.alias("prompt_group"),
+        "turn_idx",
+        F.md5(F.array_join(F.collect_list("tmpl").over(wcum), ",")).alias(
+            "prefix_key"
+        ),
+    )
+    return pref.groupBy("prompt_group", "turn_idx").agg(
+        F.count("*").cast("bigint").alias("n_alive"),
+        F.countDistinct("prefix_key").cast("bigint").alias("n_branches"),
+        (F.countDistinct("prefix_key") > 1).alias("diverged"),
+    )

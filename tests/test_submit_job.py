@@ -310,3 +310,54 @@ def test_decontam_job_spark_submit_end_to_end(spark, tmp_path):
     assert ev_ids <= flagged_ids
     # disjoint partition of the input
     assert not (flagged_ids & {r["doc_id"] for r in clean.select("doc_id").collect()})
+
+
+@pytest.mark.slow
+def test_rollout_job_spark_submit_end_to_end(spark, tmp_path):
+    """The RL-rollout reduction chain as a production job: spark-submit
+    --py-files over fixture transcripts; the printed metrics must
+    reconcile with the written loop_stats / group_stats / winners /
+    advantages / pass_at_k tables."""
+    from ocr_spark import fixtures
+    from tools.make_pyfiles import build
+
+    input_dir = str(tmp_path / "transcripts")
+    fixtures.transcripts_df(spark, 24).write.mode("overwrite").parquet(input_dir)
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    out_root = str(tmp_path / "rollout_out")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "rollout_job.py"),
+        "--input", input_dir,
+        "--output", out_root,
+        "--prompt-group-mod", "4",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    assert summary["convs_in"] == 24
+    assert summary["reward_source"] == "hash-uniform-standin"
+    loop = spark.read.parquet(os.path.join(out_root, "loop_stats"))
+    assert loop.count() == 24
+    assert loop.filter("stuck").count() == summary["convs_stuck"]
+
+    # every non-stuck conversation is scored exactly once
+    assert summary["rollouts_scored"] == summary["convs_in"] - summary["convs_stuck"]
+    gs = spark.read.parquet(os.path.join(out_root, "group_stats"))
+    assert gs.count() == summary["prompt_groups"] <= 4
+
+    adv = spark.read.parquet(os.path.join(out_root, "advantages"))
+    assert adv.count() == summary["rollouts_scored"]
+    winners = spark.read.parquet(os.path.join(out_root, "winners"))
+    assert winners.count() == summary["prompt_groups"]
+    # winner rows carry a non-negative selection gain
+    assert all(r["selection_gain"] >= 0 for r in winners.collect())
+
+    pk = spark.read.parquet(os.path.join(out_root, "pass_at_k"))
+    assert pk.count() == summary["prompt_groups"]

@@ -43,6 +43,7 @@ def main() -> None:
     ap.add_argument("--stuck-at", type=int, default=3)
     ap.add_argument("--pass-k", type=int, default=4)
     ap.add_argument("--success-threshold", type=float, default=0.5)
+    ap.add_argument("--dpo-margin", type=float, default=0.0)
     ap.add_argument("--prompt-group-mod", type=int, default=0)
     args = ap.parse_args()
 
@@ -71,8 +72,12 @@ def main() -> None:
 
     # 2) trajectory fingerprints on surviving conversations (conv-keyed
     # join of two conv-keyed rollups; the gate side is 4 columns)
-    fps = rollouts.rollout_fingerprints(t).join(
-        loop_stats.filter(~F.col("stuck")).select("conv_id"), "conv_id"
+    # persisted: both the dedup stats and the scored table consume it; at
+    # corpus scale recomputing it would be a second full pass over input
+    fps = (
+        rollouts.rollout_fingerprints(t)
+        .join(loop_stats.filter(~F.col("stuck")).select("conv_id"), "conv_id")
+        .persist()
     )
 
     if args.prompt_group_mod > 0:
@@ -123,6 +128,9 @@ def main() -> None:
     rollouts.grpo_advantages(plain).write.mode("overwrite").parquet(
         os.path.join(args.output, "advantages")
     )
+    rollouts.preference_pairs(plain, margin=args.dpo_margin).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "preference_pairs"))
     pk = rollouts.pass_at_k(
         scored.select(
             "prompt_group",
@@ -152,11 +160,15 @@ def main() -> None:
         "prompt_groups": gs["groups"],
         "duplicate_completions": int(gs["dup_dropped"] or 0),
         f"mean_{pk_col}": None if pk_mean is None else round(pk_mean, 6),
+        "preference_pairs": spark.read.parquet(
+            os.path.join(args.output, "preference_pairs")
+        ).count(),
         "reward_source": reward_source,
         "wall_s": round(time.time() - t0, 1),
         "output": args.output,
     }
     loop_stats.unpersist()
+    fps.unpersist()
     scored.unpersist()
     print(json.dumps(stats))
     spark.stop()

@@ -4535,3 +4535,42 @@ SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS p
        count(DISTINCT prefix_key) > 1 AS diverged
 FROM pref GROUP BY 1, 2
 """
+
+ORACLES["dpo_pairs"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS completion_fp
+  FROM t GROUP BY conv_id
+), scored AS (
+  SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_bucket,
+         conv_id,
+         CAST(('0x' || substr(completion_fp, 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS reward
+  FROM per_conv
+), ranked AS (
+  SELECT prompt_bucket, conv_id, reward,
+         row_number() OVER (PARTITION BY prompt_bucket
+                            ORDER BY reward DESC, conv_id DESC) AS rn_hi,
+         row_number() OVER (PARTITION BY prompt_bucket
+                            ORDER BY reward ASC, conv_id ASC) AS rn_lo,
+         CAST(count(*) OVER (PARTITION BY prompt_bucket) AS BIGINT) AS n_rollouts
+  FROM scored
+), hi AS (
+  SELECT prompt_bucket, n_rollouts, conv_id AS chosen_conv, reward AS r_hi
+  FROM ranked WHERE rn_hi = 1
+), lo AS (
+  SELECT prompt_bucket, conv_id AS rejected_conv, reward AS r_lo
+  FROM ranked WHERE rn_lo = 1
+)
+SELECT hi.prompt_bucket, hi.n_rollouts, hi.chosen_conv, lo.rejected_conv,
+       round(hi.r_hi, 6) AS chosen_reward,
+       round(lo.r_lo, 6) AS rejected_reward,
+       round(hi.r_hi - lo.r_lo, 6) AS reward_gap
+FROM hi JOIN lo USING (prompt_bucket)
+WHERE hi.n_rollouts >= 2 AND hi.r_hi - lo.r_lo >= 0.6
+"""

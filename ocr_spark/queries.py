@@ -7876,3 +7876,21 @@ def q_rollout_divergence_profile(spark, sf_dir):
         group=F.expr(_PROMPT_BUCKET_EXPR),
         max_depth=8,
     ).withColumnRenamed("prompt_group", "prompt_bucket")
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """DPO preference-pair mining from scored rollout groups: chosen =
+    highest-reward, rejected = lowest-reward trajectory per prompt
+    group, kept only when the reward gap clears the margin (0.6 here so
+    the filter demonstrably fires on the adapter data: one of the four
+    buckets falls below it). Complements reward_pairs (text-keyed
+    lexicographic pairing) with the reward-margin semantics a real DPO
+    data pipeline uses; production wires its reward-model column in.
+
+    Shape: see rollouts.preference_pairs — one partial-aggregated
+    groupBy with struct max/min, no window."""
+    from ocr_spark import rollouts
+
+    return rollouts.preference_pairs(
+        _rollout_scored(spark, sf_dir).drop("completion_fp"), margin=0.6
+    ).withColumnRenamed("prompt_group", "prompt_bucket")

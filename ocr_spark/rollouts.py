@@ -247,3 +247,35 @@ def divergence_profile(
         F.countDistinct("prefix_key").cast("bigint").alias("n_branches"),
         (F.countDistinct("prefix_key") > 1).alias("diverged"),
     )
+
+
+def preference_pairs(scored: DataFrame, margin: float = 0.0) -> DataFrame:
+    """DPO-style preference pairs: per prompt group, (chosen, rejected)
+    = the (highest, lowest)-reward rollouts, kept only when the group
+    has at least two rollouts and the reward gap clears ``margin`` —
+    near-tie pairs teach a preference model nothing and a contrastive
+    trainer noise. Tiebreaks are lexicographic on (reward, conv_id)
+    structs (largest conv among tied best, smallest among tied worst),
+    so binary or otherwise tie-heavy reward schemes stay deterministic.
+    ``scored`` needs columns ``(prompt_group, conv_id, reward double)``.
+
+    Shape: ONE group-keyed partial-aggregated groupBy using struct
+    max/min — no window, no group sort (the reward_pairs contract);
+    the margin filter is a narrow post-aggregate predicate."""
+    agg = scored.groupBy("prompt_group").agg(
+        F.count("*").cast("bigint").alias("n_rollouts"),
+        F.max(F.struct("reward", "conv_id")).alias("hi"),
+        F.min(F.struct("reward", "conv_id")).alias("lo"),
+    )
+    return agg.filter(
+        (F.col("n_rollouts") >= 2)
+        & (F.col("hi.reward") - F.col("lo.reward") >= margin)
+    ).select(
+        "prompt_group",
+        "n_rollouts",
+        F.col("hi.conv_id").alias("chosen_conv"),
+        F.col("lo.conv_id").alias("rejected_conv"),
+        F.round("hi.reward", 6).alias("chosen_reward"),
+        F.round("lo.reward", 6).alias("rejected_reward"),
+        F.round(F.col("hi.reward") - F.col("lo.reward"), 6).alias("reward_gap"),
+    )

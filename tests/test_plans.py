@@ -1189,3 +1189,14 @@ def test_rollout_divergence_prefix_stays_conv_local(spark):
     p = plan(Q.q_rollout_divergence_profile(spark, SF_DIR))
     assert n_ops(p, "Exchange") == 3, p
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_dpo_pairs_struct_minmax_no_pairing_window(spark):
+    """Preference pairing is ONE partial-aggregated groupBy using struct
+    max/min — no pairing window, no join (the reward_pairs contract).
+    The single Window in the plan is the doc_transcripts adapter's
+    turn_idx derivation, not the pairing."""
+    p = plan(Q.q_dpo_pairs(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 2, p  # adapter + group agg
+    assert n_ops(p, "Window") == 1, p  # adapter row_number only
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p

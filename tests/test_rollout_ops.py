@@ -140,3 +140,28 @@ def test_rollout_divergence_is_monotone_and_bounded(spark):
         if branches[-1] > branches[0]:
             saw_fanout = True
     assert saw_fanout
+
+
+def test_dpo_pairs_margin_and_extremes_rederived(spark):
+    rewards: dict[int, list[tuple[float, str]]] = {}
+    for r in Q.q_grpo_advantages(spark, SF_DIR).collect():
+        rewards.setdefault(r["prompt_bucket"], []).append(
+            (r["reward"], r["conv_id"])
+        )
+    pairs = {r["prompt_bucket"]: r for r in Q.q_dpo_pairs(spark, SF_DIR).collect()}
+    kept = dropped = 0
+    for bucket, group in rewards.items():
+        gap = max(t[0] for t in group) - min(t[0] for t in group)
+        if len(group) < 2 or gap < 0.6 - 1e-6:
+            assert bucket not in pairs
+            dropped += 1
+            continue
+        kept += 1
+        r = pairs[bucket]
+        # chosen = lexicographic max (reward, conv); rejected = min
+        assert r["chosen_conv"] == max(group)[1]
+        assert r["rejected_conv"] == min(group)[1]
+        assert abs(r["reward_gap"] - gap) < 1e-5
+        assert r["chosen_reward"] > r["rejected_reward"]
+    # the 0.6 margin must demonstrably fire on the sf0.01 data
+    assert kept >= 1 and dropped >= 1

@@ -361,3 +361,12 @@ def test_rollout_job_spark_submit_end_to_end(spark, tmp_path):
 
     pk = spark.read.parquet(os.path.join(out_root, "pass_at_k"))
     assert pk.count() == summary["prompt_groups"]
+
+    # margin 0.0: every multi-rollout group yields a preference pair
+    pairs = spark.read.parquet(os.path.join(out_root, "preference_pairs"))
+    assert pairs.count() == summary["preference_pairs"]
+    multi = gs.filter("n_rollouts >= 2").count()
+    assert pairs.count() == multi
+    assert all(
+        r["chosen_reward"] > r["rejected_reward"] for r in pairs.collect()
+    )

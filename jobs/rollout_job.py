@@ -20,8 +20,9 @@ reward column can never silently masquerade as a real one).
 corpora where every first turn is unique; 0 (default) groups by the
 verbatim first-turn hash, the production setting.
 
-Writes loop_stats/, group_stats/, winners/, advantages/, pass_at_k/
-parquet and prints one JSON metrics line. Scale shape: every window and
+Writes loop_stats/, group_stats/, winners/, advantages/,
+preference_pairs/ (gap >= --dpo-margin), pass_at_k/ parquet and prints
+one JSON metrics line. Scale shape: every window and
 rollup is conv- or group-keyed (see ocr_spark/rollouts.py docstrings);
 after the fingerprint rollup only 32-byte hashes move.
 """

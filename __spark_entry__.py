@@ -264,7 +264,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # so the sampled window stays exactly the 50 certified names) ----
     "agent_loop_detector", "prompt_rollout_dedup", "pass_at_k",
     "best_of_n_selection", "grpo_advantages", "rollout_divergence_profile",
-    "dpo_pairs",
+    "dpo_pairs", "length_debiased_reward",
     # ---- rows-only by design (pytest-pinned), permanently behind slot 50 ----
     "bucketed_layout_audit", "turn_gap_stats", "approx_distinct_grams",
     "extract_pipeline", "conv_rollup", "partition_metrics",
@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grpo_advantages": Q.q_grpo_advantages,
         "rollout_divergence_profile": Q.q_rollout_divergence_profile,
         "dpo_pairs": Q.q_dpo_pairs,
+        "length_debiased_reward": Q.q_length_debiased_reward,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,
         "corpus_shard_plan": Q.q_corpus_shard_plan,

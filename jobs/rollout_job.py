@@ -21,8 +21,9 @@ corpora where every first turn is unique; 0 (default) groups by the
 verbatim first-turn hash, the production setting.
 
 Writes loop_stats/, group_stats/, winners/, advantages/,
-preference_pairs/ (gap >= --dpo-margin), pass_at_k/ parquet and prints
-one JSON metrics line. Scale shape: every window and
+preference_pairs/ (gap >= --dpo-margin), debiased/ (length-debiased
+reward residuals), pass_at_k/ parquet and prints one JSON metrics
+line. Scale shape: every window and
 rollup is conv- or group-keyed (see ocr_spark/rollouts.py docstrings);
 after the fingerprint rollup only 32-byte hashes move.
 """
@@ -97,7 +98,7 @@ def main() -> None:
             .agg(F.max(args.reward_col).cast("double").alias("reward"))
         )
         scored = fps.select(
-            group.alias("prompt_group"), "conv_id", "completion_fp"
+            group.alias("prompt_group"), "conv_id", "completion_fp", "n_chars"
         ).join(reward, "conv_id")
         reward_source = f"column:{args.reward_col}"
     else:
@@ -105,6 +106,7 @@ def main() -> None:
             group.alias("prompt_group"),
             "conv_id",
             "completion_fp",
+            "n_chars",
             F.expr(
                 "cast(conv(substr(completion_fp, 1, 8), 16, 10) as double)"
                 " / 4294967296.0"
@@ -132,6 +134,9 @@ def main() -> None:
     rollouts.preference_pairs(plain, margin=args.dpo_margin).write.mode(
         "overwrite"
     ).parquet(os.path.join(args.output, "preference_pairs"))
+    rollouts.length_debiased_reward(
+        scored.select("conv_id", "reward", "n_chars")
+    ).write.mode("overwrite").parquet(os.path.join(args.output, "debiased"))
     pk = rollouts.pass_at_k(
         scored.select(
             "prompt_group",

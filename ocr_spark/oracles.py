@@ -4574,3 +4574,32 @@ SELECT hi.prompt_bucket, hi.n_rollouts, hi.chosen_conv, lo.rejected_conv,
 FROM hi JOIN lo USING (prompt_bucket)
 WHERE hi.n_rollouts >= 2 AND hi.r_hi - lo.r_lo >= 0.6
 """
+
+ORACLES["length_debiased_reward"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS completion_fp,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM t GROUP BY conv_id
+), scored AS (
+  SELECT conv_id, n_chars,
+         CAST(('0x' || substr(completion_fp, 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS reward
+  FROM per_conv
+), stats AS (
+  SELECT covar_pop(CAST(n_chars AS DOUBLE), reward)
+           / var_pop(CAST(n_chars AS DOUBLE)) AS beta,
+         avg(reward) AS mean_r,
+         avg(CAST(n_chars AS DOUBLE)) AS mean_len
+  FROM scored
+)
+SELECT conv_id, n_chars,
+       round(reward, 6) AS reward,
+       round(beta, 6) AS bias_slope,
+       round(reward - (mean_r + beta * (n_chars - mean_len)), 6) AS debiased_reward
+FROM scored CROSS JOIN stats
+"""

@@ -7894,3 +7894,22 @@ def q_dpo_pairs(spark, sf_dir):
     return rollouts.preference_pairs(
         _rollout_scored(spark, sf_dir).drop("completion_fp"), margin=0.6
     ).withColumnRenamed("prompt_group", "prompt_bucket")
+
+
+def q_length_debiased_reward(spark, sf_dir):
+    """Reward length-bias correction: OLS slope of reward on trajectory
+    length over the corpus, then per-trajectory residuals — selection
+    on the residual removes the verbosity incentive a raw reward model
+    leaks into BoN/DPO/GRPO (reward here is the deterministic
+    hash-uniform adapter stand-in; production wires its reward-model
+    column in).
+
+    Shape: see rollouts.length_debiased_reward — one 1-row stats
+    aggregate broadcast back (the corpus-totals pattern)."""
+    from ocr_spark import rollouts
+
+    fps = rollouts.rollout_fingerprints(doc_transcripts(spark, sf_dir))
+    scored = fps.select(
+        "conv_id", "n_chars", F.expr(_REWARD_EXPR).alias("reward")
+    )
+    return rollouts.length_debiased_reward(scored)

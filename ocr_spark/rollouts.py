@@ -93,6 +93,8 @@ def rollout_fingerprints(t: DataFrame) -> DataFrame:
                 FP_SEP,
             )
         ).alias("completion_fp"),
+        # trajectory length; Catalyst prunes it wherever unused
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
     )
 
 
@@ -278,4 +280,38 @@ def preference_pairs(scored: DataFrame, margin: float = 0.0) -> DataFrame:
         F.round("hi.reward", 6).alias("chosen_reward"),
         F.round("lo.reward", 6).alias("rejected_reward"),
         F.round(F.col("hi.reward") - F.col("lo.reward"), 6).alias("reward_gap"),
+    )
+
+
+def length_debiased_reward(scored: DataFrame) -> DataFrame:
+    """Length-bias correction: reward models systematically prefer
+    longer responses (verbosity bias), which RL then amplifies. Fit the
+    corpus-level OLS slope of reward on trajectory length
+    (covar_pop / var_pop — one pass) and report each trajectory's
+    debiased reward = reward - (mean_r + slope * (len - mean_len)),
+    i.e. the residual against the length trend. Rank or gate on the
+    residual and the length incentive disappears from selection.
+    ``scored`` needs columns ``(conv_id, reward double, n_chars)``.
+
+    Shape: ONE single-row stats aggregate broadcast back over the
+    scored table (the corpus-totals pattern) — the trajectory rows are
+    touched exactly twice and never shuffled."""
+    stats = scored.agg(
+        F.expr(
+            "covar_pop(cast(n_chars as double), reward)"
+            " / var_pop(cast(n_chars as double))"
+        ).alias("beta"),
+        F.avg("reward").alias("mean_r"),
+        F.avg(F.col("n_chars").cast("double")).alias("mean_len"),
+    )
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "conv_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("reward", 6).alias("reward"),
+        F.round("beta", 6).alias("bias_slope"),
+        F.round(
+            F.col("reward")
+            - (F.col("mean_r") + F.col("beta") * (F.col("n_chars") - F.col("mean_len"))),
+            6,
+        ).alias("debiased_reward"),
     )

@@ -1200,3 +1200,14 @@ def test_dpo_pairs_struct_minmax_no_pairing_window(spark):
     assert n_ops(p, "Exchange") == 2, p  # adapter + group agg
     assert n_ops(p, "Window") == 1, p  # adapter row_number only
     assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+
+
+def test_length_debiased_reward_broadcast_stats(spark):
+    """Corpus-totals pattern: the 1-row OLS stats broadcast back over
+    the scored rows via BroadcastNestedLoopJoin — never a shuffled join
+    or cartesian; the two adapter branches (rows + stats) account for
+    the Exchanges."""
+    p = plan(Q.q_length_debiased_reward(spark, SF_DIR))
+    assert n_ops(p, "BroadcastNestedLoopJoin") == 1, p
+    assert n_ops(p, "CartesianProduct") + n_ops(p, "SortMergeJoin") == 0, p
+    assert n_ops(p, "Exchange") <= 3, p

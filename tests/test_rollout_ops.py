@@ -165,3 +165,20 @@ def test_dpo_pairs_margin_and_extremes_rederived(spark):
         assert r["chosen_reward"] > r["rejected_reward"]
     # the 0.6 margin must demonstrably fire on the sf0.01 data
     assert kept >= 1 and dropped >= 1
+
+
+def test_length_debiased_reward_matches_ols_rederivation(spark):
+    rows = Q.q_length_debiased_reward(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    xs = [float(r["n_chars"]) for r in rows]
+    ys = [r["reward"] for r in rows]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    for r in rows:
+        assert abs(r["bias_slope"] - beta) < 1e-5
+        expected = r["reward"] - (my + beta * (r["n_chars"] - mx))
+        assert abs(r["debiased_reward"] - expected) < 1e-4
+    # residuals of an OLS fit with intercept sum to ~zero
+    assert abs(sum(r["debiased_reward"] for r in rows)) < 1e-3

@@ -362,6 +362,13 @@ def test_rollout_job_spark_submit_end_to_end(spark, tmp_path):
     pk = spark.read.parquet(os.path.join(out_root, "pass_at_k"))
     assert pk.count() == summary["prompt_groups"]
 
+    # one debiased-reward row per scored trajectory; OLS residuals with
+    # an intercept sum to ~zero and the slope is a single corpus value
+    deb = spark.read.parquet(os.path.join(out_root, "debiased"))
+    assert deb.count() == summary["rollouts_scored"]
+    assert deb.select("bias_slope").distinct().count() == 1
+    assert abs(deb.groupBy().sum("debiased_reward").collect()[0][0]) < 1e-3
+
     # margin 0.0: every multi-rollout group yields a preference pair
     pairs = spark.read.parquet(os.path.join(out_root, "preference_pairs"))
     assert pairs.count() == summary["preference_pairs"]

@@ -625,3 +625,75 @@ def stream_novelty_gate(
         F.col("window.start").alias("win_start"),
         F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
     )
+
+
+ROLLOUT_SCHEMA = (
+    "prompt_group string, conv_id string, completion_fp string, ts timestamp"
+)
+_ROLLOUT_STATE = "admitted array<string>"
+
+
+def _rollout_budget_fn(max_per_group: int):
+    """Factory for the per-prompt-group budget state function: admit the
+    first ``max_per_group`` arrivals (ts, then conv_id order inside each
+    trigger) and drop the rest. State is the admitted conv_id list —
+    bounded by the cap, never by the stream — so a redelivered admitted
+    row is recognized and NOT re-emitted (idempotent under the
+    at-least-once source contract; byte-identical completions never
+    even reach here, stage 1 absorbs them)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prompt_group,) = key
+        admitted = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "conv_id"], kind="mergesort")
+            keep_rows = []
+            for _, row in batch.iterrows():
+                if row["conv_id"] in admitted:
+                    continue  # redelivery of an admitted row: no re-emit
+                if len(admitted) >= max_per_group:
+                    continue
+                admitted.append(row["conv_id"])
+                keep_rows.append(row)
+            state.update((admitted,))
+            if keep_rows:
+                yield pd.DataFrame(keep_rows)[
+                    ["prompt_group", "conv_id", "completion_fp", "ts"]
+                ]
+
+    return fn
+
+
+def stream_rollout_gate(
+    rollouts: DataFrame, watermark: str = "1 hour", max_per_group: int = 4
+) -> DataFrame:
+    """Streaming rollout admission gate — the online twin of the batch
+    ``prompt_rollout_dedup`` reduction: completed-trajectory records
+    ``(prompt_group, conv_id, completion_fp, ts)`` arrive as the
+    sampler finishes them, and the training buffer must see (a) no
+    byte-identical completion twice per prompt group and (b) at most
+    ``max_per_group`` trajectories per group — over-sampled prompts
+    waste buffer and skew the mixture.
+
+    State shape: stage 1 is ``dropDuplicatesWithinWatermark`` on
+    (prompt_group, completion_fp) — one row of state per distinct
+    completion, EVICTED at the watermark, which also absorbs
+    at-least-once redelivery. Stage 2 is a custom
+    ``applyInPandasWithState`` budget counter per prompt group whose
+    state (the admitted conv_id list) is bounded by the cap, never by
+    stream length. Admission order is deterministic (ts, then conv_id)
+    within each trigger. The batch twin (``prompt_rollout_dedup``,
+    DuckDB oracle-checked) pins the dedup semantics."""
+    deduped = rollouts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["prompt_group", "completion_fp"]
+    )
+    return deduped.groupBy("prompt_group").applyInPandasWithState(
+        _rollout_budget_fn(max_per_group),
+        outputStructType=ROLLOUT_SCHEMA,
+        stateStructType=_ROLLOUT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -721,3 +721,63 @@ def test_stream_novelty_gate_drops_boilerplate(spark, dirs, tmp_path):
     assert set(got) == {("conv1", 0), ("conv3", 0)}
     assert got[("conv1", 0)] == 1.0
     assert got[("conv3", 0)] == 1.0
+
+
+def test_stream_rollout_gate_dedups_and_enforces_budget(spark, dirs):
+    """Streaming rollout admission: byte-identical completions within a
+    prompt group are suppressed, each group admits at most
+    max_per_group trajectories in (ts, conv_id) order, and redelivering
+    a batch (at-least-once source) emits nothing new."""
+    import datetime
+
+    from ocr_spark.streaming.incremental import (
+        ROLLOUT_SCHEMA,
+        stream_rollout_gate,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def row(group, conv, fp, secs):
+        return (group, conv, fp, t0 + datetime.timedelta(seconds=secs))
+
+    def write(name, data):
+        spark.createDataFrame(data, ROLLOUT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dirs["in"], name))
+
+    def run():
+        stream = (
+            spark.readStream.schema(ROLLOUT_SCHEMA)
+            .parquet(dirs["in"] + "/*")
+        )
+        q = (
+            stream_rollout_gate(stream, watermark="2 hours", max_per_group=2)
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch = [
+        # group g0: 4 arrivals, one an exact dup -> dedup to 3, cap to 2
+        row("g0", "c1", "fpA", 0),
+        row("g0", "c2", "fpA", 10),   # byte-identical dup of c1 -> dropped
+        row("g0", "c3", "fpB", 20),   # admitted (slot 2)
+        row("g0", "c4", "fpC", 30),   # over budget -> dropped
+        # group g1: one arrival, one budget slot left for a later batch
+        row("g1", "c5", "fpD", 0),
+    ]
+    write("b1", batch)
+    run()
+    # redeliver everything: admitted rows must not re-emit
+    write("b1_again", batch)
+    run()
+    # a later batch: group g0 is full, group g1 has one slot left
+    write("b2", [row("g0", "c7", "fpF", 60), row("g1", "c8", "fpG", 60)])
+    run()
+
+    got = {(r.prompt_group, r.conv_id) for r in spark.read.parquet(dirs["out"]).collect()}
+    assert got == {("g0", "c1"), ("g0", "c3"), ("g1", "c5"), ("g1", "c8")}

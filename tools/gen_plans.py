@@ -596,6 +596,25 @@ def main() -> None:
             plan(Q.q_prompt_rollout_dedup(spark, SF_DIR)),
         ),
         (
+            "DPO pairs: struct max/min, no pairing window",
+            "Preference mining: per-group (chosen, rejected) reward "
+            "extremes via lexicographic struct max/min inside ONE "
+            "partial-aggregated groupBy — no pairing window, no "
+            "self-join; the margin filter is a narrow post-aggregate "
+            "predicate. Tie-heavy (binary) reward schemes stay "
+            "deterministic.",
+            plan(Q.q_dpo_pairs(spark, SF_DIR)),
+        ),
+        (
+            "Length-debiased reward: 1-row OLS broadcast",
+            "Verbosity-bias correction: covar_pop/var_pop fit in a "
+            "single-row stats aggregate, broadcast back over the "
+            "scored trajectories (the corpus-totals pattern) for a "
+            "narrow residual projection — trajectory rows never "
+            "shuffle.",
+            plan(Q.q_length_debiased_reward(spark, SF_DIR)),
+        ),
+        (
             "Rollout divergence profile: conv-local prefix hashes",
             "Trajectory-tree fan-out per (prompt group, depth): the "
             "cumulative prefix hash is one conv-partitioned window "

@@ -59,6 +59,9 @@ RELATIONAL_QUERIES = [
     "simhash_fingerprint",
     "chunk_dedup_keep_first",
     "bigram_lm_score",
+    # round 5: RL-rollout reduction representative (fingerprint rollup ->
+    # group dedup — the shape every rollout reduction shares)
+    "prompt_rollout_dedup",
 ]
 
 # Bench working set (fixture input, snapshots, shuffle dirs) lives on

@@ -146,6 +146,11 @@ def _apply_history(result: dict) -> None:
                     f"\nBest extraction throughput: **{e['best']} turns/sec** "
                     f"(set in {e['set_in']}).\n"
                 )
+            # durable adjudication notes survive every regeneration
+            notes = os.path.join(REPO, "BENCH", "NOTES.md")
+            if os.path.exists(notes):
+                with open(notes) as nf:
+                    fh.write("\n" + nf.read())
     except OSError:
         pass  # history is advisory; never fail the bench over it
 

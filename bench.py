@@ -925,6 +925,11 @@ def run_scaling(levels=None) -> None:
             "materialized; input generation and python-worker warmup are\n"
             "excluded (a cluster job reads committed parquet/Iceberg).\n"
         )
+        # durable session notes survive every regeneration
+        notes = os.path.join(REPO, "BENCH", "BASELINE_NOTES.md")
+        if os.path.exists(notes):
+            with open(notes) as nf:
+                fh.write("\n" + nf.read())
     print(json.dumps({"scaling": results, "efficiency": round(eff, 3),
                       "hw_ceiling": {str(k): round(v, 3) for k, v in ceiling.items()}}))
 

@@ -265,6 +265,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "agent_loop_detector", "prompt_rollout_dedup", "pass_at_k",
     "best_of_n_selection", "grpo_advantages", "rollout_divergence_profile",
     "dpo_pairs", "length_debiased_reward",
+    # evaluation / label-aggregation family (round 5, behind the window)
+    "judge_majority_vote", "judge_kappa_pairs", "judge_alpha",
+    "dawid_skene_labels", "arena_win_matrix", "bradley_terry_strengths",
+    "judge_consensus_confusion",
     # ---- rows-only by design (pytest-pinned), permanently behind slot 50 ----
     "bucketed_layout_audit", "turn_gap_stats", "approx_distinct_grams",
     "extract_pipeline", "conv_rollup", "partition_metrics",
@@ -482,6 +486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollout_divergence_profile": Q.q_rollout_divergence_profile,
         "dpo_pairs": Q.q_dpo_pairs,
         "length_debiased_reward": Q.q_length_debiased_reward,
+        # evaluation / label-aggregation family (round 5)
+        "judge_majority_vote": Q.q_judge_majority_vote,
+        "judge_kappa_pairs": Q.q_judge_kappa_pairs,
+        "judge_alpha": Q.q_judge_alpha,
+        "dawid_skene_labels": Q.q_dawid_skene_labels,
+        "arena_win_matrix": Q.q_arena_win_matrix,
+        "bradley_terry_strengths": Q.q_bradley_terry_strengths,
+        "judge_consensus_confusion": Q.q_judge_consensus_confusion,
         "ngram_novelty": Q.q_ngram_novelty,
         "rp_recall_report": Q.q_rp_recall_report,
         "corpus_shard_plan": Q.q_corpus_shard_plan,

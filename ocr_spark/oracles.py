@@ -4603,3 +4603,273 @@ SELECT conv_id, n_chars,
        round(reward - (mean_r + beta * (n_chars - mean_len)), 6) AS debiased_reward
 FROM scored CROSS JOIN stats
 """
+
+
+# --------------------------------------------------------------------------
+# Evaluation / label-aggregation family (ocr_spark.evaluation). The lab
+# and bat CTEs mirror queries._judge_labels / queries._model_battles
+# byte-for-byte in derivation (md5 content keys, same slices).
+# --------------------------------------------------------------------------
+
+_EVAL_LABELS_CTE = r"""j(judge_id) AS (VALUES ('j0'), ('j1'), ('j2')),
+lab AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS item_id, j.judge_id,
+         ['good', 'ok', 'bad'][
+           (CASE WHEN ('0x' || substr(md5(d.text || '|' || j.judge_id), 1, 8))::BIGINT % 4 = 0
+                 THEN ((('0x' || substr(md5(d.text), 1, 8))::BIGINT % 3)
+                       + 1
+                       + (('0x' || substr(md5(d.text || '|' || j.judge_id), 9, 4))::BIGINT % 2)) % 3
+                 ELSE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 3
+            END) + 1] AS label
+  FROM documents d CROSS JOIN j
+  WHERE ('0x' || substr(md5(d.text || '|' || j.judge_id), 13, 4))::BIGINT % 7 <> 0
+)"""
+
+_EVAL_BATTLES_CTE = r"""bat AS (
+  SELECT CAST(doc_id AS BIGINT) AS item_id,
+         'model_' || CAST(a AS VARCHAR) AS model_a,
+         'model_' || CAST(b AS VARCHAR) AS model_b,
+         CASE WHEN (a < b) <> up THEN 'model_' || CAST(a AS VARCHAR)
+              ELSE 'model_' || CAST(b AS VARCHAR) END AS winner
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT % 4 AS a,
+           (('0x' || substr(md5(text), 1, 8))::BIGINT % 4 + 1
+            + ('0x' || substr(md5(text), 9, 8))::BIGINT % 3) % 4 AS b,
+           ('0x' || substr(md5(text), 17, 2))::BIGINT % 4 = 0 AS up
+    FROM documents)
+)"""
+
+
+ORACLES["judge_majority_vote"] = f"""
+WITH {_EVAL_LABELS_CTE},
+c AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS cnt FROM lab GROUP BY 1, 2),
+r AS (
+  SELECT item_id, label, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY item_id) AS BIGINT) AS n_votes,
+         CAST(count(*) OVER (PARTITION BY item_id) AS BIGINT) AS n_distinct_labels,
+         row_number() OVER (PARTITION BY item_id ORDER BY cnt DESC, label ASC) AS rn
+  FROM c)
+SELECT item_id, n_votes, n_distinct_labels,
+       label AS vote_label, cnt AS vote_count,
+       round(CAST(cnt AS DOUBLE) / n_votes, 6) AS agreement,
+       n_distinct_labels = 1 AS unanimous
+FROM r WHERE rn = 1
+"""
+
+
+ORACLES["judge_kappa_pairs"] = f"""
+WITH {_EVAL_LABELS_CTE},
+obs AS (
+  SELECT a.judge_id AS judge_a, b.judge_id AS judge_b,
+         CAST(count(*) AS BIGINT) AS n_items,
+         avg(CASE WHEN a.label = b.label THEN 1.0 ELSE 0.0 END) AS po
+  FROM lab a JOIN lab b USING (item_id)
+  WHERE a.judge_id < b.judge_id
+  GROUP BY 1, 2),
+marg AS (
+  SELECT judge_id, label,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY judge_id) AS frac
+  FROM lab GROUP BY judge_id, label),
+pe AS (
+  SELECT ma.judge_id AS judge_a, mb.judge_id AS judge_b,
+         sum(ma.frac * mb.frac) AS pe
+  FROM marg ma JOIN marg mb USING (label)
+  WHERE ma.judge_id < mb.judge_id
+  GROUP BY 1, 2)
+SELECT o.judge_a, o.judge_b, o.n_items,
+       round(o.po, 6) AS po, round(p.pe, 6) AS pe,
+       round((o.po - p.pe) / (1.0 - p.pe), 6) AS kappa
+FROM obs o JOIN pe p USING (judge_a, judge_b)
+"""
+
+
+ORACLES["judge_alpha"] = f"""
+WITH {_EVAL_LABELS_CTE},
+nuc AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS nuc FROM lab GROUP BY 1, 2),
+per_item AS (
+  SELECT item_id, CAST(sum(nuc) AS BIGINT) AS mu,
+         CAST(sum(nuc * (nuc - 1)) AS BIGINT) AS agree_pairs
+  FROM nuc GROUP BY 1 HAVING sum(nuc) >= 2),
+pooled AS (
+  SELECT n.label, CAST(sum(n.nuc) AS BIGINT) AS ncnt
+  FROM nuc n JOIN per_item p USING (item_id) GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(mu) AS BIGINT) AS n_ratings,
+         sum(CAST(agree_pairs AS DOUBLE) / (mu - 1)) AS ao_num
+  FROM per_item),
+ch AS (SELECT CAST(sum(ncnt * (ncnt - 1)) AS DOUBLE) AS ae_num FROM pooled)
+SELECT n_items, n_ratings,
+       round(ao, 6) AS ao, round(ae, 6) AS ae,
+       round((ao - ae) / (1.0 - ae), 6) AS alpha
+FROM (SELECT t.n_items, t.n_ratings,
+             t.ao_num / t.n_ratings AS ao,
+             c.ae_num / (CAST(t.n_ratings AS DOUBLE) * (t.n_ratings - 1)) AS ae
+      FROM tot t CROSS JOIN ch c)
+"""
+
+
+def _dawid_skene_sql(rounds: int = _params.DS_ROUNDS, smooth: float = 0.1) -> str:
+    """Unrolled Dawid-Skene EM in lockstep with evaluation.dawid_skene:
+    per round one M-step (priors + Laplace-smoothed confusion grid over
+    judges x classes x classes) and one E-step (log-space posteriors,
+    item-window normalized), seeded from per-item vote fractions.
+    Round CTEs are MATERIALIZED: each round references the previous
+    posterior twice and default inlining is exponential in rounds."""
+    parts = [
+        "cls AS (SELECT DISTINCT label AS cls FROM lab)",
+        "ncls AS (SELECT CAST(count(*) AS DOUBLE) AS nc FROM cls)",
+        "judges AS (SELECT DISTINCT judge_id FROM lab)",
+        "nuc AS (SELECT item_id, label, CAST(count(*) AS DOUBLE) AS nuc"
+        " FROM lab GROUP BY 1, 2)",
+        "muv AS (SELECT item_id, sum(nuc) AS mu FROM nuc GROUP BY 1)",
+        "p0 AS (SELECT n.item_id, n.label AS cls, n.nuc / m.mu AS p"
+        " FROM nuc n JOIN muv m USING (item_id))",
+    ]
+    prev = "p0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"pri{i} AS MATERIALIZED (SELECT cls, sum(p) AS mass FROM {prev} GROUP BY cls)"
+        )
+        parts.append(f"""prior{i} AS MATERIALIZED (
+  SELECT c.cls, coalesce(pr.mass, 0.0) / (SELECT sum(mass) FROM pri{i}) AS pi
+  FROM cls c LEFT JOIN pri{i} pr USING (cls))""")
+        parts.append(f"""mass{i} AS MATERIALIZED (
+  SELECT l.judge_id, p.cls, l.label, sum(p.p) AS m
+  FROM lab l JOIN {prev} p USING (item_id) GROUP BY 1, 2, 3)""")
+        parts.append(
+            f"den{i} AS MATERIALIZED (SELECT judge_id, cls, sum(m) AS d FROM mass{i} GROUP BY 1, 2)"
+        )
+        parts.append(f"""theta{i} AS MATERIALIZED (
+  SELECT j.judge_id, c.cls, k.cls AS label,
+         (coalesce(ms.m, 0.0) + {smooth!r})
+           / (coalesce(dn.d, 0.0) + {smooth!r} * nc.nc) AS theta
+  FROM judges j CROSS JOIN cls c CROSS JOIN cls k CROSS JOIN ncls nc
+  LEFT JOIN mass{i} ms
+    ON ms.judge_id = j.judge_id AND ms.cls = c.cls AND ms.label = k.cls
+  LEFT JOIN den{i} dn
+    ON dn.judge_id = j.judge_id AND dn.cls = c.cls)""")
+        parts.append(f"""ll{i} AS MATERIALIZED (
+  SELECT l.item_id, t.cls, sum(ln(t.theta)) AS ll
+  FROM lab l JOIN theta{i} t
+    ON t.judge_id = l.judge_id AND t.label = l.label
+  GROUP BY 1, 2)""")
+        parts.append(f"""lp{i} AS MATERIALIZED (
+  SELECT a.item_id, a.cls,
+         a.ll + CASE WHEN pr.pi > 0 THEN ln(pr.pi) ELSE -745.0 END AS ll
+  FROM ll{i} a JOIN prior{i} pr USING (cls))""")
+        parts.append(f"""px{i} AS MATERIALIZED (
+  SELECT item_id, cls,
+         exp(ll - max(ll) OVER (PARTITION BY item_id)) AS wgt
+  FROM lp{i})""")
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT item_id, cls, wgt / sum(wgt) OVER (PARTITION BY item_id) AS p
+  FROM px{i})""")
+        prev = f"p{i}"
+    return (
+        f"WITH {_EVAL_LABELS_CTE},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT item_id, cls AS map_label, round(p, 6) AS p_map
+FROM (SELECT item_id, cls, p,
+             row_number() OVER (PARTITION BY item_id
+                                ORDER BY p DESC, cls ASC) AS rn
+      FROM {prev})
+WHERE rn = 1
+"""
+    )
+
+
+ORACLES["dawid_skene_labels"] = _dawid_skene_sql()
+
+
+ORACLES["arena_win_matrix"] = f"""
+WITH {_EVAL_BATTLES_CTE}
+SELECT least(model_a, model_b) AS model_lo,
+       greatest(model_a, model_b) AS model_hi,
+       CAST(count(*) AS BIGINT) AS n_battles,
+       CAST(sum(CASE WHEN winner = least(model_a, model_b) THEN 1 ELSE 0 END)
+            AS BIGINT) AS lo_wins,
+       round(CAST(sum(CASE WHEN winner = least(model_a, model_b) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS lo_winrate
+FROM bat GROUP BY 1, 2
+"""
+
+
+def _bradley_terry_sql(rounds: int = _params.BT_ROUNDS) -> str:
+    """Unrolled Hunter MM in lockstep with evaluation.bradley_terry:
+    battles reduce once to model^2 pair cells; each round recomputes
+    per-model denominators against the previous strengths and
+    normalizes to mean 1."""
+    parts = [
+        """canon AS MATERIALIZED (
+  SELECT least(model_a, model_b) AS lo, greatest(model_a, model_b) AS hi,
+         CASE WHEN winner = least(model_a, model_b) THEN 1 ELSE 0 END AS lo_won
+  FROM bat)""",
+        """cells AS MATERIALIZED (
+  SELECT lo, hi, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(lo_won) AS DOUBLE) AS w_lo
+  FROM canon GROUP BY 1, 2)""",
+        """sides AS MATERIALIZED (
+  SELECT lo AS m, lo, hi, n FROM cells
+  UNION ALL SELECT hi, lo, hi, n FROM cells)""",
+        """wins AS MATERIALIZED (
+  SELECT m, sum(w) AS wins FROM (
+    SELECT lo AS m, w_lo AS w FROM cells
+    UNION ALL SELECT hi, n - w_lo FROM cells) GROUP BY m)""",
+        "s0 AS MATERIALIZED (SELECT m, 1.0 AS s FROM wins)",
+    ]
+    for i in range(1, rounds + 1):
+        # AS MATERIALIZED: each round references the previous strengths
+        # 2-3 times; DuckDB's default CTE inlining would duplicate the
+        # whole subtree per reference (exponential in rounds).
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT t.m, sum(t.n / (sl.s + sh.s)) AS denom
+  FROM sides t
+  JOIN s{i - 1} sl ON sl.m = t.lo
+  JOIN s{i - 1} sh ON sh.m = t.hi
+  GROUP BY t.m)""")
+        parts.append(f"""raw{i} AS MATERIALIZED (
+  SELECT w.m, CASE WHEN d.denom > 0 THEN w.wins / d.denom ELSE 0.0 END AS raw
+  FROM wins w JOIN d{i} d USING (m))""")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT m, raw / (SELECT avg(raw) FROM raw{i}) AS s"
+            f" FROM raw{i})"
+        )
+    return (
+        f"WITH {_EVAL_BATTLES_CTE},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT w.m AS model, CAST(w.wins AS BIGINT) AS n_wins,
+       (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_battles_total,
+       round(s.s, 6) AS strength,
+       CAST(row_number() OVER (ORDER BY round(s.s, 6) DESC, w.m ASC)
+            AS INTEGER) AS rank
+FROM wins w JOIN s{rounds} s USING (m)
+"""
+    )
+
+
+ORACLES["bradley_terry_strengths"] = _bradley_terry_sql()
+
+
+ORACLES["judge_consensus_confusion"] = f"""
+WITH {_EVAL_LABELS_CTE},
+c AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS cnt FROM lab GROUP BY 1, 2),
+v AS (
+  SELECT item_id, label AS consensus
+  FROM (SELECT item_id, label, cnt,
+               row_number() OVER (PARTITION BY item_id
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c)
+  WHERE rn = 1),
+cells AS (
+  SELECT l.judge_id, v.consensus, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM lab l JOIN v USING (item_id)
+  GROUP BY 1, 2, 3)
+SELECT judge_id, consensus, label, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY judge_id, consensus), 6) AS frac
+FROM cells
+"""

@@ -35,6 +35,13 @@ SHARD_COUNT = 64
 KCORE_K = 2
 KCORE_ROUNDS = 3
 
+# Evaluation / label-aggregation loop depths (ocr_spark.evaluation):
+# Dawid-Skene EM rounds and Bradley-Terry MM rounds. Demo depths for the
+# sf0.01 gate; both the Spark loops and the DuckDB oracle generators
+# (_dawid_skene_sql / _bradley_terry_sql) unroll from THESE constants.
+DS_ROUNDS = 3
+BT_ROUNDS = 8
+
 # Embedding-based decontamination (semantic_decontam): flag corpus docs
 # whose max cosine vs any eval embedding reaches this. 0.15 is tuned to
 # the synthetic random embeddings (max observed candidate cosine 0.24);

@@ -7913,3 +7913,153 @@ def q_length_debiased_reward(spark, sf_dir):
         "conv_id", "n_chars", F.expr(_REWARD_EXPR).alias("reward")
     )
     return rollouts.length_debiased_reward(scored)
+
+
+# --------------------------------------------------------------------------
+# Evaluation / label-aggregation family (ocr_spark.evaluation)
+# --------------------------------------------------------------------------
+
+# Content-keyed judge-label synthesis: a latent "true" class per doc
+# (md5(text) % 3) and three judges that report it with ~75% fidelity
+# (an md5(text|judge) coin flips the verdict to one of the other two
+# classes 1/4 of the time) and ~14% missingness (a second coin drops
+# the (item, judge) rating entirely — exercising Krippendorff's
+# missing-tolerant pairing). Deterministic and engine-independent; a
+# real judge table replaces this derivation and the evaluation.*
+# functions consume it unchanged.
+_JUDGES = ("j0", "j1", "j2")
+_EVAL_CLASSES = ("good", "ok", "bad")
+
+
+def _judge_labels(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("item_id"), "text"
+    )
+    lab = d.select(
+        "item_id",
+        "text",
+        F.explode(F.array(*[F.lit(j) for j in _JUDGES])).alias("judge_id"),
+    )
+    hj = (
+        "cast(conv(substr(md5(concat(text, '|', judge_id)), {}, {}), 16, 10)"
+        " as bigint)"
+    )
+    t_idx = F.expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)") % 3
+    flip = F.expr(hj.format(1, 8)) % 4 == 0
+    alt = (t_idx + 1 + F.expr(hj.format(9, 4)) % 2) % 3
+    idx = F.when(flip, alt).otherwise(t_idx)
+    return (
+        lab.filter(F.expr(hj.format(13, 4)) % 7 != 0)
+        .select(
+            "item_id",
+            "judge_id",
+            F.element_at(
+                F.array(*[F.lit(c) for c in _EVAL_CLASSES]),
+                (idx + 1).cast("int"),
+            ).alias("label"),
+        )
+    )
+
+
+def _model_battles(spark, sf_dir):
+    """Content-keyed arena battles: per doc, two distinct models of 4
+    (md5-picked) fight; the lexicographically smaller INDEX wins 3/4 of
+    the time (a latent strength order the Bradley-Terry fit should
+    recover). A real battles table replaces this derivation."""
+    d = _t(spark, sf_dir, "documents")
+    h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
+    a_idx = F.expr(h.format(1, 8)) % 4
+    b_idx = (a_idx + 1 + F.expr(h.format(9, 8)) % 3) % 4
+    upset = F.expr(h.format(17, 2)) % 4 == 0
+    ma = F.concat(F.lit("model_"), a_idx.cast("string"))
+    mb = F.concat(F.lit("model_"), b_idx.cast("string"))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("item_id"),
+        ma.alias("model_a"),
+        mb.alias("model_b"),
+        F.when((a_idx < b_idx) != upset, ma).otherwise(mb).alias("winner"),
+    )
+
+
+def q_judge_majority_vote(spark, sf_dir):
+    """Multi-judge plurality label per item with agreement diagnostics
+    — the first reduction a judge-labelled eval set runs before
+    training-data selection.
+
+    Shape: see evaluation.majority_vote — two item-keyed
+    partial-aggregated groupBys, min_by struct tiebreak, no window/join."""
+    from ocr_spark import evaluation
+
+    return evaluation.majority_vote(_judge_labels(spark, sf_dir))
+
+
+def q_judge_kappa_pairs(spark, sf_dir):
+    """Cohen's kappa for every unordered judge pair — the
+    chance-corrected agreement audit run before trusting judge labels.
+
+    Shape: see evaluation.cohen_kappa_pairs — one item-keyed self-join;
+    marginals and pe are judgexlabel-sized broadcasts."""
+    from ocr_spark import evaluation
+
+    return evaluation.cohen_kappa_pairs(_judge_labels(spark, sf_dir))
+
+
+def q_judge_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over all judges, tolerant of the
+    ~14% missing ratings the adapter injects. Returns ONE corpus row.
+
+    Shape: see evaluation.krippendorff_alpha — item-keyed rollups, then
+    1-row totals crossJoined broadcast."""
+    from ocr_spark import evaluation
+
+    return evaluation.krippendorff_alpha(_judge_labels(spark, sf_dir))
+
+
+def q_dawid_skene_labels(spark, sf_dir, rounds=None):
+    """Dawid-Skene EM label inference (params.DS_ROUNDS rounds): noisy
+    judges get per-judge confusion matrices; items get MAP labels from
+    the posteriors. The DuckDB oracle unrolls the identical rounds
+    (oracles._dawid_skene_sql) from the same params constant.
+
+    Shape: see evaluation.dawid_skene — judgesxclasses^2 state collected
+    per round and re-broadcast (the k-means centroid-loop pattern); the
+    labels table is touched once per round by item-keyed rollups."""
+    from ocr_spark import evaluation
+
+    return evaluation.dawid_skene(_judge_labels(spark, sf_dir), rounds=rounds)
+
+
+def q_arena_win_matrix(spark, sf_dir):
+    """Pairwise win-rate matrix over canonicalized model pairs — the
+    raw arena scoreboard.
+
+    Shape: see evaluation.pairwise_winrate — one narrow projection +
+    one partial-aggregated groupBy, model^2-sized output."""
+    from ocr_spark import evaluation
+
+    return evaluation.pairwise_winrate(_model_battles(spark, sf_dir))
+
+
+def q_bradley_terry_strengths(spark, sf_dir, rounds=None):
+    """Bradley-Terry strength fit (Hunter's MM, params.BT_ROUNDS
+    rounds) over the arena battles; recovers the adapter's latent
+    strength order model_0 > ... > model_3. Oracle unrolls the same MM
+    rounds in SQL from the same constant.
+
+    Shape: see evaluation.bradley_terry — battles reduce ONCE to
+    model^2 cells; the MM loop runs driver-side on that tiny state."""
+    from ocr_spark import evaluation
+
+    return evaluation.bradley_terry(_model_battles(spark, sf_dir), rounds=rounds)
+
+
+def q_judge_consensus_confusion(spark, sf_dir):
+    """Per-judge confusion matrix vs the majority-vote consensus — the
+    judge-quality audit before weighting/dropping judges (the adapter's
+    1/4-flip judges should show ~diagonal-heavy cells).
+
+    Shape: see evaluation.consensus_confusion — majority vote's rollups,
+    one item-keyed join back, one judge x classes^2 cell aggregate."""
+    from ocr_spark import evaluation
+
+    return evaluation.consensus_confusion(_judge_labels(spark, sf_dir))

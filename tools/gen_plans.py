@@ -624,6 +624,44 @@ def main() -> None:
             "tree.",
             plan(Q.q_rollout_divergence_profile(spark, SF_DIR)),
         ),
+        (
+            "Majority vote: two item-keyed rollups, no window",
+            "Multi-judge label aggregation: (item, label) counts then an "
+            "item rollup whose winner is a min_by composite-struct "
+            "aggregate — two partial-aggregated Exchanges and NO per-item "
+            "window or join-back, so a billion-item judge table reduces "
+            "map-side before either shuffle.",
+            plan(Q.q_judge_majority_vote(spark, SF_DIR)),
+        ),
+        (
+            "Cohen's kappa: item-keyed self-join, broadcast marginals",
+            "Inter-judge agreement: the only big op is the item-keyed "
+            "self-join pairing each item's verdicts; the judge x label "
+            "marginal and pe tables are tiny and ride BroadcastHashJoins. "
+            "Judge count is small and fixed, so pair fan-out per item is "
+            "bounded.",
+            plan(Q.q_judge_kappa_pairs(spark, SF_DIR)),
+        ),
+        (
+            "Dawid-Skene EM round: broadcast theta, one item window",
+            "Noisy-judge inference: per round the judges x classes^2 "
+            "confusion state is collected (tiny, the k-means "
+            "centroid-loop pattern) and re-broadcast as literals; the "
+            "E-step is one BroadcastHashJoin over the labels table plus "
+            "an item-keyed normalization window, and each round restarts "
+            "from the source table so lineage never deepens.",
+            plan(Q.q_dawid_skene_labels(spark, SF_DIR)),
+        ),
+        (
+            "Bradley-Terry: battles reduce once to model^2 cells",
+            "Arena strength fit: the battle table reduces to pair-count "
+            "cells in ONE partial-aggregated groupBy before the "
+            "driver-side MM loop touches only that model^2 state; the "
+            "returned strengths join a 1-row total broadcast. Win-rate "
+            "matrix (arena_win_matrix) is the same single-Exchange "
+            "reduction without the fit.",
+            plan(Q.q_bradley_terry_strengths(spark, SF_DIR)),
+        ),
     ]
 
     # Large-star/small-star CC: audit ONE alternation's shape (the full

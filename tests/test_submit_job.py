@@ -377,3 +377,67 @@ def test_rollout_job_spark_submit_end_to_end(spark, tmp_path):
     assert all(
         r["chosen_reward"] > r["rejected_reward"] for r in pairs.collect()
     )
+
+
+@pytest.mark.slow
+def test_eval_job_spark_submit_end_to_end(spark, tmp_path):
+    """The judge/arena evaluation reductions as a production job:
+    spark-submit --py-files over labels + battles parquet; the printed
+    metrics must reconcile with the written consensus / kappa / alpha /
+    ds_labels / confusion / win_matrix / bt_strengths tables, and the
+    Bradley-Terry fit must recover the battle generator's latent
+    strength order (model_0 strongest)."""
+    from ocr_spark.queries import _judge_labels, _model_battles
+    from tools.make_pyfiles import build
+
+    sf_dir = "/root/testdata/sf0.001"
+    labels_dir = str(tmp_path / "labels")
+    battles_dir = str(tmp_path / "battles")
+    _judge_labels(spark, sf_dir).write.mode("overwrite").parquet(labels_dir)
+    _model_battles(spark, sf_dir).select(
+        "model_a", "model_b", "winner"
+    ).write.mode("overwrite").parquet(battles_dir)
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    out_root = str(tmp_path / "eval_out")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "eval_job.py"),
+        "--labels", labels_dir,
+        "--battles", battles_dir,
+        "--output", out_root,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    consensus = spark.read.parquet(os.path.join(out_root, "consensus"))
+    assert consensus.count() == summary["items"]
+    assert summary["judges"] == 3
+    # every unordered judge pair gets a kappa row: C(3,2) = 3
+    assert summary["judge_pairs"] == 3
+    kappa = spark.read.parquet(os.path.join(out_root, "kappa"))
+    assert kappa.count() == 3
+    # the adapter's 1/4 contrarian-flip rate leaves better-than-chance
+    # but imperfect agreement; alpha/kappa must land strictly inside (0, 1)
+    assert 0.0 < summary["mean_kappa"] < 1.0
+    assert 0.0 < summary["krippendorff_alpha"] < 1.0
+    ds = spark.read.parquet(os.path.join(out_root, "ds_labels"))
+    assert ds.count() == summary["items"]
+    confusion = spark.read.parquet(os.path.join(out_root, "confusion"))
+    # per-judge rows over observed (vote, label) cells; every judge appears
+    assert confusion.select("judge_id").distinct().count() == 3
+
+    assert summary["models"] == 4
+    bt = spark.read.parquet(os.path.join(out_root, "bt_strengths"))
+    assert bt.count() == 4
+    assert summary["battles"] == 500  # one battle per sf0.001 document
+    # latent order: smaller model index wins 3/4 -> model_0 ranks first
+    assert summary["top_model"] == "model_0"
+    wm = spark.read.parquet(os.path.join(out_root, "win_matrix"))
+    # canonical unordered pairs only, at most C(4,2)
+    assert 1 <= wm.count() <= 6

@@ -178,10 +178,11 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every driver-sampled slot is value-checked (no `no_oracle` rows in
 # the window — bucketed_layout_audit additionally gained a DuckDB
 # oracle this round, so it value-checks wherever sampled).
-# After this window: cumulative 159/230 (three oracle-checked
-# trajectory/rollout ops were added behind the frozen window after it
-# was certified); the names queued directly behind slot 50 (rest-never
-# block) are the next window.
+# After this window: cumulative 159/245 (the rollout/evaluation/
+# prefix-cache continuation families — all oracle-checked, all
+# harness-verified locally — were added behind the frozen window after
+# it was certified); the names queued directly behind slot 50
+# (rest-never block) are the next window.
 _DRIVER_WINDOW_PRIORITY = [
     # ---- round-5 window: slots 1-50, all never-sampled, all oracle-checked ----
     "extract_udf_text_parity", "rollup_text_parity", "logreg_train",
@@ -486,6 +487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollout_divergence_profile": Q.q_rollout_divergence_profile,
         "dpo_pairs": Q.q_dpo_pairs,
         "length_debiased_reward": Q.q_length_debiased_reward,
+        # prefix-cache / turn-novelty family (round 5, behind the frozen window)
+        "prefix_cache_savings": Q.q_prefix_cache_savings,
+        "prefix_trie_profile": Q.q_prefix_trie_profile,
+        "turn_novelty_mask": Q.q_turn_novelty_mask,
         # evaluation / label-aggregation family (round 5)
         "judge_majority_vote": Q.q_judge_majority_vote,
         "judge_kappa_pairs": Q.q_judge_kappa_pairs,

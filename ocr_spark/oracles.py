@@ -4873,3 +4873,80 @@ SELECT judge_id, consensus, label, n,
              / sum(n) OVER (PARTITION BY judge_id, consensus), 6) AS frac
 FROM cells
 """
+
+
+# --------------------------------------------------------------------------
+# Prefix-cache / turn-novelty family (round 5). The t0/t CTEs mirror
+# queries._prompt_grouped_transcripts byte-for-byte: documents-as-transcripts
+# with the first 3 turns rewritten to the conv's prompt-bucket canonical
+# turns (md5(conv_id) 32-bit head mod 4).
+# --------------------------------------------------------------------------
+
+_PREFIXED_T_CTE = r"""t0 AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), t AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx < 3 THEN
+           'prompt-' || CAST(('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 4 AS VARCHAR)
+           || '-turn-' || CAST(turn_idx AS VARCHAR) || '-' || repeat('seed ', 40)
+         ELSE text END AS text
+  FROM t0
+)"""
+
+ORACLES["prefix_cache_savings"] = (
+    "WITH " + _PREFIXED_T_CTE + r""", per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         string_agg(text, chr(31) ORDER BY turn_idx) AS full_text
+  FROM t GROUP BY conv_id
+), grouped AS (
+  SELECT md5(first_text) AS prompt_group,
+         CAST(count(*) AS BIGINT) AS n_rollouts,
+         min(full_text) AS lo,
+         max(full_text) AS hi,
+         CAST(sum(length(full_text)) AS BIGINT) AS chars_total
+  FROM per_conv GROUP BY 1
+), lcp AS (
+  SELECT prompt_group, n_rollouts, chars_total,
+         CAST(len(list_filter(range(1, least(length(lo), length(hi)) + 1),
+              i -> substr(lo, 1, i) = substr(hi, 1, i))) AS BIGINT) AS lcp_chars
+  FROM grouped
+)
+SELECT prompt_group, n_rollouts, lcp_chars, chars_total,
+       CAST((n_rollouts - 1) * lcp_chars AS BIGINT) AS chars_saved,
+       round((n_rollouts - 1) * lcp_chars / chars_total, 6) AS saved_frac
+FROM lcp
+"""
+)
+
+ORACLES["prefix_trie_profile"] = (
+    "WITH " + _PREFIXED_T_CTE + r""", nodes AS (
+  SELECT conv_id, CAST(turn_idx + 1 AS INTEGER) AS depth,
+         md5(string_agg(md5('user' || '|' || text), '|')
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS node
+  FROM t
+), per_node AS (
+  SELECT depth, node, CAST(count(*) AS BIGINT) AS convs_through
+  FROM nodes GROUP BY depth, node
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(convs_through) AS BIGINT) AS n_convs,
+       CAST(sum(convs_through - 1) AS BIGINT) AS cache_hits,
+       round(sum(convs_through - 1) / sum(convs_through), 6) AS shared_frac
+FROM per_node GROUP BY depth
+"""
+)
+
+ORACLES["turn_novelty_mask"] = (
+    "WITH " + _PREFIXED_T_CTE + r"""
+SELECT conv_id, turn_idx,
+       (row_number() OVER (PARTITION BY md5(trim(text))
+                           ORDER BY conv_id, turn_idx) = 1) AS novel,
+       CAST(count(*) OVER (PARTITION BY md5(trim(text))) AS BIGINT) AS n_occurrences
+FROM t
+"""
+)

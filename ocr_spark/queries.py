@@ -8063,3 +8063,84 @@ def q_judge_consensus_confusion(spark, sf_dir):
     from ocr_spark import evaluation
 
     return evaluation.consensus_confusion(_judge_labels(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Prefix-cache / turn-novelty family (round 5): serving-time KV-prefix reuse
+# accounting and turn-granular loss masking over rollout-shaped transcripts.
+# The documents-as-transcripts adapter has no shared turns at sf0.01, so the
+# adapters rewrite the first PREFIX_TURNS turns of each conversation to its
+# prompt-bucket's canonical turns (content-keyed, deterministic, mirrored in
+# the DuckDB oracles) — giving every bucket a genuinely shared prefix the
+# way best-of-n rollouts of one prompt share theirs in production.
+# --------------------------------------------------------------------------
+
+_SHARED_PREFIX_TURNS = 3
+
+# bucket = md5(conv_id) 32-bit head mod 4 (the conv-keyed analog of
+# _PROMPT_BUCKET_EXPR, computable before any rollup)
+_CONV_BUCKET_EXPR = (
+    "cast(cast(conv(substr(md5(conv_id), 1, 8), 16, 10) as bigint) % 4 as string)"
+)
+
+_SHARED_PREFIX_TEXT_EXPR = (
+    f"CASE WHEN turn_idx < {_SHARED_PREFIX_TURNS} THEN "
+    f"concat('prompt-', {_CONV_BUCKET_EXPR}, '-turn-', "
+    "cast(turn_idx as string), '-', repeat('seed ', 40)) ELSE text END"
+)
+
+
+def _prompt_grouped_transcripts(spark, sf_dir):
+    """Shared adapter prefix for the prefix-cache family: transcripts
+    whose first _SHARED_PREFIX_TURNS turns are their prompt bucket's
+    canonical turns (identical across the bucket's conversations)."""
+    return doc_transcripts(spark, sf_dir).withColumn(
+        "text", F.expr(_SHARED_PREFIX_TEXT_EXPR)
+    )
+
+
+def q_prefix_cache_savings(spark, sf_dir):
+    """KV-prefix-cache savings per prompt group: sampling n rollouts
+    from one prompt re-prefills the shared prefix n times without a
+    cache; with one, (n-1) * LCP characters are computed once and
+    reused. Grouping uses the production default — md5 of the verbatim
+    first turn, the key a serving stack's prefix cache actually uses.
+
+    Shape: see rollouts.prefix_cache_savings — conv-keyed fingerprint
+    rollup, then ONE group-keyed partial-aggregated groupBy where only
+    the lexicographic min/max trajectory survive the shuffle (set-LCP ==
+    LCP of the extremes); the O(L) two-level block-compare LCP fold runs
+    on group-count rows only."""
+    from ocr_spark import rollouts
+
+    return rollouts.prefix_cache_savings(_prompt_grouped_transcripts(spark, sf_dir))
+
+
+def q_prefix_trie_profile(spark, sf_dir):
+    """Per-depth conversation prefix-trie profile: distinct turn-prefix
+    nodes vs conversations passing through them; n_convs - n_nodes at a
+    depth is exactly the turn-granular KV-cache-hit mass branching
+    rollouts / retried agent runs expose.
+
+    Shape: see rollouts.turn_prefix_trie_profile — per-turn md5 first
+    (32 bytes/turn), conv-keyed cumulative window folds hashes into node
+    ids (state is depth x 33 bytes, never text), then node-keyed and
+    depth-sized partial-aggregated groupBys."""
+    from ocr_spark import rollouts
+
+    return rollouts.turn_prefix_trie_profile(_prompt_grouped_transcripts(spark, sf_dir))
+
+
+def q_turn_novelty_mask(spark, sf_dir):
+    """Corpus-wide turn-level loss mask: each turn flagged novel (first
+    occurrence of its normalized text anywhere, by (conv_id, turn_idx))
+    or repeated — canned apologies / templated headers / retried
+    identical responses survive conversation-level dedup but must not
+    dominate an SFT gradient.
+
+    Shape: see transcript_prep.turn_novelty_mask — the only shuffle is
+    on the 32-byte turn hash; ordering happens INSIDE each tiny
+    duplicate group, no global sort."""
+    from ocr_spark import transcript_prep
+
+    return transcript_prep.turn_novelty_mask(_prompt_grouped_transcripts(spark, sf_dir))

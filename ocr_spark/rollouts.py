@@ -315,3 +315,129 @@ def length_debiased_reward(scored: DataFrame) -> DataFrame:
             6,
         ).alias("debiased_reward"),
     )
+
+
+def _lcp_col(a: Column, b: Column) -> Column:
+    """Longest common prefix length of two strings as a Column.
+
+    Two-level compare so the work is O(L), not O(L^2): first count the
+    leading fully-equal 64-char blocks (prefix-of-blocks equality is
+    monotone, so a fold that only advances while contiguous finds the
+    boundary), then refine the first differing block char-by-char.
+    Runs post-aggregation on group-count-sized rows, never per turn."""
+    m = F.least(F.length(a), F.length(b))
+    nb = F.ceil(m / F.lit(64)).cast("int")
+    # leading fully-equal blocks; acc advances only while contiguous
+    bl = F.when(nb < 1, F.lit(0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), nb),
+            F.lit(0),
+            lambda acc, k: F.when(
+                (acc == k - 1)
+                & (
+                    F.substring(a, (k - 1) * 64 + 1, 64)
+                    == F.substring(b, (k - 1) * 64 + 1, 64)
+                ),
+                k,
+            ).otherwise(acc),
+        )
+    )
+    start = F.least(bl * 64, m)
+    rem = F.least(F.lit(64), m - start)
+    ref = F.when(rem < 1, F.lit(0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), rem),
+            F.lit(0),
+            lambda acc, i: F.when(
+                (acc == i - 1)
+                & (F.substring(a, start + i, 1) == F.substring(b, start + i, 1)),
+                i,
+            ).otherwise(acc),
+        )
+    )
+    return F.least(start + ref, m).cast("bigint")
+
+
+def prefix_cache_savings(t: DataFrame, group: Column | None = None) -> DataFrame:
+    """Per prompt-group KV-prefix-cache savings estimate: how many
+    characters of each rollout group's trajectories a serving-time
+    prefix cache computes ONCE and reuses for every sibling rollout.
+    Sampling n rollouts from one prompt re-prefills the shared prefix
+    n times without a cache; with one, (n - 1) * LCP characters of
+    prefill are saved, where LCP is the group's longest common prefix.
+
+    ``group`` defaults to the verbatim first-turn prompt hash (the
+    prefix-cache key a serving stack actually uses).
+
+    Shape: one conv-keyed fingerprint rollup (the a3_ordered_concat
+    contract), then ONE group-keyed partial-aggregated groupBy in which
+    only the lexicographic min and max trajectory per group survive the
+    shuffle — the LCP of a whole set equals the LCP of its lexicographic
+    extremes, so the group never materializes. The LCP fold itself is
+    the two-level block compare in _lcp_col, evaluated on group-count
+    rows."""
+    per_conv = t.groupBy("conv_id").agg(
+        F.expr("min_by(text, turn_idx)").alias("first_text"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(turn_idx, text))),"
+                " s -> s.text)"
+            ),
+            FP_SEP,
+        ).alias("full_text"),
+    )
+    key = group if group is not None else F.md5("first_text")
+    grouped = per_conv.groupBy(key.alias("prompt_group")).agg(
+        F.count("*").cast("bigint").alias("n_rollouts"),
+        F.min("full_text").alias("lo"),
+        F.max("full_text").alias("hi"),
+        F.sum(F.length("full_text")).cast("bigint").alias("chars_total"),
+    )
+    lcp = _lcp_col(F.col("lo"), F.col("hi"))
+    return grouped.select(
+        "prompt_group",
+        "n_rollouts",
+        lcp.alias("lcp_chars"),
+        "chars_total",
+        ((F.col("n_rollouts") - 1) * lcp).cast("bigint").alias("chars_saved"),
+        F.round(
+            (F.col("n_rollouts") - 1) * lcp / F.col("chars_total"), 6
+        ).alias("saved_frac"),
+    )
+
+
+def turn_prefix_trie_profile(t: DataFrame) -> DataFrame:
+    """Per-depth profile of the conversation prefix trie: at depth d,
+    how many distinct turn-prefixes (trie nodes) exist vs how many
+    conversations pass through them. ``n_convs - n_nodes`` at a depth
+    is exactly the number of conversation-turns whose whole KV prefix
+    was already computed for a sibling — the turn-granular cache-hit
+    mass that branching rollouts / retried agent runs expose.
+
+    Shape: per-turn md5 first (32 bytes/turn), then a conv-keyed
+    cumulative window folds hashes into the node id, so the running
+    state is depth x 33 bytes, never the text. One conv-keyed Exchange
+    for the window, one node-keyed and one depth-sized groupBy after —
+    all partial-aggregated."""
+    w = _conv_window().rowsBetween(Window.unboundedPreceding, 0)
+    turn_h = F.md5(F.concat_ws("|", "role", "text"))
+    nodes = t.select(
+        "conv_id",
+        F.row_number().over(_conv_window()).alias("depth"),
+        F.md5(F.array_join(F.collect_list(turn_h).over(w), "|")).alias("node"),
+    )
+    per_node = nodes.groupBy("depth", "node").agg(
+        F.count("*").cast("bigint").alias("convs_through")
+    )
+    return (
+        per_node.groupBy("depth")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("convs_through").cast("bigint").alias("n_convs"),
+            F.sum(F.col("convs_through") - 1).cast("bigint").alias("cache_hits"),
+            F.round(
+                F.sum(F.col("convs_through") - 1) / F.sum("convs_through"), 6
+            ).alias("shared_frac"),
+        )
+        .select("depth", "n_nodes", "n_convs", "cache_hits", "shared_frac")
+    )

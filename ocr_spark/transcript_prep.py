@@ -136,3 +136,38 @@ def tool_call_stats(t: DataFrame, payload: Column | str = "tool") -> DataFrame:
         F.round(F.avg("n_args"), 6).alias("avg_args"),
         F.round(F.avg("result_chars"), 6).alias("avg_result_chars"),
     )
+
+
+def turn_novelty_mask(t: DataFrame, role: str | None = None) -> DataFrame:
+    """Corpus-wide turn-level loss mask: flag each turn as ``novel``
+    (first occurrence of its normalized text anywhere in the corpus,
+    by (conv_id, turn_idx) order) or repeated. SFT pipelines train on
+    novel assistant turns only — canned apologies, templated headers,
+    and retried identical responses otherwise dominate the gradient the
+    way duplicated documents do in pretraining, but turn-granular
+    repeats survive conversation-level dedup.
+
+    ``role`` restricts the mask to one role (production passes
+    "assistant"); None masks every turn.
+
+    Shape: one hash-keyed window — partitionBy(md5(turn)) with a
+    (conv_id, turn_idx) sort INSIDE each tiny duplicate group, so the
+    only shuffle is on the 32-byte hash and no global sort exists.
+    Skewed keys (one boilerplate turn repeated millions of times) cost
+    one hot partition of ids only; the production variant caps winners
+    per key with the same bounded min_by pattern as dedup."""
+    src = t if role is None else t.filter(F.col("role") == role)
+    h = F.md5(F.trim("text"))
+    w = Window.partitionBy("turn_h").orderBy("conv_id", "turn_idx")
+    return (
+        src.select("conv_id", "turn_idx", h.alias("turn_h"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.row_number().over(w) == 1).alias("novel"),
+            F.count("*")
+            .over(Window.partitionBy("turn_h"))
+            .cast("bigint")
+            .alias("n_occurrences"),
+        )
+    )

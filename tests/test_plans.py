@@ -1277,3 +1277,41 @@ def test_consensus_confusion_cells_before_window(spark):
     assert n_ops(p, "CartesianProduct") == 0, p
     assert n_ops(p, "Window") == 1, p
     assert "partial_count" in p, p
+
+
+# --------------------------------------------------------------------------
+# Prefix-cache / turn-novelty family (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_prefix_cache_savings_two_exchanges_no_range_no_python(spark):
+    """Conv-keyed rollup + group-keyed aggregate = exactly 2 hash
+    Exchanges; the LCP fold is pure expressions (no Python eval), and
+    nothing range-partitions (no global sort at any scale)."""
+    p = plan(Q.q_prefix_cache_savings(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 2
+    assert "rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_prefix_trie_profile_windows_share_conv_exchange(spark):
+    """The row_number and collect_list windows must both ride the ONE
+    conv-keyed Exchange; node- and depth-keyed groupBys add one each
+    (3 total), all partial-aggregated, nothing range-partitioned."""
+    p = plan(Q.q_prefix_trie_profile(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 3
+    assert n_ops(p, "Window") == 2
+    assert "rangepartitioning" not in p
+    # partial + final pairs for both groupBys
+    assert n_ops(p, "HashAggregate") == 4
+
+
+def test_turn_novelty_mask_shuffles_on_hash_only(spark):
+    """The mask's only data shuffle beyond the adapter's conv window is
+    the 32-byte turn-hash partition; ordering happens INSIDE duplicate
+    groups (no rangepartitioning anywhere)."""
+    p = plan(Q.q_turn_novelty_mask(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 2
+    assert "hashpartitioning(turn_h" in p
+    assert "rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

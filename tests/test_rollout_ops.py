@@ -182,3 +182,88 @@ def test_length_debiased_reward_matches_ols_rederivation(spark):
         assert abs(r["debiased_reward"] - expected) < 1e-4
     # residuals of an OLS fit with intercept sum to ~zero
     assert abs(sum(r["debiased_reward"] for r in rows)) < 1e-3
+
+
+def _prefixed_rows(spark):
+    return (
+        Q._prompt_grouped_transcripts(spark, SF_DIR)
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+
+
+def test_prefix_cache_savings_matches_full_set_lcp(spark):
+    """Pure-python re-derivation that computes the set-LCP over ALL group
+    members (os.path.commonprefix), not the lexicographic extremes the
+    Spark plan keeps — independently validating the min/max-LCP trick."""
+    import hashlib
+    import os
+
+    rows = _prefixed_rows(spark)
+    by_conv: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    groups: dict[str, list[str]] = {}
+    for conv, seq in by_conv.items():
+        seq.sort()
+        full = "\x1f".join(t for _, t in seq)
+        key = hashlib.md5(seq[0][1].encode()).hexdigest()
+        groups.setdefault(key, []).append(full)
+    expected = {}
+    for key, fulls in groups.items():
+        n = len(fulls)
+        lcp = len(os.path.commonprefix(fulls))
+        total = sum(len(f) for f in fulls)
+        expected[key] = (
+            n, lcp, total, (n - 1) * lcp, round((n - 1) * lcp / total, 6)
+        )
+    got = {
+        r["prompt_group"]: (
+            r["n_rollouts"], r["lcp_chars"], r["chars_total"],
+            r["chars_saved"], r["saved_frac"],
+        )
+        for r in Q.q_prefix_cache_savings(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # the adapter's 3 canonical prompt turns must give every bucket a
+    # real shared prefix — otherwise the operator is vacuously green
+    assert all(v[1] > 0 and v[0] >= 2 for v in got.values())
+
+
+def test_prefix_trie_profile_matches_pure_python_trie(spark):
+    import hashlib
+
+    rows = _prefixed_rows(spark)
+    by_conv: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    from collections import Counter
+
+    node_counts: Counter = Counter()
+    for conv, seq in by_conv.items():
+        seq.sort()
+        hashes = [
+            hashlib.md5(f"user|{t}".encode()).hexdigest() for _, t in seq
+        ]
+        for depth in range(1, len(hashes) + 1):
+            node = hashlib.md5("|".join(hashes[:depth]).encode()).hexdigest()
+            node_counts[(depth, node)] += 1
+    per_depth: dict[int, list[int]] = {}
+    for (depth, _), c in node_counts.items():
+        per_depth.setdefault(depth, []).append(c)
+    expected = {
+        d: (
+            len(cs), sum(cs), sum(c - 1 for c in cs),
+            round(sum(c - 1 for c in cs) / sum(cs), 6),
+        )
+        for d, cs in per_depth.items()
+    }
+    got = {
+        r["depth"]: (r["n_nodes"], r["n_convs"], r["cache_hits"], r["shared_frac"])
+        for r in Q.q_prefix_trie_profile(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # shared prefix turns must produce real trie sharing at depths 1-3
+    # and full branching below
+    assert got[1][2] > 0 and got[2][2] > 0 and got[3][2] > 0
+    assert got[4][2] == 0

@@ -232,3 +232,36 @@ def test_invariants_over_fixture_corpus(spark):
         texts = [x for (_, _, x) in turns]
         for idx, _, _ in turns:
             assert got[(conv_id, idx)] == texts[max(0, idx - 3) : idx]
+
+
+def test_turn_novelty_mask_matches_first_occurrence_scan(spark):
+    """Pure-python first-occurrence scan over the adapter rows in strict
+    (conv_id, turn_idx) order — the mask's novel flag and occurrence
+    counts must match exactly, and the shared prompt turns must be
+    repeated (novel exactly once per bucket) while tails stay unique."""
+    import ocr_spark.queries as Q
+
+    rows = sorted(
+        (
+            (r["conv_id"], r["turn_idx"], r["text"].strip())
+            for r in Q._prompt_grouped_transcripts(spark, "/root/testdata/sf0.01")
+            .select("conv_id", "turn_idx", "text")
+            .collect()
+        ),
+    )
+    from collections import Counter
+
+    counts = Counter(t for _, _, t in rows)
+    seen: set[str] = set()
+    expected = {}
+    for conv, idx, t in rows:
+        expected[(conv, idx)] = (t not in seen, counts[t])
+        seen.add(t)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["novel"], r["n_occurrences"])
+        for r in Q.q_turn_novelty_mask(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == expected
+    # repeats must exist (prompt turns) AND unique tails must exist
+    occs = {v[1] for v in got.values()}
+    assert 1 in occs and any(o > 1 for o in occs)

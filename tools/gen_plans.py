@@ -662,6 +662,39 @@ def main() -> None:
             "reduction without the fit.",
             plan(Q.q_bradley_terry_strengths(spark, SF_DIR)),
         ),
+        (
+            "Prefix-cache savings: set-LCP from the lexicographic extremes",
+            "KV-prefix-cache accounting over rollout groups: after the "
+            "conv-keyed fingerprint rollup, ONE group-keyed partial-"
+            "aggregated groupBy keeps only the lexicographic min and max "
+            "trajectory per prompt group (the set's LCP equals the LCP "
+            "of its extremes), so a million-rollout group never "
+            "materializes; the LCP itself is an O(L) two-level block-"
+            "compare expression fold evaluated on group-count rows — "
+            "2 Exchanges total, no Python eval, no rangepartitioning "
+            "(pinned in test_plans.py).",
+            plan(Q.q_prefix_cache_savings(spark, SF_DIR)),
+        ),
+        (
+            "Prefix-trie profile: 33-byte running state, shared conv Exchange",
+            "Turn-granular cache-hit mass: per-turn md5 first, then the "
+            "depth row_number and the cumulative hash-fold windows both "
+            "ride the ONE conv-keyed Exchange; node- and depth-keyed "
+            "groupBys are partial-aggregated, so the widest thing "
+            "shuffled after the adapter is a 33-byte (depth, node) row — "
+            "never text.",
+            plan(Q.q_prefix_trie_profile(spark, SF_DIR)),
+        ),
+        (
+            "Turn novelty mask: order inside duplicate groups only",
+            "Turn-level loss masking: the only data shuffle is "
+            "hashpartitioning on the 32-byte turn hash; first-occurrence "
+            "ranking sorts INSIDE each tiny duplicate group (no "
+            "rangepartitioning / global sort anywhere), so a boilerplate "
+            "turn repeated millions of times costs one hot partition of "
+            "(conv_id, turn_idx) ids only.",
+            plan(Q.q_turn_novelty_mask(spark, SF_DIR)),
+        ),
     ]
 
     # Large-star/small-star CC: audit ONE alternation's shape (the full

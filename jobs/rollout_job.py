@@ -22,10 +22,15 @@ verbatim first-turn hash, the production setting.
 
 Writes loop_stats/, group_stats/, winners/, advantages/,
 preference_pairs/ (gap >= --dpo-margin), debiased/ (length-debiased
-reward residuals), pass_at_k/ parquet and prints one JSON metrics
-line. Scale shape: every window and
+reward residuals), pass_at_k/, prefix_cache/ (per-group KV-prefix-cache
+savings from the group's set-LCP), consensus/ (self-consistency
+plurality answer + vote entropy per group, answer = each rollout's
+final trimmed turn) parquet and prints one JSON metrics line. Scale
+shape: every window and
 rollup is conv- or group-keyed (see ocr_spark/rollouts.py docstrings);
-after the fingerprint rollup only 32-byte hashes move.
+after the fingerprint rollup only 32-byte hashes move — except the
+prefix-cache step, which by construction folds full trajectories once
+more (two survive per group: the lexicographic extremes).
 """
 
 from __future__ import annotations
@@ -146,6 +151,22 @@ def main() -> None:
     )
     pk.write.mode("overwrite").parquet(os.path.join(args.output, "pass_at_k"))
 
+    # 5) serving-time prefix-cache accounting + self-consistency vote
+    # over the surviving (non-stuck) conversations. Both need turn text,
+    # so this is deliberately a second pass over the input restricted by
+    # the tiny surviving-conv_id side (storage-pruned at the scan).
+    kept_t = t.join(loop_stats.filter(~F.col("stuck")).select("conv_id"), "conv_id")
+    rollouts.prefix_cache_savings(kept_t, group=group).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "prefix_cache"))
+    answers = kept_t.groupBy("conv_id").agg(
+        F.expr("min_by(text, turn_idx)").alias("first_text"),
+        F.expr("max_by(trim(text), turn_idx)").alias("answer"),
+    )
+    rollouts.self_consistency(
+        answers.select(group.alias("prompt_group"), "answer")
+    ).write.mode("overwrite").parquet(os.path.join(args.output, "consensus"))
+
     # metrics without re-running the chain: loop_stats and scored are
     # persisted; everything else re-reads the written parquet
     gs = spark.read.parquet(os.path.join(args.output, "group_stats")).agg(
@@ -166,6 +187,19 @@ def main() -> None:
         "prompt_groups": gs["groups"],
         "duplicate_completions": int(gs["dup_dropped"] or 0),
         f"mean_{pk_col}": None if pk_mean is None else round(pk_mean, 6),
+        "prefix_chars_saved": int(
+            spark.read.parquet(os.path.join(args.output, "prefix_cache"))
+            .agg(F.sum("chars_saved"))
+            .first()[0]
+            or 0
+        ),
+        "mean_consensus_frac": round(
+            spark.read.parquet(os.path.join(args.output, "consensus"))
+            .agg(F.avg("consensus_frac"))
+            .first()[0]
+            or 0.0,
+            6,
+        ),
         "preference_pairs": spark.read.parquet(
             os.path.join(args.output, "preference_pairs")
         ).count(),

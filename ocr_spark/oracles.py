@@ -4950,3 +4950,42 @@ SELECT conv_id, turn_idx,
 FROM t
 """
 )
+
+
+ORACLES["self_consistency_vote"] = r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), per_conv AS (
+  SELECT conv_id,
+         min_by(text, turn_idx) AS first_text,
+         max_by(text, turn_idx) AS last_text
+  FROM t GROUP BY conv_id
+), answers AS (
+  SELECT CAST(('0x' || substr(md5(first_text), 1, 8))::BIGINT % 4 AS INTEGER) AS prompt_group,
+         'ans_' || CAST(('0x' || substr(md5(last_text), 1, 8))::BIGINT % 3 AS VARCHAR) AS answer
+  FROM per_conv
+), votes AS (
+  SELECT prompt_group, answer, CAST(count(*) AS BIGINT) AS v
+  FROM answers GROUP BY 1, 2
+), ranked AS (
+  SELECT prompt_group, answer, v,
+         row_number() OVER (PARTITION BY prompt_group
+                            ORDER BY v DESC, answer ASC) AS rn
+  FROM votes
+), g AS (
+  SELECT prompt_group,
+         CAST(sum(v) AS BIGINT) AS n_rollouts,
+         CAST(count(*) AS BIGINT) AS n_answers,
+         sum(v * ln(v)) AS sum_vlnv
+  FROM votes GROUP BY 1
+)
+SELECT g.prompt_group, g.n_rollouts, g.n_answers,
+       r.answer AS consensus_answer,
+       r.v AS consensus_count,
+       round(r.v / CAST(g.n_rollouts AS DOUBLE), 6) AS consensus_frac,
+       round(ln(CAST(g.n_rollouts AS DOUBLE)) - g.sum_vlnv / g.n_rollouts, 6) AS vote_entropy
+FROM g JOIN ranked r ON g.prompt_group = r.prompt_group AND r.rn = 1
+"""

@@ -8144,3 +8144,38 @@ def q_turn_novelty_mask(spark, sf_dir):
     from ocr_spark import transcript_prep
 
     return transcript_prep.turn_novelty_mask(_prompt_grouped_transcripts(spark, sf_dir))
+
+
+# answer-class extraction for the self-consistency adapter: the final
+# turn's text hashed into 3 classes (the adapter stand-in for an
+# extracted numeric/string final answer)
+_ANSWER_EXPR = (
+    "concat('ans_', cast(cast(conv(substr(md5(last_text), 1, 8), 16, 10)"
+    " as bigint) % 3 as string))"
+)
+
+
+def q_self_consistency_vote(spark, sf_dir):
+    """Self-consistency vote (Wang et al. 2022): per prompt group, the
+    plurality final answer across sampled rollouts, its vote fraction,
+    and the vote-distribution entropy — the reward-free answer selector
+    and the dispersion signal filtering pipelines threshold on.
+    Production extracts the real final answer; the adapter derives a
+    3-class answer content-keyed from each rollout's last turn and
+    groups prompts mod 4 so votes have pluralities to find.
+
+    Shape: see rollouts.self_consistency — (group, answer) vote counts
+    then ONE group rollup whose plurality pick is a single
+    min(struct(-votes, answer)): no per-answer window, no self-join;
+    the conv rollup reuses the adapter's conv-keyed Exchange."""
+    from ocr_spark import rollouts
+
+    per_conv = doc_transcripts(spark, sf_dir).groupBy("conv_id").agg(
+        F.expr("min_by(text, turn_idx)").alias("first_text"),
+        F.expr("max_by(text, turn_idx)").alias("last_text"),
+    )
+    answers = per_conv.select(
+        F.expr(_PROMPT_BUCKET_EXPR).alias("prompt_group"),
+        F.expr(_ANSWER_EXPR).alias("answer"),
+    )
+    return rollouts.self_consistency(answers)

@@ -441,3 +441,40 @@ def turn_prefix_trie_profile(t: DataFrame) -> DataFrame:
         )
         .select("depth", "n_nodes", "n_convs", "cache_hits", "shared_frac")
     )
+
+
+def self_consistency(answers: DataFrame) -> DataFrame:
+    """Self-consistency vote per prompt group (Wang et al. 2022,
+    arXiv:2203.11171): sample n rollouts, extract each one's final
+    answer, keep the plurality answer. Returns the consensus answer
+    (ties break to the lexicographically smallest answer —
+    deterministic under any execution order), its vote count/fraction,
+    and the vote-distribution entropy (nats) — the dispersion signal
+    reward-free filtering pipelines threshold on. ``answers`` needs
+    columns ``(prompt_group, answer)``, one row per rollout.
+
+    Shape: two partial-aggregated groupBys — (group, answer) vote
+    counts, then a group rollup in which the plurality pick is a single
+    min(struct(-votes, answer)) so no per-answer window or self-join
+    exists; entropy comes from sum(v*ln v) + the group total, never a
+    second pass."""
+    votes = answers.groupBy("prompt_group", "answer").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    g = votes.groupBy("prompt_group").agg(
+        F.sum("v").cast("bigint").alias("n_rollouts"),
+        F.count("*").cast("bigint").alias("n_answers"),
+        F.min(F.struct((-F.col("v")).alias("neg_v"), "answer")).alias("top"),
+        F.sum(F.col("v") * F.log("v")).alias("sum_vlnv"),
+    )
+    n = F.col("n_rollouts").cast("double")
+    consensus = (-F.col("top.neg_v")).cast("bigint")
+    return g.select(
+        "prompt_group",
+        "n_rollouts",
+        "n_answers",
+        F.col("top.answer").alias("consensus_answer"),
+        consensus.alias("consensus_count"),
+        F.round(consensus / n, 6).alias("consensus_frac"),
+        F.round(F.log(n) - F.col("sum_vlnv") / n, 6).alias("vote_entropy"),
+    )

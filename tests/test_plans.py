@@ -1315,3 +1315,14 @@ def test_turn_novelty_mask_shuffles_on_hash_only(spark):
     assert "hashpartitioning(turn_h" in p
     assert "rangepartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_self_consistency_no_window_no_selfjoin(spark):
+    """Plurality pick is min(struct(-v, answer)) inside the group rollup
+    — no per-answer window or self-join; the conv rollup reuses the
+    adapter's conv-keyed Exchange, so exactly 3 Exchanges total."""
+    p = plan(Q.q_self_consistency_vote(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 3
+    assert n_ops(p, "Window") == 1  # the adapter's turn_idx row_number only
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "rangepartitioning" not in p

@@ -267,3 +267,47 @@ def test_prefix_trie_profile_matches_pure_python_trie(spark):
     # and full branching below
     assert got[1][2] > 0 and got[2][2] > 0 and got[3][2] > 0
     assert got[4][2] == 0
+
+
+def test_self_consistency_matches_pure_python_vote(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = (
+        Q.doc_transcripts(spark, SF_DIR)
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    by_conv: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    groups: dict[int, Counter] = {}
+    for conv, seq in by_conv.items():
+        seq.sort()
+        first, last = seq[0][1], seq[-1][1]
+        grp = int(hashlib.md5(first.encode()).hexdigest()[:8], 16) % 4
+        ans = "ans_%d" % (int(hashlib.md5(last.encode()).hexdigest()[:8], 16) % 3)
+        groups.setdefault(grp, Counter())[ans] += 1
+    expected = {}
+    for grp, votes in groups.items():
+        n = sum(votes.values())
+        # plurality, ties to lexicographically smallest answer
+        top_ans, top_v = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        entropy = math.log(n) - sum(v * math.log(v) for v in votes.values()) / n
+        expected[grp] = (
+            n, len(votes), top_ans, top_v, round(top_v / n, 6), round(entropy, 6)
+        )
+    got = {
+        r["prompt_group"]: (
+            r["n_rollouts"], r["n_answers"], r["consensus_answer"],
+            r["consensus_count"], r["consensus_frac"], r["vote_entropy"],
+        )
+        for r in Q.q_self_consistency_vote(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # the adapter data must produce real pluralities (not all-unanimous,
+    # not all-singleton groups)
+    assert any(v[0] > v[3] > 1 for v in got.values()) or any(
+        v[3] >= 2 for v in got.values()
+    )

@@ -378,6 +378,26 @@ def test_rollout_job_spark_submit_end_to_end(spark, tmp_path):
         r["chosen_reward"] > r["rejected_reward"] for r in pairs.collect()
     )
 
+    # prefix-cache accounting: internal algebra holds row-by-row and the
+    # summed savings reconcile with the metrics line
+    pc = spark.read.parquet(os.path.join(out_root, "prefix_cache"))
+    assert pc.count() == summary["prompt_groups"]
+    total_saved = 0
+    for r in pc.collect():
+        assert r["chars_saved"] == (r["n_rollouts"] - 1) * r["lcp_chars"]
+        assert 0 <= r["saved_frac"] < 1
+        total_saved += r["chars_saved"]
+    assert total_saved == summary["prefix_chars_saved"]
+
+    # self-consistency: one consensus row per group; plurality count is
+    # bounded by the group size and the mean fraction reconciles
+    cons = spark.read.parquet(os.path.join(out_root, "consensus"))
+    rows = cons.collect()
+    assert len(rows) == summary["prompt_groups"]
+    assert all(1 <= r["consensus_count"] <= r["n_rollouts"] for r in rows)
+    mean_frac = sum(r["consensus_frac"] for r in rows) / len(rows)
+    assert abs(mean_frac - summary["mean_consensus_frac"]) < 1e-5
+
 
 @pytest.mark.slow
 def test_eval_job_spark_submit_end_to_end(spark, tmp_path):

@@ -686,6 +686,17 @@ def main() -> None:
             plan(Q.q_prefix_trie_profile(spark, SF_DIR)),
         ),
         (
+            "Self-consistency vote: plurality via struct min, no window",
+            "Answer-consensus reduction: (group, answer) vote counts "
+            "then ONE group rollup whose plurality pick is a single "
+            "min(struct(-votes, answer)) — no per-answer window, no "
+            "self-join; vote entropy comes from sum(v*ln v) in the same "
+            "rollup, so the answer table is touched exactly once and the "
+            "conv rollup reuses the adapter's conv-keyed Exchange "
+            "(3 Exchanges total, pinned).",
+            plan(Q.q_self_consistency_vote(spark, SF_DIR)),
+        ),
+        (
             "Turn novelty mask: order inside duplicate groups only",
             "Turn-level loss masking: the only data shuffle is "
             "hashpartitioning on the 32-byte turn hash; first-occurrence "

@@ -181,6 +181,46 @@ def test_sft_prep_job_spark_submit(spark, tmp_path):
         "n_dups",
     }
 
+    # second run with the turn-novelty gate over an input that contains
+    # a cloned conversation (a retried agent run): the clone's repeated
+    # assistant turns must be dropped before pair dedup, and the
+    # reported counts must match a pure-python first-occurrence scan
+    from pyspark.sql import functions as F
+
+    base = fixtures.transcripts_df(spark, 10)
+    clone = base.filter("conv_id = 'conv00000003'").withColumn(
+        "conv_id", F.lit("convRETRY")
+    )
+    input_dir2 = str(tmp_path / "transcripts_dup")
+    base.unionByName(clone).write.parquet(input_dir2)
+    out_dir2 = str(tmp_path / "pairs_gated")
+    proc2 = subprocess.run(
+        cmd[:-4]
+        + ["--input", input_dir2, "--output", out_dir2, "--novelty-gate"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    gated = json.loads(proc2.stdout.strip().splitlines()[-1])
+    rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"].strip())
+        for r in spark.read.parquet(input_dir2).collect()
+    )
+    seen: set = set()
+    expected_repeated = 0
+    n_assistant = 0
+    for _, _, role, text in rows:
+        if role != "assistant":
+            continue
+        n_assistant += 1
+        if text in seen:
+            expected_repeated += 1
+        seen.add(text)
+    assert gated["pairs_premask"] == n_assistant
+    # the cloned conversation guarantees the gate fires
+    assert gated["pairs_repeated"] == expected_repeated > 0
+    assert gated["pairs_mined"] == n_assistant - expected_repeated
+    assert spark.read.parquet(out_dir2).count() == gated["pairs_kept"]
+
 
 def test_invariants_over_fixture_corpus(spark):
     """Structural invariants on the generated corpus (skewed lengths,

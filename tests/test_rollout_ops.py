@@ -311,3 +311,37 @@ def test_self_consistency_matches_pure_python_vote(spark):
     assert any(v[0] > v[3] > 1 for v in got.values()) or any(
         v[3] >= 2 for v in got.values()
     )
+
+
+def test_lcp_fold_block_boundaries_and_multibyte(spark):
+    """The two-level 64-char-block LCP fold must agree with python's
+    os.path.commonprefix at every block boundary, on equal/empty/
+    prefix-contained strings, and on multibyte text (both sides count
+    CHARACTERS, not bytes). One DataFrame evaluates all cases."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.rollouts import _lcp_col
+
+    cases = []
+    for k in (0, 1, 2, 63, 64, 65, 127, 128, 129, 200):
+        common = "x" * k
+        cases += [
+            (common + "aZZZ", common + "bYYY"),   # diverge right after k
+            (common, common + "tail"),            # prefix containment
+            (common, common),                     # equal
+        ]
+    cases += [
+        ("", ""), ("", "a"), ("abc", "abd"),
+        ("héllo wörld", "héllo wárld"),           # 2-byte chars
+        ("中文分词测试中文", "中文分词不同中文"),      # 3-byte chars
+        ("a" * 63 + "é" + "Q", "a" * 63 + "é" + "R"),  # multibyte at boundary
+        ("😀😀😀abc", "😀😀😀abd"),                 # surrogate pairs
+    ]
+    df = spark.createDataFrame(cases, "a: string, b: string").select(
+        "a", "b", _lcp_col(F.col("a"), F.col("b")).alias("lcp")
+    )
+    for r in df.collect():
+        expected = len(os.path.commonprefix([r["a"], r["b"]]))
+        assert r["lcp"] == expected, (r["a"][:20], r["b"][:20], r["lcp"], expected)

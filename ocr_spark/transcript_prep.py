@@ -152,10 +152,12 @@ def turn_novelty_mask(t: DataFrame, role: str | None = None) -> DataFrame:
 
     Shape: one hash-keyed window — partitionBy(md5(turn)) with a
     (conv_id, turn_idx) sort INSIDE each tiny duplicate group, so the
-    only shuffle is on the 32-byte hash and no global sort exists.
-    Skewed keys (one boilerplate turn repeated millions of times) cost
-    one hot partition of ids only; the production variant caps winners
-    per key with the same bounded min_by pattern as dedup."""
+    only shuffle is on the 32-byte hash and no global sort exists. A
+    skewed key (one boilerplate turn repeated millions of times) costs
+    one hot partition of 32-byte hashes + ids only — never text; if
+    even that dominates, swap the row_number for the bounded
+    min(struct(conv_id, turn_idx)) + join-back pattern exact dedup
+    uses, which partial-aggregates the hot key map-side."""
     src = t if role is None else t.filter(F.col("role") == role)
     h = F.md5(F.trim("text"))
     w = Window.partitionBy("turn_h").orderBy("conv_id", "turn_idx")

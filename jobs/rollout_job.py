@@ -154,8 +154,12 @@ def main() -> None:
     # 5) serving-time prefix-cache accounting + self-consistency vote
     # over the surviving (non-stuck) conversations. Both need turn text,
     # so this is deliberately a second pass over the input restricted by
-    # the tiny surviving-conv_id side (storage-pruned at the scan).
-    kept_t = t.join(loop_stats.filter(~F.col("stuck")).select("conv_id"), "conv_id")
+    # the tiny surviving-conv_id side (storage-pruned at the scan) —
+    # persisted, because the two writes are separate actions and the
+    # restricted scan + join must not run twice at corpus scale.
+    kept_t = t.join(
+        loop_stats.filter(~F.col("stuck")).select("conv_id"), "conv_id"
+    ).persist()
     rollouts.prefix_cache_savings(kept_t, group=group).write.mode(
         "overwrite"
     ).parquet(os.path.join(args.output, "prefix_cache"))
@@ -166,6 +170,7 @@ def main() -> None:
     rollouts.self_consistency(
         answers.select(group.alias("prompt_group"), "answer")
     ).write.mode("overwrite").parquet(os.path.join(args.output, "consensus"))
+    kept_t.unpersist()
 
     # metrics without re-running the chain: loop_stats and scored are
     # persisted; everything else re-reads the written parquet

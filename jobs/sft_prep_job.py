@@ -19,8 +19,10 @@ prompts differ, but still dominate an SFT gradient. Writes the deduped
 pairs parquet and prints one JSON metrics line (turns in, sessions,
 pairs mined, pairs kept, and — gated — pairs_premask/pairs_repeated).
 Every window in the chain shares one hashpartitioning(conv_id)
-Exchange; the dedup and the novelty mask add the only other key
-shuffles, both on 32-byte hashes.
+Exchange; the dedup adds a fingerprint (32-byte) shuffle. The novelty
+gate adds the mask's turn-hash shuffle — ids only, never text — plus
+one (conv_id, turn_idx) join Exchange in which the pair rows DO move
+once to meet the id-only mask side.
 """
 
 from __future__ import annotations

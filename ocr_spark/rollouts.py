@@ -75,6 +75,22 @@ def loop_run_stats(t: DataFrame, template: Column, stuck_at: int = 3) -> DataFra
     )
 
 
+def _ordered_full_text() -> Column:
+    """Aggregate expression for a conversation's turn-ordered full text
+    joined on FP_SEP — the a3_ordered_concat contract. THE single
+    definition of trajectory identity: rollout_fingerprints hashes it
+    and prefix_cache_savings folds it, and the two must never diverge
+    (a drift would silently decouple dedup identity from LCP
+    accounting). collect_list is bounded by turns-per-conversation."""
+    return F.array_join(
+        F.expr(
+            "transform(array_sort(collect_list(struct(turn_idx, text))),"
+            " s -> s.text)"
+        ),
+        FP_SEP,
+    )
+
+
 def rollout_fingerprints(t: DataFrame) -> DataFrame:
     """Per-conversation ``(conv_id, first_text, completion_fp)``: the
     first turn's text (the prompt) and the md5 fingerprint of the
@@ -84,15 +100,7 @@ def rollout_fingerprints(t: DataFrame) -> DataFrame:
     moves 32-byte hashes, never raw text."""
     return t.groupBy("conv_id").agg(
         F.expr("min_by(text, turn_idx)").alias("first_text"),
-        F.md5(
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(turn_idx, text))),"
-                    " s -> s.text)"
-                ),
-                FP_SEP,
-            )
-        ).alias("completion_fp"),
+        F.md5(_ordered_full_text()).alias("completion_fp"),
         # trajectory length; Catalyst prunes it wherever unused
         F.sum(F.length("text")).cast("bigint").alias("n_chars"),
     )
@@ -378,13 +386,7 @@ def prefix_cache_savings(t: DataFrame, group: Column | None = None) -> DataFrame
     rows."""
     per_conv = t.groupBy("conv_id").agg(
         F.expr("min_by(text, turn_idx)").alias("first_text"),
-        F.array_join(
-            F.expr(
-                "transform(array_sort(collect_list(struct(turn_idx, text))),"
-                " s -> s.text)"
-            ),
-            FP_SEP,
-        ).alias("full_text"),
+        _ordered_full_text().alias("full_text"),
     )
     key = group if group is not None else F.md5("first_text")
     grouped = per_conv.groupBy(key.alias("prompt_group")).agg(

@@ -306,11 +306,9 @@ def test_self_consistency_matches_pure_python_vote(spark):
         for r in Q.q_self_consistency_vote(spark, SF_DIR).collect()
     }
     assert got == expected
-    # the adapter data must produce real pluralities (not all-unanimous,
-    # not all-singleton groups)
-    assert any(v[0] > v[3] > 1 for v in got.values()) or any(
-        v[3] >= 2 for v in got.values()
-    )
+    # the adapter data must produce a real plurality somewhere: a group
+    # whose consensus has >1 vote but is NOT unanimous
+    assert any(v[0] > v[3] > 1 for v in got.values())
 
 
 def test_lcp_fold_block_boundaries_and_multibyte(spark):

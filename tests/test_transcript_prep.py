@@ -202,7 +202,9 @@ def test_sft_prep_job_spark_submit(spark, tmp_path):
     assert proc2.returncode == 0, proc2.stderr[-3000:]
     gated = json.loads(proc2.stdout.strip().splitlines()[-1])
     rows = sorted(
-        (r["conv_id"], r["turn_idx"], r["role"], r["text"].strip())
+        # strip(' ') not strip(): Spark/DuckDB trim() removes SPACES only,
+        # and the twin must normalize identically
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"].strip(" "))
         for r in spark.read.parquet(input_dir2).collect()
     )
     seen: set = set()
@@ -283,7 +285,8 @@ def test_turn_novelty_mask_matches_first_occurrence_scan(spark):
 
     rows = sorted(
         (
-            (r["conv_id"], r["turn_idx"], r["text"].strip())
+            # strip(' ') matches Spark/DuckDB trim() (spaces only)
+            (r["conv_id"], r["turn_idx"], r["text"].strip(" "))
             for r in Q._prompt_grouped_transcripts(spark, "/root/testdata/sf0.01")
             .select("conv_id", "turn_idx", "text")
             .collect()

@@ -4989,3 +4989,60 @@ SELECT g.prompt_group, g.n_rollouts, g.n_answers,
        round(ln(CAST(g.n_rollouts AS DOUBLE)) - g.sum_vlnv / g.n_rollouts, 6) AS vote_entropy
 FROM g JOIN ranked r ON g.prompt_group = r.prompt_group AND r.rn = 1
 """
+
+
+def _context_budget_audit_sql() -> str:
+    """Generated from params.CTX_BUDGETS_ADAPTER — the same constant the
+    adapter passes to the Spark plan (the shared-depth convention of
+    _dawid_skene_sql); production uses the CTX_BUDGETS 2k-128k ladder."""
+    from ocr_spark import params
+
+    budgets = params.CTX_BUDGETS_ADAPTER
+    conv_cols = ",\n         ".join(
+        f"sum(CASE WHEN c <= {b} THEN toks ELSE 0 END) AS kept_{b},\n"
+        f"         sum(CASE WHEN c > {b} THEN 1 ELSE 0 END) AS lost_{b}"
+        for b in budgets
+    )
+    g_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN conv_tokens > {b} THEN 1 ELSE 0 END) AS BIGINT) AS over_{b},\n"
+        f"         CAST(sum(kept_{b}) AS BIGINT) AS gkept_{b},\n"
+        f"         CAST(sum(lost_{b}) AS BIGINT) AS glost_{b}"
+        for b in budgets
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({b} AS INTEGER) AS budget, n_convs, over_{b} AS n_convs_over,\n"
+        f"       round(over_{b} / CAST(n_convs AS DOUBLE), 6) AS frac_over,\n"
+        f"       tokens_total, gkept_{b} AS tokens_kept, glost_{b} AS turns_lost\n"
+        "FROM g"
+        for b in budgets
+    )
+    return f"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+), tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+  FROM t
+), cum AS (
+  SELECT conv_id, toks,
+         sum(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM tok
+), conv AS (
+  SELECT conv_id, sum(toks) AS conv_tokens,
+         {conv_cols}
+  FROM cum GROUP BY conv_id
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(conv_tokens) AS BIGINT) AS tokens_total,
+         {g_cols}
+  FROM conv
+)
+{rows}
+"""
+
+
+ORACLES["context_budget_audit"] = _context_budget_audit_sql()

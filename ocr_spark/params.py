@@ -61,3 +61,14 @@ def rp_signs(d: int = RP_DIM, k: int = RP_K) -> list[list[int]]:
         ]
         for j in range(k)
     ]
+
+# context-budget audit: the context-window sizes the capacity card
+# evaluates (context_budget_audit's Spark plan AND its DuckDB oracle are
+# generated from this same tuple, so they cannot diverge)
+CTX_BUDGETS = (2048, 8192, 32768, 131072)
+# sandbox-scale budgets for the registry adapter: sf0.01 conversations
+# run 1136-1553 tokens, so the production 2k-128k ladder never binds
+# there; this ladder straddles the distribution so every branch of the
+# audit (none/some/most over; partial truncation) is value-checked.
+# Oracle SQL is generated from this same tuple.
+CTX_BUDGETS_ADAPTER = (1200, 1350, 1450, 2048)

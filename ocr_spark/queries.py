@@ -8179,3 +8179,24 @@ def q_self_consistency_vote(spark, sf_dir):
         F.expr(_ANSWER_EXPR).alias("answer"),
     )
     return rollouts.self_consistency(answers)
+
+
+def q_context_budget_audit(spark, sf_dir):
+    """Context-window capacity card: for each budget in the
+    ladder (production: params.CTX_BUDGETS 2k-128k; the adapter passes
+    params.CTX_BUDGETS_ADAPTER, which straddles the sf0.01 conv-token
+    distribution so every branch value-checks), conversations exceeding it, the fraction, and
+    what head-anchored truncation costs (turns dropped from the tail,
+    tokens kept) — the sizing pass run before choosing
+    max-sequence-length / truncation policy. The DuckDB oracle is
+    generated from the SAME params tuple, so the two cannot diverge.
+
+    Shape: see transcript_prep.context_budget_audit — one conv-keyed
+    cumulative window (reusing the adapter's Exchange), per-budget
+    conditional sums as plan-time literals (no budget x turn row
+    explosion), a 1-row global aggregate stacked to |budgets| rows."""
+    from ocr_spark import params, transcript_prep
+
+    return transcript_prep.context_budget_audit(
+        doc_transcripts(spark, sf_dir), budgets=params.CTX_BUDGETS_ADAPTER
+    )

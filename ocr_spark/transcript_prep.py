@@ -173,3 +173,67 @@ def turn_novelty_mask(t: DataFrame, role: str | None = None) -> DataFrame:
             .alias("n_occurrences"),
         )
     )
+
+
+def context_budget_audit(
+    t: DataFrame, budgets: tuple[int, ...] | None = None
+) -> DataFrame:
+    """Capacity-planning card for context windows: for each budget B,
+    how many conversations exceed B whitespace-tokens in total, and what
+    head-anchored truncation at B costs — turns dropped from the tail
+    and tokens actually kept. The sizing pass a transcript pipeline runs
+    before choosing max-sequence-length / truncation policy, over the
+    same token convention as ``token_count``.
+
+    Shape: per-turn token counts, ONE conv-keyed cumulative window
+    (reuses the adapter/input conv partitioning), one conv-keyed rollup
+    with per-budget conditional sums (budgets are plan-time literals —
+    no budget x turn row explosion), a 1-row global aggregate, then
+    stack() to |budgets| rows. Nothing wide ever moves."""
+    from ocr_spark import params
+
+    budgets = tuple(budgets or params.CTX_BUDGETS)
+    w = _conv_window().rowsBetween(Window.unboundedPreceding, 0)
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    cum = t.select("conv_id", F.col("turn_idx"), toks.alias("toks")).select(
+        "conv_id", "toks", F.sum("toks").over(w).alias("c")
+    )
+    conv_aggs = [F.sum("toks").alias("conv_tokens")]
+    for b in budgets:
+        conv_aggs += [
+            F.sum(F.when(F.col("c") <= b, F.col("toks")).otherwise(0))
+            .alias(f"kept_{b}"),
+            F.sum(F.when(F.col("c") > b, 1).otherwise(0)).alias(f"lost_{b}"),
+        ]
+    conv = cum.groupBy("conv_id").agg(*conv_aggs)
+    g_aggs = [
+        F.count("*").cast("bigint").alias("n_convs"),
+        F.sum("conv_tokens").cast("bigint").alias("tokens_total"),
+    ]
+    for b in budgets:
+        g_aggs += [
+            F.sum((F.col("conv_tokens") > b).cast("bigint")).alias(f"over_{b}"),
+            F.sum(f"kept_{b}").cast("bigint").alias(f"gkept_{b}"),
+            F.sum(f"lost_{b}").cast("bigint").alias(f"glost_{b}"),
+        ]
+    g = conv.agg(*g_aggs)
+    stack_args = ", ".join(
+        f"{b}, over_{b}, glost_{b}, gkept_{b}" for b in budgets
+    )
+    stacked = g.select(
+        F.expr(
+            f"stack({len(budgets)}, {stack_args})"
+            " as (budget, n_convs_over, turns_lost, tokens_kept)"
+        ),
+        "n_convs",
+        "tokens_total",
+    )
+    return stacked.select(
+        F.col("budget").cast("int").alias("budget"),
+        "n_convs",
+        "n_convs_over",
+        F.round(F.col("n_convs_over") / F.col("n_convs"), 6).alias("frac_over"),
+        "tokens_total",
+        "tokens_kept",
+        "turns_lost",
+    )

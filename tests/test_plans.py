@@ -1326,3 +1326,15 @@ def test_self_consistency_no_window_no_selfjoin(spark):
     assert n_ops(p, "Window") == 1  # the adapter's turn_idx row_number only
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "rangepartitioning" not in p
+
+
+def test_context_budget_audit_two_exchanges_no_explosion(spark):
+    """Budgets are plan-time literals folded into conditional sums — no
+    budget x turn row explosion, no join; the cumulative window and the
+    conv rollup ride the adapter's conv Exchange, the 1-row global agg
+    adds the only other one."""
+    p = plan(Q.q_context_budget_audit(spark, SF_DIR))
+    assert n_ops(p, "Exchange") == 2
+    assert "rangepartitioning" not in p
+    assert "Join" not in p
+    assert n_ops(p, "Generate") == 1  # the stack() to |budgets| rows

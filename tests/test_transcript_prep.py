@@ -308,3 +308,59 @@ def test_turn_novelty_mask_matches_first_occurrence_scan(spark):
     # repeats must exist (prompt turns) AND unique tails must exist
     occs = {v[1] for v in got.values()}
     assert 1 in occs and any(o > 1 for o in occs)
+
+
+def test_context_budget_audit_matches_pure_python_cumsum(spark):
+    """Pure-python re-derivation of the capacity card from the adapter
+    rows (whitespace tokens, cumulative per conv in turn order), and a
+    ladder-discrimination check: the adapter budgets must exercise the
+    none-over, some-over, and most-over branches — an all-zero card
+    (production budgets at sandbox scale) would be vacuously green."""
+    import ocr_spark.queries as Q
+    from ocr_spark import params
+
+    rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in Q.doc_transcripts(spark, "/root/testdata/sf0.01")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    import re
+
+    convs: dict[str, list[int]] = {}
+    for conv, _, text in rows:
+        # mirror engine semantics exactly: trim SPACES only, then a
+        # regex split that keeps boundary empties (Java split limit -1 /
+        # DuckDB regexp_split_to_array both do)
+        convs.setdefault(conv, []).append(
+            len(re.split(r"\s+", text.strip(" ")))
+        )
+    expected = {}
+    for b in params.CTX_BUDGETS_ADAPTER:
+        n_over = turns_lost = tokens_kept = tokens_total = 0
+        for toks in convs.values():
+            cum = 0
+            total = sum(toks)
+            tokens_total += total
+            if total > b:
+                n_over += 1
+            for t in toks:
+                cum += t
+                if cum <= b:
+                    tokens_kept += t
+                else:
+                    turns_lost += 1
+        expected[b] = (
+            len(convs), n_over, round(n_over / len(convs), 6),
+            tokens_total, tokens_kept, turns_lost,
+        )
+    got = {
+        r["budget"]: (
+            r["n_convs"], r["n_convs_over"], r["frac_over"],
+            r["tokens_total"], r["tokens_kept"], r["turns_lost"],
+        )
+        for r in Q.q_context_budget_audit(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == expected
+    overs = [v[1] for v in got.values()]
+    assert min(overs) == 0 and max(overs) > len(convs) // 2

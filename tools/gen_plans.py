@@ -697,6 +697,17 @@ def main() -> None:
             plan(Q.q_self_consistency_vote(spark, SF_DIR)),
         ),
         (
+            "Context-budget audit: literal budget ladder, no row explosion",
+            "Context-window capacity card: per-turn token counts, one "
+            "conv-keyed cumulative window riding the adapter Exchange, "
+            "then per-budget CONDITIONAL SUMS with the budgets folded in "
+            "as plan-time literals — no budget x turn crossJoin, no "
+            "second pass per budget; a 1-row global aggregate stacks to "
+            "|budgets| rows (the only Generate). 2 Exchanges total, "
+            "pinned.",
+            plan(Q.q_context_budget_audit(spark, SF_DIR)),
+        ),
+        (
             "Turn novelty mask: order inside duplicate groups only",
             "Turn-level loss masking: the only data shuffle is "
             "hashpartitioning on the 32-byte turn hash; first-occurrence "

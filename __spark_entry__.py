@@ -178,7 +178,7 @@ def _q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every driver-sampled slot is value-checked (no `no_oracle` rows in
 # the window — bucketed_layout_audit additionally gained a DuckDB
 # oracle this round, so it value-checks wherever sampled).
-# After this window: cumulative 159/247 (the rollout/evaluation/
+# After this window: cumulative 159/248 (the rollout/evaluation/
 # prefix-cache continuation families — all oracle-checked, all
 # harness-verified locally — were added behind the frozen window after
 # it was certified); the names queued directly behind slot 50
@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_novelty_mask": Q.q_turn_novelty_mask,
         "self_consistency_vote": Q.q_self_consistency_vote,
         "context_budget_audit": Q.q_context_budget_audit,
+        "turn_novelty_incremental": Q.q_turn_novelty_incremental,
         # evaluation / label-aggregation family (round 5)
         "judge_majority_vote": Q.q_judge_majority_vote,
         "judge_kappa_pairs": Q.q_judge_kappa_pairs,

@@ -5046,3 +5046,44 @@ WITH t AS (
 
 
 ORACLES["context_budget_audit"] = _context_budget_audit_sql()
+
+
+ORACLES["turn_novelty_incremental"] = r"""
+WITH b0 AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents WHERE doc_id % 10 = 0
+), batch AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx < 3 THEN
+           'prompt-' || CAST(('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 4 AS VARCHAR)
+           || '-turn-' || CAST(turn_idx AS VARCHAR) || '-' || repeat('seed ', 40)
+         WHEN turn_idx = 3 THEN 'batch-extra-turn'
+         ELSE text END AS text
+  FROM b0
+), c0 AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents WHERE doc_id % 10 != 0
+), corpus AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx < 3 THEN
+           'prompt-' || CAST(('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 4 AS VARCHAR)
+           || '-turn-' || CAST(turn_idx AS VARCHAR) || '-' || repeat('seed ', 40)
+         ELSE text END AS text
+  FROM c0
+), corpus_h AS (
+  SELECT DISTINCT md5(trim(text)) AS turn_h FROM corpus
+), flagged AS (
+  SELECT conv_id, turn_idx, md5(trim(text)) AS turn_h,
+         (row_number() OVER (PARTITION BY md5(trim(text))
+                             ORDER BY conv_id, turn_idx) = 1) AS first_in_batch
+  FROM batch
+)
+SELECT f.conv_id, f.turn_idx,
+       (f.first_in_batch AND c.turn_h IS NULL) AS novel,
+       (c.turn_h IS NOT NULL) AS seen_in_corpus
+FROM flagged f LEFT JOIN corpus_h c ON f.turn_h = c.turn_h
+"""

@@ -8200,3 +8200,45 @@ def q_context_budget_audit(spark, sf_dir):
     return transcript_prep.context_budget_audit(
         doc_transcripts(spark, sf_dir), budgets=params.CTX_BUDGETS_ADAPTER
     )
+
+
+def q_turn_novelty_incremental(spark, sf_dir):
+    """Ingest-time turn-novelty gate — the incremental twin of
+    q_turn_novelty_mask (continuous SFT ingestion: the frozen corpus's
+    turn-hash set is already materialized; the incoming batch gets
+    novel / seen_in_corpus flags). Split: doc_id % 10 == 0 is the
+    incoming batch, the rest the frozen corpus; both sides get the
+    shared-prefix rewrite, so batch prompt turns hit the corpus, batch
+    siblings repeat each other, and tails stay novel — every branch
+    value-checks.
+
+    The batch side additionally rewrites turn 3 to a constant
+    batch-only text (shared by every batch conversation, absent from
+    the corpus), so the third branch — a batch-internal repeat the
+    corpus has never seen — fires too.
+
+    Shape: see transcript_prep.turn_novelty_vs_corpus — corpus reduces
+    ONCE to distinct 32-byte hashes, batch left-joins on the hash key,
+    within-batch first-occurrence is hash-keyed; never batch x corpus."""
+    from ocr_spark import transcript_prep
+
+    doc = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+
+    def as_transcripts(df):
+        ren = df.select(F.col("source").alias("conv_id"), "doc_id", "text")
+        w = Window.partitionBy("conv_id").orderBy("doc_id")
+        return ren.select(
+            "conv_id",
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            "text",
+        ).withColumn("text", F.expr(_SHARED_PREFIX_TEXT_EXPR))
+
+    batch = as_transcripts(doc.filter("doc_id % 10 = 0")).withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 3, F.lit("batch-extra-turn")).otherwise(
+            F.col("text")
+        ),
+    )
+    return transcript_prep.turn_novelty_vs_corpus(
+        batch, as_transcripts(doc.filter("doc_id % 10 != 0"))
+    )

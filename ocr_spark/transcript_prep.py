@@ -237,3 +237,41 @@ def context_budget_audit(
         "tokens_kept",
         "turns_lost",
     )
+
+
+def turn_novelty_vs_corpus(
+    batch: DataFrame, corpus: DataFrame, role: str | None = None
+) -> DataFrame:
+    """Ingest-time twin of ``turn_novelty_mask`` (the continuous-SFT
+    case: the frozen corpus is already ingested; only the incoming
+    batch needs flags). A batch turn is ``novel`` iff its normalized
+    text appears nowhere in the frozen corpus AND it is the first
+    occurrence within the batch by (conv_id, turn_idx);
+    ``seen_in_corpus`` is reported separately so the caller can
+    distinguish corpus repeats from batch-internal repeats.
+
+    Shape: the corpus reduces ONCE to distinct 32-byte turn hashes (one
+    partial-aggregated groupBy — materialize it and every future ingest
+    reuses it); batch hashes left-join that set on the hash key; the
+    within-batch first-occurrence is the same hash-keyed window as the
+    batch form. Never batch x corpus; cost per ingest is
+    |corpus hashes| + |batch|."""
+    bsrc = batch if role is None else batch.filter(F.col("role") == role)
+    csrc = corpus if role is None else corpus.filter(F.col("role") == role)
+    h = F.md5(F.trim("text"))
+    corpus_h = (
+        csrc.select(h.alias("turn_h")).distinct().withColumn("in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("turn_h").orderBy("conv_id", "turn_idx")
+    flagged = bsrc.select("conv_id", "turn_idx", h.alias("turn_h")).select(
+        "conv_id",
+        "turn_idx",
+        "turn_h",
+        (F.row_number().over(w) == 1).alias("first_in_batch"),
+    )
+    return flagged.join(corpus_h, "turn_h", "left").select(
+        "conv_id",
+        "turn_idx",
+        (F.col("first_in_batch") & F.col("in_corpus").isNull()).alias("novel"),
+        F.col("in_corpus").isNotNull().alias("seen_in_corpus"),
+    )

@@ -1338,3 +1338,13 @@ def test_context_budget_audit_two_exchanges_no_explosion(spark):
     assert "rangepartitioning" not in p
     assert "Join" not in p
     assert n_ops(p, "Generate") == 1  # the stack() to |budgets| rows
+
+
+def test_turn_novelty_incremental_never_batch_x_corpus(spark):
+    """The corpus reduces to distinct hashes before the join; the join
+    key is the 32-byte hash (no text comparison at join time) and there
+    is no nested-loop/cartesian fallback."""
+    p = plan(Q.q_turn_novelty_incremental(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert n_ops(p, "HashAggregate") >= 2  # partial+final corpus distinct
+    assert "rangepartitioning" not in p

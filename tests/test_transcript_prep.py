@@ -364,3 +364,59 @@ def test_context_budget_audit_matches_pure_python_cumsum(spark):
     assert got == expected
     overs = [v[1] for v in got.values()]
     assert min(overs) == 0 and max(overs) > len(convs) // 2
+
+
+def test_turn_novelty_incremental_matches_pure_python_scan(spark):
+    """Pure-python re-derivation: corpus hash set + within-batch
+    first-occurrence scan in (conv_id, turn_idx) order. All THREE
+    branches must fire: corpus hit, batch-internal-only repeat, novel."""
+    import hashlib
+
+    import ocr_spark.queries as Q
+    from ocr_spark.queries import _t
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sf = "/root/testdata/sf0.01"
+    doc = _t(spark, sf, "documents").select("source", "doc_id", "text")
+
+    def adapt(df, batch):
+        ren = df.select(F.col("source").alias("conv_id"), "doc_id", "text")
+        w = Window.partitionBy("conv_id").orderBy("doc_id")
+        out = ren.select(
+            "conv_id",
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            "text",
+        ).withColumn("text", F.expr(Q._SHARED_PREFIX_TEXT_EXPR))
+        if batch:
+            out = out.withColumn(
+                "text",
+                F.when(F.col("turn_idx") == 3, F.lit("batch-extra-turn"))
+                .otherwise(F.col("text")),
+            )
+        return out
+
+    def h(text):
+        return hashlib.md5(text.strip(" ").encode()).hexdigest()
+
+    corpus_h = {
+        h(r["text"])
+        for r in adapt(doc.filter("doc_id % 10 != 0"), False).collect()
+    }
+    batch_rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in adapt(doc.filter("doc_id % 10 = 0"), True).collect()
+    )
+    seen: set = set()
+    expected = {}
+    for conv, idx, text in batch_rows:
+        k = h(text)
+        expected[(conv, idx)] = (k not in corpus_h and k not in seen, k in corpus_h)
+        seen.add(k)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["novel"], r["seen_in_corpus"])
+        for r in Q.q_turn_novelty_incremental(spark, sf).collect()
+    }
+    assert got == expected
+    branches = set(got.values())
+    assert {(False, True), (False, False), (True, False)} <= branches

@@ -708,6 +708,18 @@ def main() -> None:
             plan(Q.q_context_budget_audit(spark, SF_DIR)),
         ),
         (
+            "Incremental turn novelty: corpus reduces once, never batch x corpus",
+            "Ingest-time novelty gate: the frozen corpus reduces to "
+            "DISTINCT 32-byte turn hashes in one partial-aggregated "
+            "groupBy (materialize it and every future ingest reuses "
+            "it); the batch left-joins that set on the hash key and "
+            "keeps within-batch first occurrence via the same "
+            "hash-keyed window as the batch-form mask. Cost per ingest "
+            "is |corpus hashes| + |batch| — never batch x corpus "
+            "(no-nested-loop pinned).",
+            plan(Q.q_turn_novelty_incremental(spark, SF_DIR)),
+        ),
+        (
             "Turn novelty mask: order inside duplicate groups only",
             "Turn-level loss masking: the only data shuffle is "
             "hashpartitioning on the 32-byte turn hash; first-occurrence "

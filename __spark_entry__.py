@@ -270,6 +270,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "judge_majority_vote", "judge_kappa_pairs", "judge_alpha",
     "dawid_skene_labels", "arena_win_matrix", "bradley_terry_strengths",
     "judge_consensus_confusion",
+    # branching-trace / tool-schema family (round 5, behind the window)
+    "trace_tree_paths", "trace_branch_stats", "tool_arg_schema_drift",
     # ---- rows-only by design (pytest-pinned), permanently behind slot 50 ----
     "bucketed_layout_audit", "turn_gap_stats", "approx_distinct_grams",
     "extract_pipeline", "conv_rollup", "partition_metrics",
@@ -494,6 +496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_consistency_vote": Q.q_self_consistency_vote,
         "context_budget_audit": Q.q_context_budget_audit,
         "turn_novelty_incremental": Q.q_turn_novelty_incremental,
+        # branching-trace / tool-schema family (round 5)
+        "trace_tree_paths": Q.q_trace_tree_paths,
+        "trace_branch_stats": Q.q_trace_branch_stats,
+        "tool_arg_schema_drift": Q.q_tool_arg_schema_drift,
         # evaluation / label-aggregation family (round 5)
         "judge_majority_vote": Q.q_judge_majority_vote,
         "judge_kappa_pairs": Q.q_judge_kappa_pairs,

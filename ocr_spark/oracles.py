@@ -5087,3 +5087,79 @@ SELECT f.conv_id, f.turn_idx,
        (c.turn_h IS NOT NULL) AS seen_in_corpus
 FROM flagged f LEFT JOIN corpus_h c ON f.turn_h = c.turn_h
 """
+
+
+# Independent algorithm cross-check: the Spark side resolves the forest
+# bottom-up by pointer doubling; this oracle walks top-down from the
+# roots with a recursive CTE (BFS). A hash match proves the O(log d)
+# doubling loop computes exactly the transitive root/depth closure.
+_MSG_FOREST_CTES = r"""
+base AS (
+  SELECT source AS conv_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS pos
+  FROM documents
+), msgs AS (
+  SELECT b.doc_id AS msg_id, p.doc_id AS parent_id
+  FROM base b LEFT JOIN base p
+    ON p.conv_id = b.conv_id AND b.pos > 0
+   AND p.pos = CAST(floor((b.pos - 1) / 2) AS BIGINT)
+), walk AS (
+  SELECT msg_id, msg_id AS root_id, 0 AS depth FROM msgs WHERE parent_id IS NULL
+  UNION ALL
+  SELECT m.msg_id, w.root_id, w.depth + 1
+  FROM msgs m JOIN walk w ON m.parent_id = w.msg_id
+)"""
+
+ORACLES["trace_tree_paths"] = (
+    "WITH RECURSIVE " + _MSG_FOREST_CTES + r"""
+SELECT msg_id, root_id, CAST(depth AS INTEGER) AS depth FROM walk
+"""
+)
+
+ORACLES["trace_branch_stats"] = (
+    "WITH RECURSIVE " + _MSG_FOREST_CTES + r"""
+SELECT w.root_id,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(CASE WHEN pr.msg_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaves,
+       CAST(max(w.depth) AS INTEGER) AS max_depth
+FROM walk w
+LEFT JOIN (
+  SELECT DISTINCT parent_id AS msg_id FROM msgs WHERE parent_id IS NOT NULL
+) pr ON w.msg_id = pr.msg_id
+GROUP BY w.root_id
+"""
+)
+
+ORACLES["tool_arg_schema_drift"] = r"""
+WITH t AS (
+  SELECT text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), parsed AS (
+  SELECT 'tool_' || CAST(('0x' || substr(md5(text), 9, 4))::BIGINT % 4 AS VARCHAR) AS tool_name,
+         CAST(('0x' || substr(md5(text), 17, 3))::BIGINT % 28 AS INTEGER) AS day,
+         '{"q":1'
+         || CASE WHEN ('0x' || substr(md5(text), 13, 2))::BIGINT % 2 = 0
+                 THEN ',"k":2' ELSE '' END
+         || CASE WHEN ('0x' || substr(md5(text), 15, 2))::BIGINT % 3 = 0
+                 THEN ',"filters":"f"' ELSE '' END
+         || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 >= 14
+                 THEN ',"page":3' ELSE '' END
+         || '}' AS args_json
+  FROM t WHERE role = 'tool'
+), keys AS (
+  SELECT tool_name, day, unnest(json_keys(args_json)) AS arg_key FROM parsed
+), totals AS (
+  SELECT tool_name, count(*) AS tool_calls FROM parsed GROUP BY tool_name
+), cells AS (
+  SELECT tool_name, arg_key,
+         CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(min(day) AS INTEGER) AS first_day,
+         CAST(max(day) AS INTEGER) AS last_day
+  FROM keys GROUP BY tool_name, arg_key
+)
+SELECT c.tool_name, c.arg_key, c.n_calls,
+       round(c.n_calls / t.tool_calls, 6) AS call_share,
+       c.first_day, c.last_day
+FROM cells c JOIN totals t ON c.tool_name = t.tool_name
+"""

@@ -8242,3 +8242,105 @@ def q_turn_novelty_incremental(spark, sf_dir):
     return transcript_prep.turn_novelty_vs_corpus(
         batch, as_transcripts(doc.filter("doc_id % 10 != 0"))
     )
+
+
+def _doc_message_forest(spark, sf_dir):
+    """Adapter: a deterministic branching message forest from the
+    documents table — one tree per source, docs as messages in doc_id
+    order, parent of the p-th message (p>0) = the (p-1)//2-th (heap
+    layout: binary branching, depth log2(n) — every conversation has
+    real forks and multi-level chains). ``msg_id`` is the globally
+    unique doc_id; position 0 is the root (parent_id NULL). Production
+    reads (msg_id, parent_id) straight off the message store."""
+    doc = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    pos = doc.select(
+        F.col("source").alias("conv_id"), "doc_id"
+    ).select(
+        "conv_id", "doc_id", (F.row_number().over(w) - 1).cast("bigint").alias("pos")
+    )
+    parents = pos.select(
+        "conv_id",
+        F.col("pos").alias("parent_pos"),
+        F.col("doc_id").alias("parent_id"),
+    )
+    children = pos.withColumn(
+        "parent_pos",
+        F.when(F.col("pos") == 0, F.lit(None).cast("bigint")).otherwise(
+            F.floor((F.col("pos") - 1) / 2).cast("bigint")
+        ),
+    )
+    return children.join(parents, ["conv_id", "parent_pos"], "left").select(
+        F.col("doc_id").alias("msg_id"), "parent_id"
+    )
+
+
+def q_trace_tree_paths(spark, sf_dir):
+    """Branching-trace thread resolution: chat/agent stores with
+    regeneration and forking persist conversations as message TREES
+    ((msg_id, parent_id) rows), and every extraction or rollout pass
+    first needs each message resolved to its root conversation and
+    depth. The DuckDB oracle is a recursive CTE — an INDEPENDENT
+    algorithm (top-down BFS from the roots) cross-checking the Spark
+    side's bottom-up pointer doubling.
+
+    Shape: see rollouts.resolve_message_forest — O(log depth)
+    rounds, each ONE hash self-equi-join on the 8-byte pointer key with
+    localCheckpoint lineage truncation; hot roots are join fan-out,
+    never a materialized neighbor list."""
+    from ocr_spark import rollouts
+
+    return rollouts.resolve_message_forest(_doc_message_forest(spark, sf_dir))
+
+
+def q_trace_branch_stats(spark, sf_dir):
+    """Fork-rate audit per conversation tree: message count, leaf count
+    (= distinct linear threads the tree linearizes into — the thread
+    explosion a regeneration-heavy store must budget before flattening)
+    and max depth. Shape: see rollouts.branch_stats — leaf-ness is a
+    left-anti hash join against the distinct parent set, then one
+    partial-aggregated groupBy(root_id)."""
+    from ocr_spark import rollouts
+
+    msgs = _doc_message_forest(spark, sf_dir)
+    return rollouts.branch_stats(msgs, rollouts.resolve_message_forest(msgs))
+
+
+def q_tool_arg_schema_drift(spark, sf_dir):
+    """Tool-payload schema-evolution audit: per (tool, argument key),
+    call counts, the key's share of the tool's calls, and the
+    first/last observation day — run over stored agent tool payloads
+    before writing parsers against them (keys roll in and out with
+    tool versions; a parser pinned to last month's schema silently
+    drops the new field). The adapter synthesizes payloads
+    content-keyed from tool turns — args carry an always-on key, two
+    optional keys at different rates, and one key that EXISTS ONLY
+    from day 14 on (real drift for first_day to catch); production
+    passes the stored payload column and date_trunc('day', ts).
+
+    Shape: see transcript_prep.tool_arg_schema_drift — JVM-side
+    get_json_object + json_object_keys (no Python), row-local explode,
+    two partial-aggregated groupBys, |tools|-row totals broadcast back.
+    Only (name, key, day) triples ever shuffle."""
+    from ocr_spark import transcript_prep
+
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
+    day = (F.expr(h.format(17, 3)) % 28).cast("int")
+    calls = t.filter(F.col("role") == "tool").select(
+        F.concat(
+            F.lit('{"name":"tool_'),
+            (F.expr(h.format(9, 4)) % 4).cast("string"),
+            F.lit('","args":{"q":1'),
+            F.when(F.expr(h.format(13, 2)) % 2 == 0, F.lit(',"k":2')).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.expr(h.format(15, 2)) % 3 == 0, F.lit(',"filters":"f"')
+            ).otherwise(F.lit("")),
+            F.when(day >= 14, F.lit(',"page":3')).otherwise(F.lit("")),
+            F.lit("}}"),
+        ).alias("tool"),
+        day.alias("day"),
+    )
+    return transcript_prep.tool_arg_schema_drift(calls)

@@ -480,3 +480,117 @@ def self_consistency(answers: DataFrame) -> DataFrame:
         F.round(consensus / n, 6).alias("consensus_frac"),
         F.round(F.log(n) - F.col("sum_vlnv") / n, 6).alias("vote_entropy"),
     )
+
+
+def resolve_message_forest(messages: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(msg_id, root_id, depth): resolve every message of a branching
+    message forest to its root conversation and depth. Regeneration /
+    fork-capable chat stores persist conversations as TREES — each
+    message carries ``(msg_id, parent_id)``, with ``parent_id`` NULL at
+    roots — and every root-to-node path is a distinct linear thread, so
+    this resolution is the first pass before any per-conversation
+    extraction or rollout grouping can run over such a store.
+
+    Pointer doubling: each message keeps an ancestor pointer and the
+    distance to it; per round every unresolved pointer jumps to its
+    ancestor's pointer (distances add), so a chain of depth d resolves
+    in O(log d) rounds — ``max_iters=20`` covers depth ~1M, far beyond
+    any real conversation tree. Per round the work is ONE self-equi-join
+    of the frontier against the full state on the 8-byte pointer key
+    plus a resolved/frontier split; no windows, no collect_list, so a
+    hot root (a prompt forked into millions of branches) is join
+    fan-out spread across tasks, never one task's materialized list.
+    localCheckpoint per round truncates the otherwise exponentially
+    self-referencing lineage (same driver-OOM failure mode the CC loop
+    in dedup.py documents); the frontier count that drives convergence
+    is the same action that materializes the checkpoint, so the loop
+    adds no extra pass.
+
+    Precondition: a CLOSED forest — every non-NULL ``parent_id`` exists
+    in ``msg_id`` and there are no cycles. A store with dangling
+    parents should quarantine them first (f5-style validation
+    predicate: left-anti join children against msg_ids); a cycle would
+    keep its members in the frontier until the loud non-convergence
+    raise below, never silently mislabel them.
+    """
+    init = messages.select(
+        F.col("msg_id").cast("bigint").alias("msg_id"),
+        F.coalesce(F.col("parent_id").cast("bigint"), F.col("msg_id").cast("bigint")).alias("ptr"),
+        F.when(F.col("parent_id").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("dist"),
+        F.col("parent_id").isNull().alias("done"),
+    )
+    state = init.localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iters):
+        if state.filter("NOT done").limit(1).count() == 0:
+            converged = True
+            break
+        anc = state.select(
+            F.col("msg_id").alias("a_id"),
+            F.col("ptr").alias("a_ptr"),
+            F.col("dist").alias("a_dist"),
+            F.col("done").alias("a_done"),
+        )
+        stepped = (
+            state.filter("NOT done")
+            .join(anc, F.col("ptr") == F.col("a_id"))
+            .select(
+                "msg_id",
+                F.col("a_ptr").alias("ptr"),
+                (F.col("dist") + F.col("a_dist")).alias("dist"),
+                F.col("a_done").alias("done"),
+            )
+        )
+        state = (
+            state.filter("done").unionByName(stepped).localCheckpoint(eager=True)
+        )
+    if not converged and state.filter("NOT done").limit(1).count() > 0:
+        # an unresolved frontier here means a cycle or a parent chain
+        # deeper than 2^max_iters; returning partial pointers would
+        # attribute messages to a NON-root ancestor and silently merge
+        # or split threads downstream — fail loudly instead
+        raise RuntimeError(
+            f"resolve_message_forest did not converge in {max_iters} "
+            "pointer-doubling rounds; the forest has a cycle or depth "
+            f"beyond 2^{max_iters} (raise max_iters if the latter)"
+        )
+    return state.select(
+        "msg_id",
+        F.col("ptr").alias("root_id"),
+        F.col("dist").cast("int").alias("depth"),
+    )
+
+
+def branch_stats(messages: DataFrame, resolved: DataFrame) -> DataFrame:
+    """(root_id, n_msgs, n_leaves, max_depth): per conversation tree,
+    its message count, leaf count (= number of distinct linear threads
+    the tree linearizes into), and maximum depth — the fork-rate audit
+    a regeneration-heavy store runs to budget thread explosion before
+    linearizing (a tree with L leaves duplicates its shared prefix into
+    L threads; prefix_cache_savings prices what dedup recovers).
+
+    ``resolved`` is :func:`resolve_message_forest`'s output for the same
+    ``messages``. Shape: leaf-ness is a left-anti join of messages
+    against the distinct parent set (hash join on the 8-byte id; a hot
+    root is a build-side dup, not a window), then one partial-aggregated
+    groupBy(root_id)."""
+    parents = (
+        messages.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").cast("bigint").alias("msg_id"))
+        .distinct()
+    )
+    leaves = resolved.join(parents, "msg_id", "left_anti").select(
+        "msg_id", "root_id"
+    )
+    per_root_leaves = leaves.groupBy("root_id").agg(
+        F.count("*").cast("bigint").alias("n_leaves")
+    )
+    return (
+        resolved.groupBy("root_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_msgs"),
+            F.max("depth").cast("int").alias("max_depth"),
+        )
+        .join(per_root_leaves, "root_id")
+        .select("root_id", "n_msgs", "n_leaves", "max_depth")
+    )

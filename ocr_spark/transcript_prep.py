@@ -275,3 +275,60 @@ def turn_novelty_vs_corpus(
         (F.col("first_in_batch") & F.col("in_corpus").isNull()).alias("novel"),
         F.col("in_corpus").isNotNull().alias("seen_in_corpus"),
     )
+
+
+def tool_arg_schema_drift(
+    calls: DataFrame,
+    payload: Column | str = "tool",
+    day: Column | str = "day",
+) -> DataFrame:
+    """(tool_name, arg_key, n_calls, call_share, first_day, last_day):
+    per tool, which argument keys its stored JSON payloads actually
+    carry, how often, and over which observation window — the
+    schema-evolution audit an agent-transcript pipeline runs before
+    writing parsers/filters against tool payloads (keys appear and
+    disappear as tool versions roll out; a parser pinned to last
+    month's schema silently drops the new field's traces).
+
+    ``calls`` holds one row per tool call with ``payload`` = the stored
+    JSON (shape ``{"name": ..., "args": {...}}``) and ``day`` = the
+    observation bucket (production: ``date_trunc('day', ts)`` cast to
+    an int day number). ``call_share`` is n_calls for the key over the
+    tool's total calls (a key at share 1.0 is required; a low share is
+    optional or drifting in/out).
+
+    Distributed shape: name/args extraction and key enumeration are
+    narrow JVM expressions (get_json_object + json_object_keys — no
+    Python, inside codegen), keys explode row-locally, and the only
+    Exchanges are two partial-aggregated groupBys: (tool, key) cells
+    and the |tools|-row totals, which broadcast back onto the cells.
+    No shuffle carries payload text — only (name, key, day) triples.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    d = F.col(day) if isinstance(day, str) else day
+    parsed = calls.select(
+        F.get_json_object(p, "$.name").alias("tool_name"),
+        F.get_json_object(p, "$.args").alias("args_json"),
+        d.cast("int").alias("day"),
+    )
+    keys = parsed.select(
+        "tool_name",
+        "day",
+        F.explode(F.json_object_keys("args_json")).alias("arg_key"),
+    )
+    totals = parsed.groupBy("tool_name").agg(
+        F.count("*").cast("bigint").alias("tool_calls")
+    )
+    cells = keys.groupBy("tool_name", "arg_key").agg(
+        F.count("*").cast("bigint").alias("n_calls"),
+        F.min("day").cast("int").alias("first_day"),
+        F.max("day").cast("int").alias("last_day"),
+    )
+    return cells.join(F.broadcast(totals), "tool_name").select(
+        "tool_name",
+        "arg_key",
+        "n_calls",
+        F.round(F.col("n_calls") / F.col("tool_calls"), 6).alias("call_share"),
+        "first_day",
+        "last_day",
+    )

@@ -1348,3 +1348,28 @@ def test_turn_novelty_incremental_never_batch_x_corpus(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert n_ops(p, "HashAggregate") >= 2  # partial+final corpus distinct
     assert "rangepartitioning" not in p
+
+
+def test_tool_arg_schema_drift_jvm_only_broadcast_totals(spark):
+    """Key enumeration stays JVM-side (json_object_keys inside codegen,
+    no Python eval); the |tools|-row totals broadcast back onto the
+    (tool, key) cells — never a shuffled or nested-loop join; only
+    (name, key, day) triples reach an Exchange."""
+    p = plan(Q.q_tool_arg_schema_drift(spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    assert n_ops(p, "BroadcastHashJoin") == 1, p
+    assert n_ops(p, "SortMergeJoin") + n_ops(p, "CartesianProduct") == 0, p
+    assert n_ops(p, "Generate") == 1, p  # the arg-key explode
+
+
+def test_message_forest_resolution_is_hash_joined(spark):
+    """The resolved output is a localCheckpoint scan (the doubling loop
+    ran eagerly — O(log depth) rounds); the ADAPTER's parent join and
+    the branch-stats leaf anti-join must be hash joins on the 8-byte id,
+    never nested-loop."""
+    msgs = Q._doc_message_forest(spark, SF_DIR)
+    assert n_ops(plan(msgs), "CartesianProduct") == 0
+    resolved = plan(Q.q_trace_tree_paths(spark, SF_DIR))
+    assert "Scan ExistingRDD" in resolved or "LocalTableScan" in resolved, resolved
+    p = plan(Q.q_trace_branch_stats(spark, SF_DIR))
+    assert n_ops(p, "CartesianProduct") + n_ops(p, "BroadcastNestedLoopJoin") == 0, p

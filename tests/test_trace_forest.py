@@ -1,0 +1,142 @@
+"""Branching-trace forest resolution + tool-schema drift (round 5).
+
+Behavioral pins independent of the DuckDB oracles: the pointer-doubling
+resolver is re-derived with a pure-Python parent walk over the adapter
+forest; a 300-deep chain proves the O(log d) round bound (a
+step-per-round loop could not converge in the default 20 rounds); a
+2-cycle must fail loudly; branch stats and the schema-drift rollup are
+re-derived by hand.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+import ocr_spark.queries as Q
+from ocr_spark import rollouts, transcript_prep
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _python_walk(parent: dict[int, int | None]):
+    """Root/depth per node by memoized parent walking."""
+    memo: dict[int, tuple[int, int]] = {}
+
+    def solve(n: int) -> tuple[int, int]:
+        if n in memo:
+            return memo[n]
+        p = parent[n]
+        if p is None:
+            memo[n] = (n, 0)
+        else:
+            r, d = solve(p)
+            memo[n] = (r, d + 1)
+        return memo[n]
+
+    for n in parent:
+        solve(n)
+    return memo
+
+
+def test_resolve_forest_matches_pure_python_walk(spark):
+    msgs = Q._doc_message_forest(spark, SF_DIR)
+    parent = {r["msg_id"]: r["parent_id"] for r in msgs.collect()}
+    expected = _python_walk(parent)
+    got = {
+        r["msg_id"]: (r["root_id"], r["depth"])
+        for r in rollouts.resolve_message_forest(msgs).collect()
+    }
+    assert got == expected
+    # the adapter forest must actually branch and nest (heap layout)
+    depths = collections.Counter(d for _, d in expected.values())
+    assert max(depths) >= 3 and len({r for r, _ in expected.values()}) >= 2
+
+
+def test_resolve_forest_deep_chain_converges_in_default_rounds(spark):
+    # depth 300 >> default max_iters=20: only an O(log d) doubling loop
+    # converges — a step-per-round walk would need 300 rounds and raise
+    n = 300
+    rows = [(i, i - 1 if i > 0 else None) for i in range(n)]
+    msgs = spark.createDataFrame(rows, "msg_id long, parent_id long")
+    got = {
+        r["msg_id"]: (r["root_id"], r["depth"])
+        for r in rollouts.resolve_message_forest(msgs).collect()
+    }
+    assert got == {i: (0, i) for i in range(n)}
+
+
+def test_resolve_forest_cycle_raises(spark):
+    msgs = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None)], "msg_id long, parent_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        rollouts.resolve_message_forest(msgs, max_iters=4)
+
+
+def test_branch_stats_rederived(spark):
+    msgs_df = Q._doc_message_forest(spark, SF_DIR)
+    parent = {r["msg_id"]: r["parent_id"] for r in msgs_df.collect()}
+    roots = _python_walk(parent)
+    parents = {p for p in parent.values() if p is not None}
+    expected: dict[int, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    for n, (r, d) in roots.items():
+        agg = expected[r]
+        agg[0] += 1
+        agg[1] += 0 if n in parents else 1
+        agg[2] = max(agg[2], d)
+    got = {
+        r["root_id"]: [r["n_msgs"], r["n_leaves"], r["max_depth"]]
+        for r in rollouts.branch_stats(
+            msgs_df, rollouts.resolve_message_forest(msgs_df)
+        ).collect()
+    }
+    assert got == dict(expected)
+    # every tree must have >1 leaf (real branching, not chains)
+    assert all(v[1] > 1 for v in got.values())
+
+
+def test_tool_arg_schema_drift_literal_rederivation(spark):
+    calls = spark.createDataFrame(
+        [
+            ('{"name":"a","args":{"q":1}}', 3),
+            ('{"name":"a","args":{"q":1,"k":2}}', 7),
+            ('{"name":"a","args":{"q":1,"page":3}}', 20),
+            ('{"name":"b","args":{"x":"y"}}', 5),
+        ],
+        "tool string, day int",
+    )
+    rows = {
+        (r["tool_name"], r["arg_key"]): r
+        for r in transcript_prep.tool_arg_schema_drift(calls).collect()
+    }
+    assert set(rows) == {("a", "q"), ("a", "k"), ("a", "page"), ("b", "x")}
+    q = rows[("a", "q")]
+    assert (q["n_calls"], q["call_share"], q["first_day"], q["last_day"]) == (
+        3,
+        1.0,
+        3,
+        20,
+    )
+    pg = rows[("a", "page")]
+    assert (pg["n_calls"], pg["call_share"], pg["first_day"], pg["last_day"]) == (
+        1,
+        round(1 / 3, 6),
+        20,
+        20,
+    )
+    assert rows[("b", "x")]["call_share"] == 1.0
+
+
+def test_schema_drift_adapter_exercises_drift_branch(spark):
+    rows = Q.q_tool_arg_schema_drift(spark, SF_DIR).collect()
+    by_key = collections.defaultdict(list)
+    for r in rows:
+        by_key[r["arg_key"]].append(r)
+    # the always-on key is required everywhere; the drift key's first
+    # sighting is the rollout day, not day 0
+    assert all(r["call_share"] == 1.0 for r in by_key["q"])
+    assert by_key["page"] and all(r["first_day"] >= 14 for r in by_key["page"])
+    assert any(r["call_share"] < 1.0 for r in by_key["k"])

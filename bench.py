@@ -934,6 +934,194 @@ def run_scaling(levels=None) -> None:
                       "hw_ceiling": {str(k): round(v, 3) for k, v in ceiling.items()}}))
 
 
+def run_skew_stress() -> dict:
+    """Measured skew evidence (north rule: 'salts and repartitions
+    skewed conversations — long agent traces'). Two inputs with
+    IDENTICAL rows and bytes: ``uniform`` = the fixture ladder without
+    monster traces; ``skewed`` = the SAME rows with a configurable
+    share (default 80%) of all turns relabeled into ONE conversation
+    (turn_idx renumbered globally) — the pathological long-trace
+    archetype. Any timing delta between them is key distribution,
+    never data volume.
+
+    Cells, interleaved min-of-3 (alternating the two rollups per
+    attempt so a noise window on this shared host cannot land entirely
+    on one cell — same policy as the extract A/B):
+    - ``extract``: the narrow vectorized extract -> snapshot write per
+      input. Must be ~equal: byte-bounded scan splits, not conversation
+      keys, balance this stage (bench.py's no-pre-repartition note).
+    - ``rollup_salted`` vs ``rollup_single`` over the committed
+      snapshot: the production two-phase bucket-salted ordered rollup
+      against the single-phase groupBy(conv_id) it replaces. The
+      single-phase merge buffers the ENTIRE monster trace as turn
+      structs in one task's aggregation buffer and sorts it there; the
+      salted phase-1 pre-joins each 256-turn bucket in parallel, so
+      the hot task's state is ~turns/256 strings and its serial work
+      is the unavoidable byte concat of the conversation's own output.
+
+    Writes BENCH/SKEW.md from the measured numbers; prints one JSON
+    line."""
+    from pyspark.sql import Window, functions as F
+
+    from ocr_spark import fixtures
+    from ocr_spark.operators.aggregate import conv_text, conv_text_salted
+    from ocr_spark.operators.extract import extract
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_SKEW_CONVS", "48000"))
+    share10 = int(os.environ.get("SPARK_GRAFT_SKEW_SHARE10", "8"))
+    spark = _build(cpus)
+
+    uni = os.path.join(BENCH_TMP, f"skewcell_uniform_{n_convs}")
+    if not os.path.exists(os.path.join(uni, "_SUCCESS")):
+        shutil.rmtree(uni, ignore_errors=True)
+        fixtures.transcripts_df(
+            spark, n_convs, skew=False, partitions=128
+        ).write.mode("overwrite").parquet(uni)
+    skw = os.path.join(BENCH_TMP, f"skewcell_skewed_{n_convs}_{share10}")
+    if not os.path.exists(os.path.join(skw, "_SUCCESS")):
+        # input PREP, not measured: the global renumber window runs once
+        shutil.rmtree(skw, ignore_errors=True)
+        base = spark.read.parquet(uni)
+        marked = F.expr(
+            "cast(conv(substr(md5(conv_id), 1, 8), 16, 10) as bigint) % 10"
+        ) < share10
+        monster = (
+            base.filter(marked)
+            .withColumn(
+                "turn_idx",
+                (
+                    F.row_number().over(
+                        Window.partitionBy(F.lit(1)).orderBy("conv_id", "turn_idx")
+                    )
+                    - 1
+                ).cast("int"),
+            )
+            .withColumn("conv_id", F.lit("conv_monster"))
+        )
+        base.filter(~marked).unionByName(monster).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(skw)
+
+    out: dict = {"cpus": cpus, "n_convs": n_convs, "cells": {}}
+    snaps: dict[str, str] = {}
+    for label, path in (("uniform", uni), ("skewed", skw)):
+        snap = os.path.join(BENCH_TMP, f"skewcell_snap_{label}")
+        snaps[label] = snap
+
+        def extract_once() -> float:
+            shutil.rmtree(snap, ignore_errors=True)
+            t0 = time.perf_counter()
+            extract(spark.read.parquet(path)).write.mode("overwrite").parquet(snap)
+            return time.perf_counter() - t0
+
+        cell: dict = {"extract_sec": round(min(extract_once() for _ in range(3)), 3)}
+        committed = spark.read.parquet(snap)
+        cell["turns"] = committed.count()
+        salted_ts, single_ts = [], []
+        for _ in range(3):  # interleave: noise windows hit both cells alike
+            salted_ts.append(_timeit(lambda: _force(conv_text_salted(committed))))
+            single_ts.append(_timeit(lambda: _force(conv_text(committed))))
+        cell["rollup_salted_sec"] = round(min(salted_ts), 3)
+        cell["rollup_single_sec"] = round(min(single_ts), 3)
+        out["cells"][label] = cell
+
+    u, s = out["cells"]["uniform"], out["cells"]["skewed"]
+    monster_turns = (
+        spark.read.parquet(skw).filter("conv_id = 'conv_monster'").count()
+    )
+    out["monster_turn_share"] = round(monster_turns / s["turns"], 3)
+    out["extract_skew_ratio"] = round(s["extract_sec"] / u["extract_sec"], 3)
+    out["salted_skew_ratio"] = round(
+        s["rollup_salted_sec"] / u["rollup_salted_sec"], 3
+    )
+    out["single_skew_ratio"] = round(
+        s["rollup_single_sec"] / u["rollup_single_sec"], 3
+    )
+    out["salted_vs_single_on_skew"] = round(
+        s["rollup_single_sec"] / s["rollup_salted_sec"], 3
+    )
+    out["salt_premium_uniform"] = round(
+        u["rollup_salted_sec"] / u["rollup_single_sec"], 3
+    )
+    for snap in snaps.values():
+        shutil.rmtree(snap, ignore_errors=True)
+
+    win = out["salted_vs_single_on_skew"]
+    if win >= 1.1:
+        verdict = (
+            f"On the skewed input the salted rollup is **{win}x faster** than "
+            "the single-phase groupBy: the measured crossover."
+        )
+    elif win >= 0.9:
+        verdict = (
+            "At this scale the two rollups are within noise of each other on "
+            "the skewed input: the salt's extra shuffle premium and the "
+            "monster's serial merge cost roughly cancel."
+        )
+    else:
+        verdict = (
+            f"At this scale the single-phase rollup is still "
+            f"{round(1 / win, 2)}x faster even on the skewed input: the "
+            "salt's second shuffle costs more than this monster's serial "
+            "merge. The salt is an insurance policy priced below — its value "
+            "is the BOUND, not this cell's wall clock: single-phase buffers "
+            "the whole trace as structs in ONE task (O(trace bytes) heap -> "
+            "straggler, then OOM, as traces grow), while salted task state "
+            "is capped at ~256-turn buckets regardless of trace length."
+        )
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as fh:
+        fh.write(
+            "# Skew-stress cell — long-agent-trace archetype, measured\n\n"
+            "Generated by `python bench.py --skew-stress`. Two inputs with\n"
+            "byte-identical rows; `skewed` relabels a hash-marked share of ALL\n"
+            "turns into one conversation (the monster agent trace). Rollup\n"
+            "cells are interleaved min-of-3 (alternating attempts, so a noise\n"
+            f"window cannot land on one cell) at local[{cpus}]\n"
+            f"({n_convs} base conversations).\n\n"
+            "| cell | uniform sec | skewed sec | skew ratio |\n"
+            "| --- | --- | --- | --- |\n"
+            f"| narrow extract -> snapshot | {u['extract_sec']} | "
+            f"{s['extract_sec']} | {out['extract_skew_ratio']} |\n"
+            f"| ordered rollup, two-phase bucket-salted (production) | "
+            f"{u['rollup_salted_sec']} | {s['rollup_salted_sec']} | "
+            f"{out['salted_skew_ratio']} |\n"
+            f"| ordered rollup, single-phase groupBy | "
+            f"{u['rollup_single_sec']} | {s['rollup_single_sec']} | "
+            f"{out['single_skew_ratio']} |\n\n"
+            f"Monster conversation holds **{out['monster_turn_share']:.0%} of "
+            f"all turns** ({monster_turns} of {s['turns']}).\n\n"
+            f"{verdict}\n\n"
+            "Reading the rows:\n\n"
+            "- The extract row pins the docstring claim that the narrow map\n"
+            "  stage is skew-immune: byte-bounded scan splits balance work\n"
+            "  whatever the conversation keys look like, so no pre-extract\n"
+            "  repartition is wanted.\n"
+            f"- The salt's insurance premium on skew-free data is "
+            f"{out['salt_premium_uniform']}x\n"
+            "  (two shuffles moving pre-joined bucket strings vs one moving\n"
+            "  turn structs with map-side partial lists).\n"
+            "- What the premium buys is a memory/straggler BOUND, not a\n"
+            "  wall-clock win at every scale: the single-phase final merge\n"
+            "  buffers and sorts the whole monster trace in one task\n"
+            "  (task state = O(trace bytes); a 10^6-turn agent trace at KBs\n"
+            "  per turn is GBs in one aggregation buffer), while the salted\n"
+            "  phase-1 pre-joins each 256-turn bucket in parallel and the hot\n"
+            "  task's remaining serial work is the unavoidable byte concat of\n"
+            "  that conversation's own output string.\n"
+        )
+    spark.stop()
+    return out
+
+
+def _timeit(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -945,5 +1133,7 @@ if __name__ == "__main__":
         print(json.dumps(run_extract_ab_costed()))
     elif "--extract-ab" in sys.argv:
         print(json.dumps(run_extract_ab()))
+    elif "--skew-stress" in sys.argv:
+        print(json.dumps(run_skew_stress()))
     else:
         print(json.dumps(run_bench()))

@@ -36,6 +36,15 @@ def main() -> None:
                          "under-parallelized; skew itself is handled at the "
                          "salted rollup, never by shuffling raw payloads")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--tree-store", action="store_true",
+                    help="input is a branching message store "
+                         "(msg_id, parent_id, role, text, tool, ts — "
+                         "fork/regeneration-capable chat stores persist "
+                         "conversations as trees): resolve the forest and "
+                         "linearize every root-to-leaf path into a "
+                         "(conv_id, turn_idx) transcript before extraction "
+                         "(conv_id = 'thread<leaf msg_id>', turn_idx = "
+                         "root-first position)")
     ap.add_argument("--bucketed-output", type=int, default=0, metavar="N",
                     help="also publish extracted + conv_text as managed "
                          "tables bucketed by conv_id into N buckets "
@@ -66,6 +75,31 @@ def main() -> None:
 
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
+    n_threads = None
+    if args.tree_store:
+        # tree -> flat threads: pointer-doubling linearization (O(log
+        # depth) hash-join rounds), then the payload columns join back on
+        # the 8-byte msg_id and the flat (conv_id, turn_idx) pipeline
+        # takes over. Shared-prefix duplication across sibling threads is
+        # inherent to linearization; downstream dedup/novelty ops price
+        # and mask it.
+        from pyspark.sql import functions as F
+
+        from ocr_spark import rollouts
+
+        msgs = transcripts
+        threads = rollouts.linearize_threads(msgs.select("msg_id", "parent_id"))
+        transcripts = threads.join(msgs.drop("parent_id"), "msg_id").select(
+            F.concat(F.lit("thread"), F.col("thread_id").cast("string")).alias(
+                "conv_id"
+            ),
+            F.col("seq").cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "tool",
+            "ts",
+        )
+        n_threads = threads.select("thread_id").distinct().count()
     salted = False
     skew_detected = False
     if args.auto_salt:
@@ -121,6 +155,7 @@ def main() -> None:
         "wall_s": round(time.time() - t0, 1),
         "salted": salted,
         "skew_detected": skew_detected,
+        "linearized_threads": n_threads,
         "output": args.output,
         "bucketed_tables": bucketed_tables,
         "bucketed_join_exchanges": bucketed_join_exchanges,

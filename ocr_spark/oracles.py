@@ -5163,3 +5163,30 @@ SELECT c.tool_name, c.arg_key, c.n_calls,
        c.first_day, c.last_day
 FROM cells c JOIN totals t ON c.tool_name = t.tool_name
 """
+
+
+ORACLES["thread_linearize"] = r"""
+WITH RECURSIVE base AS (
+  SELECT source AS conv_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS pos
+  FROM documents
+), msgs AS (
+  SELECT b.doc_id AS msg_id, p.doc_id AS parent_id
+  FROM base b LEFT JOIN base p
+    ON p.conv_id = b.conv_id AND b.pos > 0
+   AND p.pos = CAST(floor((b.pos - 1) / 2) AS BIGINT)
+), leaves AS (
+  SELECT msg_id FROM msgs
+  WHERE msg_id NOT IN (SELECT parent_id FROM msgs WHERE parent_id IS NOT NULL)
+), climb AS (
+  SELECT l.msg_id AS thread_id, l.msg_id AS cur, 0 AS up FROM leaves l
+  UNION ALL
+  SELECT c.thread_id, m.parent_id, c.up + 1
+  FROM climb c JOIN msgs m ON c.cur = m.msg_id
+  WHERE m.parent_id IS NOT NULL
+)
+SELECT thread_id,
+       CAST(max(up) OVER (PARTITION BY thread_id) - up AS INTEGER) AS seq,
+       cur AS msg_id
+FROM climb
+"""

@@ -8344,3 +8344,20 @@ def q_tool_arg_schema_drift(spark, sf_dir):
         day.alias("day"),
     )
     return transcript_prep.tool_arg_schema_drift(calls)
+
+
+def q_thread_linearize(spark, sf_dir):
+    """Thread linearization: every root-to-leaf path of the branching
+    message forest materialized as a flat (thread_id, seq, msg_id)
+    transcript — the transform that feeds a fork-capable store into the
+    (conv_id, turn_idx) pipeline (seq is the new turn_idx). The DuckDB
+    oracle is again an independent algorithm: it climbs leaf-to-root
+    with a recursive CTE and recovers root-first seq from each thread's
+    max climb distance — no arrays — while Spark accumulates id paths
+    inside the O(log depth) doubling loop.
+
+    Shape: see rollouts.linearize_threads — the resolve loop plus an
+    array accumulate; output rows = total linearized turns."""
+    from ocr_spark import rollouts
+
+    return rollouts.linearize_threads(_doc_message_forest(spark, sf_dir))

@@ -594,3 +594,80 @@ def branch_stats(messages: DataFrame, resolved: DataFrame) -> DataFrame:
         .join(per_root_leaves, "root_id")
         .select("root_id", "n_msgs", "n_leaves", "max_depth")
     )
+
+
+def linearize_threads(messages: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(thread_id, seq, msg_id): materialize every root-to-leaf path of
+    a branching message forest as a linear thread — the transform that
+    turns a fork-capable store's trees into the flat
+    ``(conv_id, turn_idx)`` transcripts every downstream operator here
+    consumes (thread_id = the leaf's msg_id; seq is root-first, i.e.
+    the new turn_idx).
+
+    Path doubling: the resolve loop's state additionally accumulates
+    the id path from each node up to its current pointer; per round the
+    frontier's path concatenates its ancestor's path segment, so full
+    root paths materialize in the same O(log depth) rounds with the
+    same one-hash-join-per-round shape. Only leaves' paths are emitted
+    (reverse + posexplode), so output rows = total linearized turns —
+    exactly what the caller is asking to create. Total loop state is
+    O(n * depth) 8-byte ids (each node's ancestor chain) — at 10^12
+    messages the ids are still ~1% of the text bytes the linearized
+    threads themselves will carry, and a depth cap (max_iters) bounds
+    it. Shared-prefix duplication across sibling threads is inherent to
+    linearization — prefix_cache_savings / turn_novelty_mask price and
+    mask it downstream.
+
+    Same closed-forest precondition and loud non-convergence raise as
+    :func:`resolve_message_forest`.
+    """
+    init = messages.select(
+        F.col("msg_id").cast("bigint").alias("msg_id"),
+        F.coalesce(
+            F.col("parent_id").cast("bigint"), F.col("msg_id").cast("bigint")
+        ).alias("ptr"),
+        F.col("parent_id").isNull().alias("done"),
+        F.array(F.col("msg_id").cast("bigint")).alias("path"),
+    )
+    state = init.localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iters):
+        if state.filter("NOT done").limit(1).count() == 0:
+            converged = True
+            break
+        anc = state.select(
+            F.col("msg_id").alias("a_id"),
+            F.col("ptr").alias("a_ptr"),
+            F.col("done").alias("a_done"),
+            F.col("path").alias("a_path"),
+        )
+        stepped = (
+            state.filter("NOT done")
+            .join(anc, F.col("ptr") == F.col("a_id"))
+            .select(
+                "msg_id",
+                F.col("a_ptr").alias("ptr"),
+                F.col("a_done").alias("done"),
+                F.concat("path", "a_path").alias("path"),
+            )
+        )
+        state = (
+            state.filter("done").unionByName(stepped).localCheckpoint(eager=True)
+        )
+    if not converged and state.filter("NOT done").limit(1).count() > 0:
+        raise RuntimeError(
+            f"linearize_threads did not converge in {max_iters} "
+            "pointer-doubling rounds; the forest has a cycle or depth "
+            f"beyond 2^{max_iters} (raise max_iters if the latter)"
+        )
+    parents = (
+        messages.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").cast("bigint").alias("msg_id"))
+        .distinct()
+    )
+    leaf_paths = state.join(parents, "msg_id", "left_anti").select(
+        F.col("msg_id").alias("thread_id"), F.reverse("path").alias("path")
+    )
+    return leaf_paths.select(
+        "thread_id", F.posexplode("path").alias("seq", "msg_id")
+    ).select("thread_id", F.col("seq").cast("int").alias("seq"), "msg_id")

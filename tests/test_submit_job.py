@@ -461,3 +461,55 @@ def test_eval_job_spark_submit_end_to_end(spark, tmp_path):
     wm = spark.read.parquet(os.path.join(out_root, "win_matrix"))
     # canonical unordered pairs only, at most C(4,2)
     assert 1 <= wm.count() <= 6
+
+
+@pytest.mark.slow
+def test_tree_store_extract_job_linearizes_then_extracts(spark, tmp_path):
+    """--tree-store: a branching message store (heap-shaped trees built
+    from the fixture transcripts) goes in; the job resolves the forest,
+    linearizes every root-to-leaf path into a thread, and runs the
+    normal resumable extraction over the flat transcripts. Thread and
+    turn counts are re-derived in pure Python from the heap shape."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark import fixtures
+    from tools.make_pyfiles import build
+
+    t = fixtures.transcripts_df(spark, 6)
+    cnum = F.regexp_extract("conv_id", r"(\d+)", 1).cast("long")
+    msgs = t.select(
+        (cnum * 100000 + F.col("turn_idx")).alias("msg_id"),
+        F.when(F.col("turn_idx") == 0, F.lit(None).cast("long"))
+        .otherwise(cnum * 100000 + F.floor((F.col("turn_idx") - 1) / 2))
+        .alias("parent_id"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    input_dir = str(tmp_path / "msgs")
+    msgs.write.mode("overwrite").parquet(input_dir)
+
+    lengths = [
+        r["count"] for r in fixtures.transcripts_df(spark, 6).groupBy("conv_id").count().collect()
+    ]
+    exp_threads = sum(max(n - n // 2, 1) for n in lengths)
+
+    def heap_turns(n: int) -> int:
+        total = 0
+        for leaf in range(n // 2, n) if n > 1 else [0]:
+            d, x = 0, leaf
+            while x > 0:
+                x = (x - 1) // 2
+                d += 1
+            total += d + 1
+        return total
+
+    exp_turns = sum(heap_turns(n) for n in lengths)
+
+    zip_path = build(str(tmp_path / "ocr_spark.zip"))
+    out_dir = str(tmp_path / "out")
+    summary = _submit(zip_path, input_dir, out_dir, ("--tree-store",))
+    assert summary["linearized_threads"] == exp_threads
+    assert summary["conversations"] == exp_threads
+    assert summary["turns_committed"] == exp_turns

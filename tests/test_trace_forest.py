@@ -140,3 +140,37 @@ def test_schema_drift_adapter_exercises_drift_branch(spark):
     assert all(r["call_share"] == 1.0 for r in by_key["q"])
     assert by_key["page"] and all(r["first_day"] >= 14 for r in by_key["page"])
     assert any(r["call_share"] < 1.0 for r in by_key["k"])
+
+
+def test_linearize_threads_matches_pure_python_paths(spark):
+    msgs_df = Q._doc_message_forest(spark, SF_DIR)
+    parent = {r["msg_id"]: r["parent_id"] for r in msgs_df.collect()}
+    parents = {p for p in parent.values() if p is not None}
+    expected = set()
+    for leaf in (n for n in parent if n not in parents):
+        path = [leaf]
+        while parent[path[-1]] is not None:
+            path.append(parent[path[-1]])
+        for seq, node in enumerate(reversed(path)):
+            expected.add((leaf, seq, node))
+    got = {
+        (r["thread_id"], r["seq"], r["msg_id"])
+        for r in rollouts.linearize_threads(msgs_df).collect()
+    }
+    assert got == expected
+    # real branching: more threads than trees, shared-prefix duplication
+    n_threads = len({t for t, _, _ in got})
+    n_roots = len({n for n in parent if parent[n] is None})
+    assert n_threads > n_roots
+    assert len(got) > len(parent)  # linearized turns exceed messages
+
+
+def test_linearize_deep_chain_single_thread(spark):
+    n = 300
+    rows = [(i, i - 1 if i > 0 else None) for i in range(n)]
+    msgs = spark.createDataFrame(rows, "msg_id long, parent_id long")
+    got = sorted(
+        (r["seq"], r["msg_id"])
+        for r in rollouts.linearize_threads(msgs).collect()
+    )
+    assert got == [(i, i) for i in range(n)]

@@ -789,6 +789,35 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS plans_extracted_b")
     spark.sql("DROP TABLE IF EXISTS plans_conv_text_b")
 
+    sections.append(
+        (
+            "Branching-trace forest resolution (pointer doubling) + fork audit",
+            "resolve_message_forest ran its O(log depth) doubling loop "
+            "EAGERLY (one hash self-equi-join on the 8-byte pointer key "
+            "per round, localCheckpoint truncating the lineage each "
+            "round), so the plan below starts from the checkpoint scan. "
+            "What remains visible is branch_stats: the leaf anti-join "
+            "against the distinct parent set and one partial-aggregated "
+            "groupBy(root_id) — hash joins only; a million-leaf fork "
+            "tree is build-side fan-out, never one task's list.",
+            plan(Q.q_trace_branch_stats(spark, SF_DIR)),
+        )
+    )
+    sections.append(
+        (
+            "Tool-payload schema-drift audit: JVM-side key enumeration",
+            "get_json_object + json_object_keys run inside codegen (no "
+            "Python anywhere), keys explode row-locally (the single "
+            "Generate), and the only Exchanges are the two "
+            "partial-aggregated groupBys — (tool, key) cells and the "
+            "|tools|-row totals, which come back as a BroadcastHashJoin. "
+            "No shuffle ever carries payload text, only (name, key, day) "
+            "triples: at 10^12 turns the shuffled bytes are the key "
+            "cells, not the corpus.",
+            plan(Q.q_tool_arg_schema_drift(spark, SF_DIR)),
+        )
+    )
+
     out = [
         "# PLANS — physical-plan audits of the headline operators\n",
         "Generated by `python tools/gen_plans.py`; asserted in "

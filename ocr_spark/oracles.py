@@ -5190,3 +5190,41 @@ SELECT thread_id,
        cur AS msg_id
 FROM climb
 """
+
+
+ORACLES["forest_validation"] = r"""
+WITH base AS (
+  SELECT source AS conv_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS pos
+  FROM documents
+), msgs0 AS (
+  SELECT b.doc_id AS msg_id, p.doc_id AS parent_id
+  FROM base b LEFT JOIN base p
+    ON p.conv_id = b.conv_id AND b.pos > 0
+   AND p.pos = CAST(floor((b.pos - 1) / 2) AS BIGINT)
+), corrupted0 AS (
+  SELECT msg_id,
+         CASE WHEN msg_id % 97 = 0 THEN msg_id
+              WHEN msg_id % 89 = 0 THEN msg_id + 1000000000
+              ELSE parent_id END AS parent_id
+  FROM msgs0
+), corrupted AS (
+  SELECT * FROM corrupted0
+  UNION ALL
+  SELECT * FROM corrupted0 WHERE msg_id % 83 = 0
+), dups AS (
+  SELECT msg_id, 'dup_msg_id' AS issue FROM corrupted
+  GROUP BY msg_id HAVING count(*) > 1
+), self_p AS (
+  SELECT DISTINCT msg_id, 'self_parent' AS issue FROM corrupted
+  WHERE parent_id = msg_id
+), orphans AS (
+  SELECT DISTINCT c.msg_id, 'orphan_parent' AS issue
+  FROM corrupted c
+  WHERE c.parent_id IS NOT NULL
+    AND c.parent_id NOT IN (SELECT msg_id FROM corrupted)
+)
+SELECT msg_id, issue FROM dups
+UNION ALL SELECT msg_id, issue FROM self_p
+UNION ALL SELECT msg_id, issue FROM orphans
+"""

@@ -8361,3 +8361,30 @@ def q_thread_linearize(spark, sf_dir):
     from ocr_spark import rollouts
 
     return rollouts.linearize_threads(_doc_message_forest(spark, sf_dir))
+
+
+def q_forest_validation(spark, sf_dir):
+    """Closed-forest validation (the f5-style gate before
+    resolve_message_forest / linearize_threads on a store you don't
+    control): flag duplicate msg_ids, self-parents (1-cycles), and
+    orphan parent references as (msg_id, issue) rows for quarantine.
+    The adapter corrupts the heap forest deterministically —
+    doc_id%97==0 becomes a self-parent, doc_id%89==0 points at a
+    non-existent parent, doc_id%83==0 is duplicated — so every issue
+    class fires and value-checks at sf0.01.
+
+    Shape: see rollouts.validate_forest — one partial-aggregated
+    groupBy, a row-local predicate, one left-anti hash join; only
+    8-byte ids and issue tags move."""
+    from ocr_spark import rollouts
+
+    msgs = _doc_message_forest(spark, sf_dir)
+    corrupted = msgs.select(
+        "msg_id",
+        F.when(F.col("msg_id") % 97 == 0, F.col("msg_id"))
+        .when(F.col("msg_id") % 89 == 0, F.col("msg_id") + F.lit(1000000000))
+        .otherwise(F.col("parent_id"))
+        .alias("parent_id"),
+    )
+    corrupted = corrupted.unionByName(corrupted.filter(F.col("msg_id") % 83 == 0))
+    return rollouts.validate_forest(corrupted)

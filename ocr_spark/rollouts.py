@@ -671,3 +671,46 @@ def linearize_threads(messages: DataFrame, max_iters: int = 20) -> DataFrame:
     return leaf_paths.select(
         "thread_id", F.posexplode("path").alias("seq", "msg_id")
     ).select("thread_id", F.col("seq").cast("int").alias("seq"), "msg_id")
+
+
+def validate_forest(messages: DataFrame) -> DataFrame:
+    """(msg_id, issue): the quarantine pre-check
+    :func:`resolve_message_forest`'s closed-forest precondition calls
+    for — run it first on any store you don't control and route flagged
+    rows to a side output (same pattern as the malformed-record side
+    outputs in sources.py). Issues:
+
+    - ``dup_msg_id``: the id appears on more than one message (an
+      upsert bug upstream; resolution would fan out spuriously),
+    - ``self_parent``: parent_id == msg_id (a 1-cycle; would loop),
+    - ``orphan_parent``: parent_id references no known message (the
+      doubling join would silently DROP the chain hanging off it).
+
+    Shape: three id-keyed checks — one partial-aggregated groupBy for
+    dups, a row-local predicate for self-parents, a left-anti hash join
+    against the distinct id set for orphans — unioned; only 8-byte ids
+    and issue tags move."""
+    ids = messages.select(F.col("msg_id").cast("bigint").alias("msg_id"))
+    dups = (
+        ids.groupBy("msg_id")
+        .agg(F.count("*").alias("n"))
+        .filter("n > 1")
+        .select("msg_id", F.lit("dup_msg_id").alias("issue"))
+    )
+    self_p = (
+        messages.filter(F.col("parent_id") == F.col("msg_id"))
+        .select(F.col("msg_id").cast("bigint").alias("msg_id"))
+        .distinct()
+        .select("msg_id", F.lit("self_parent").alias("issue"))
+    )
+    orphans = (
+        messages.filter(F.col("parent_id").isNotNull())
+        .select(
+            F.col("msg_id").cast("bigint").alias("msg_id"),
+            F.col("parent_id").cast("bigint").alias("pid"),
+        )
+        .join(ids.distinct().withColumnRenamed("msg_id", "pid"), "pid", "left_anti")
+        .select("msg_id", F.lit("orphan_parent").alias("issue"))
+        .distinct()
+    )
+    return dups.unionByName(self_p).unionByName(orphans)

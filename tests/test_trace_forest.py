@@ -174,3 +174,34 @@ def test_linearize_deep_chain_single_thread(spark):
         for r in rollouts.linearize_threads(msgs).collect()
     )
     assert got == [(i, i) for i in range(n)]
+
+
+def test_validate_forest_flags_each_issue_class(spark):
+    msgs = spark.createDataFrame(
+        [
+            (1, None),   # clean root
+            (2, 1),      # clean child
+            (3, 3),      # self-parent
+            (4, 99),     # orphan parent
+            (5, 1),      # duplicated id below
+            (5, 2),      # dup_msg_id (and a second parent)
+        ],
+        "msg_id long, parent_id long",
+    )
+    got = {
+        (r["msg_id"], r["issue"])
+        for r in rollouts.validate_forest(msgs).collect()
+    }
+    assert got == {(3, "self_parent"), (4, "orphan_parent"), (5, "dup_msg_id")}
+    clean = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1)], "msg_id long, parent_id long"
+    )
+    assert rollouts.validate_forest(clean).count() == 0
+
+
+def test_forest_validation_adapter_fires_all_classes(spark):
+    issues = collections.Counter(
+        r["issue"] for r in Q.q_forest_validation(spark, SF_DIR).collect()
+    )
+    assert set(issues) == {"dup_msg_id", "self_parent", "orphan_parent"}
+    assert all(v > 0 for v in issues.values())

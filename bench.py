@@ -937,16 +937,21 @@ def run_scaling(levels=None) -> None:
 def run_skew_stress() -> dict:
     """Measured skew evidence (north rule: 'salts and repartitions
     skewed conversations — long agent traces'). Two inputs with
-    IDENTICAL rows and bytes: ``uniform`` = the fixture ladder without
-    monster traces; ``skewed`` = the SAME rows with a configurable
-    share (default 80%) of all turns relabeled into ONE conversation
-    (turn_idx renumbered globally) — the pathological long-trace
-    archetype. Any timing delta between them is key distribution,
-    never data volume.
+    identical PAYLOAD bytes (text/tool/role/ts are untouched):
+    ``uniform`` = the fixture ladder without monster traces; ``skewed``
+    = the SAME rows with a configurable share (default 80%) of all
+    turns relabeled into ONE conversation (turn_idx renumbered
+    globally) — the pathological long-trace archetype. Only the
+    conversation keys differ, so a timing delta is key distribution,
+    not payload volume (caveat: the rewritten key columns
+    dictionary-encode differently in parquet, so file bytes and
+    byte-bounded split counts differ slightly — read the extract row
+    with that in mind).
 
-    Cells, interleaved min-of-3 (alternating the two rollups per
-    attempt so a noise window on this shared host cannot land entirely
-    on one cell — same policy as the extract A/B):
+    ALL cells are interleaved min-of-3: each attempt round touches both
+    inputs and both rollup variants before the next round starts, so a
+    noise window on this shared host lands on every cell alike (same
+    policy as the extract A/B):
     - ``extract``: the narrow vectorized extract -> snapshot write per
       input. Must be ~equal: byte-bounded scan splits, not conversation
       keys, balance this stage (bench.py's no-pre-repartition note).
@@ -1004,27 +1009,42 @@ def run_skew_stress() -> dict:
         ).parquet(skw)
 
     out: dict = {"cpus": cpus, "n_convs": n_convs, "cells": {}}
-    snaps: dict[str, str] = {}
-    for label, path in (("uniform", uni), ("skewed", skw)):
-        snap = os.path.join(BENCH_TMP, f"skewcell_snap_{label}")
-        snaps[label] = snap
+    labels = (("uniform", uni), ("skewed", skw))
+    snaps = {
+        label: os.path.join(BENCH_TMP, f"skewcell_snap_{label}")
+        for label, _ in labels
+    }
 
-        def extract_once() -> float:
-            shutil.rmtree(snap, ignore_errors=True)
-            t0 = time.perf_counter()
-            extract(spark.read.parquet(path)).write.mode("overwrite").parquet(snap)
-            return time.perf_counter() - t0
+    def extract_once(label: str, path: str) -> float:
+        shutil.rmtree(snaps[label], ignore_errors=True)
+        t0 = time.perf_counter()
+        extract(spark.read.parquet(path)).write.mode("overwrite").parquet(
+            snaps[label]
+        )
+        return time.perf_counter() - t0
 
-        cell: dict = {"extract_sec": round(min(extract_once() for _ in range(3)), 3)}
-        committed = spark.read.parquet(snap)
-        cell["turns"] = committed.count()
-        salted_ts, single_ts = [], []
-        for _ in range(3):  # interleave: noise windows hit both cells alike
-            salted_ts.append(_timeit(lambda: _force(conv_text_salted(committed))))
-            single_ts.append(_timeit(lambda: _force(conv_text(committed))))
-        cell["rollup_salted_sec"] = round(min(salted_ts), 3)
-        cell["rollup_single_sec"] = round(min(single_ts), 3)
-        out["cells"][label] = cell
+    times: dict[tuple, list] = {}
+    for _ in range(3):  # alternate labels so noise hits both alike
+        for label, path in labels:
+            times.setdefault(("extract", label), []).append(
+                extract_once(label, path)
+            )
+    committed = {label: spark.read.parquet(snaps[label]) for label, _ in labels}
+    for _ in range(3):  # one full round of all four cells per attempt
+        for label, _path in labels:
+            times.setdefault(("salted", label), []).append(
+                _timeit(lambda: _force(conv_text_salted(committed[label])))
+            )
+            times.setdefault(("single", label), []).append(
+                _timeit(lambda: _force(conv_text(committed[label])))
+            )
+    for label, _path in labels:
+        out["cells"][label] = {
+            "extract_sec": round(min(times[("extract", label)]), 3),
+            "turns": committed[label].count(),
+            "rollup_salted_sec": round(min(times[("salted", label)]), 3),
+            "rollup_single_sec": round(min(times[("single", label)]), 3),
+        }
 
     u, s = out["cells"]["uniform"], out["cells"]["skewed"]
     monster_turns = (
@@ -1076,10 +1096,12 @@ def run_skew_stress() -> dict:
         fh.write(
             "# Skew-stress cell — long-agent-trace archetype, measured\n\n"
             "Generated by `python bench.py --skew-stress`. Two inputs with\n"
-            "byte-identical rows; `skewed` relabels a hash-marked share of ALL\n"
-            "turns into one conversation (the monster agent trace). Rollup\n"
-            "cells are interleaved min-of-3 (alternating attempts, so a noise\n"
-            f"window cannot land on one cell) at local[{cpus}]\n"
+            "identical payload bytes (text/tool untouched; only conversation\n"
+            "keys differ, which shifts parquet key-column encoding slightly);\n"
+            "`skewed` relabels a hash-marked share of ALL turns into one\n"
+            "conversation (the monster agent trace). ALL cells are interleaved\n"
+            "min-of-3 (every attempt round touches both inputs and both rollup\n"
+            f"variants, so a noise window hits every cell alike) at local[{cpus}]\n"
             f"({n_convs} base conversations).\n\n"
             "| cell | uniform sec | skewed sec | skew ratio |\n"
             "| --- | --- | --- | --- |\n"

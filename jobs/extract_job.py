@@ -75,20 +75,40 @@ def main() -> None:
 
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
-    n_threads = None
+    forest_issues = None
+    msgs_unreached = None
     if args.tree_store:
-        # tree -> flat threads: pointer-doubling linearization (O(log
-        # depth) hash-join rounds), then the payload columns join back on
-        # the 8-byte msg_id and the flat (conv_id, turn_idx) pipeline
-        # takes over. Shared-prefix duplication across sibling threads is
-        # inherent to linearization; downstream dedup/novelty ops price
-        # and mask it.
+        # tree -> flat threads: validate the closed-forest precondition
+        # FIRST (a store we don't control can carry duplicate ids,
+        # self/reciprocal parent cycles, or dangling parents from hard
+        # deletes — without the gate the doubling join would silently
+        # drop the chains hanging off them), quarantine flagged rows to
+        # a side output, then pointer-doubling linearization (O(log
+        # depth) hash-join rounds) and the payload columns join back on
+        # the 8-byte msg_id; the flat (conv_id, turn_idx) pipeline
+        # takes over. Cycles of length >= 3 still fail loudly inside
+        # the resolver rather than mislabeling. Shared-prefix
+        # duplication across sibling threads is inherent to
+        # linearization; downstream dedup/novelty ops price and mask it.
         from pyspark.sql import functions as F
 
         from ocr_spark import rollouts
 
         msgs = transcripts
+        issues = rollouts.validate_forest(msgs.select("msg_id", "parent_id"))
+        forest_issues = issues.count()
+        if forest_issues:
+            issues.write.mode("overwrite").parquet(
+                os.path.join(args.output, "forest_issues")
+            )
+            msgs = msgs.join(issues.select("msg_id").distinct(), "msg_id", "left_anti")
         threads = rollouts.linearize_threads(msgs.select("msg_id", "parent_id"))
+        if forest_issues:
+            # chains hanging under quarantined rows drop out of
+            # linearization — report the loss instead of hiding it
+            msgs_unreached = (
+                msgs.count() - threads.select("msg_id").distinct().count()
+            )
         transcripts = threads.join(msgs.drop("parent_id"), "msg_id").select(
             F.concat(F.lit("thread"), F.col("thread_id").cast("string")).alias(
                 "conv_id"
@@ -99,7 +119,6 @@ def main() -> None:
             "tool",
             "ts",
         )
-        n_threads = threads.select("thread_id").distinct().count()
     salted = False
     skew_detected = False
     if args.auto_salt:
@@ -146,16 +165,21 @@ def main() -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     metrics = read_metrics(spark, snap_root)
+    conversations = spark.read.parquet(rollup_dir).count()
     summary = {
         "turns_committed": committed.count(),
-        "conversations": spark.read.parquet(rollup_dir).count(),
+        "conversations": conversations,
         "parse_failures": (
             metrics.groupBy().sum("parse_failures").collect()[0][0] if metrics else None
         ),
         "wall_s": round(time.time() - t0, 1),
         "salted": salted,
         "skew_detected": skew_detected,
-        "linearized_threads": n_threads,
+        # every linearized thread becomes exactly one rollup conversation,
+        # so no separate distinct-count job is spent on this number
+        "linearized_threads": conversations if args.tree_store else None,
+        "forest_issues": forest_issues,
+        "messages_unreached": msgs_unreached,
         "output": args.output,
         "bucketed_tables": bucketed_tables,
         "bucketed_join_exchanges": bucketed_join_exchanges,

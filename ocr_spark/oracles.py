@@ -5204,7 +5204,9 @@ WITH base AS (
    AND p.pos = CAST(floor((b.pos - 1) / 2) AS BIGINT)
 ), corrupted0 AS (
   SELECT msg_id,
-         CASE WHEN msg_id % 97 = 0 THEN msg_id
+         CASE WHEN msg_id % 101 = 0 THEN msg_id + 1
+              WHEN msg_id % 101 = 1 THEN msg_id - 1
+              WHEN msg_id % 97 = 0 THEN msg_id
               WHEN msg_id % 89 = 0 THEN msg_id + 1000000000
               ELSE parent_id END AS parent_id
   FROM msgs0
@@ -5218,6 +5220,11 @@ WITH base AS (
 ), self_p AS (
   SELECT DISTINCT msg_id, 'self_parent' AS issue FROM corrupted
   WHERE parent_id = msg_id
+), cycles AS (
+  SELECT DISTINCT c1.msg_id, 'cycle_parent' AS issue
+  FROM corrupted c1 JOIN corrupted c2
+    ON c1.parent_id = c2.msg_id AND c2.parent_id = c1.msg_id
+  WHERE c1.msg_id <> c1.parent_id
 ), orphans AS (
   SELECT DISTINCT c.msg_id, 'orphan_parent' AS issue
   FROM corrupted c
@@ -5226,5 +5233,6 @@ WITH base AS (
 )
 SELECT msg_id, issue FROM dups
 UNION ALL SELECT msg_id, issue FROM self_p
+UNION ALL SELECT msg_id, issue FROM cycles
 UNION ALL SELECT msg_id, issue FROM orphans
 """

@@ -8369,6 +8369,7 @@ def q_forest_validation(spark, sf_dir):
     control): flag duplicate msg_ids, self-parents (1-cycles), and
     orphan parent references as (msg_id, issue) rows for quarantine.
     The adapter corrupts the heap forest deterministically —
+    doc_id%101 in {0,1} pairs become reciprocal parents (2-cycles),
     doc_id%97==0 becomes a self-parent, doc_id%89==0 points at a
     non-existent parent, doc_id%83==0 is duplicated — so every issue
     class fires and value-checks at sf0.01.
@@ -8381,7 +8382,9 @@ def q_forest_validation(spark, sf_dir):
     msgs = _doc_message_forest(spark, sf_dir)
     corrupted = msgs.select(
         "msg_id",
-        F.when(F.col("msg_id") % 97 == 0, F.col("msg_id"))
+        F.when(F.col("msg_id") % 101 == 0, F.col("msg_id") + 1)
+        .when(F.col("msg_id") % 101 == 1, F.col("msg_id") - 1)
+        .when(F.col("msg_id") % 97 == 0, F.col("msg_id"))
         .when(F.col("msg_id") % 89 == 0, F.col("msg_id") + F.lit(1000000000))
         .otherwise(F.col("parent_id"))
         .alias("parent_id"),

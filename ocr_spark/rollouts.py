@@ -541,14 +541,19 @@ def resolve_message_forest(messages: DataFrame, max_iters: int = 20) -> DataFram
                 F.col("a_done").alias("done"),
             )
         )
+        prev = state
         state = (
             state.filter("done").unionByName(stepped).localCheckpoint(eager=True)
         )
+        # the new checkpoint materializes (eager) BEFORE the superseded
+        # round's blocks release — same no-leak policy as the CC loop
+        prev.unpersist()
     if not converged and state.filter("NOT done").limit(1).count() > 0:
         # an unresolved frontier here means a cycle or a parent chain
         # deeper than 2^max_iters; returning partial pointers would
         # attribute messages to a NON-root ancestor and silently merge
         # or split threads downstream — fail loudly instead
+        state.unpersist()  # failing job must not leak executor storage
         raise RuntimeError(
             f"resolve_message_forest did not converge in {max_iters} "
             "pointer-doubling rounds; the forest has a cycle or depth "
@@ -651,10 +656,15 @@ def linearize_threads(messages: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.concat("path", "a_path").alias("path"),
             )
         )
+        prev = state
         state = (
             state.filter("done").unionByName(stepped).localCheckpoint(eager=True)
         )
+        # eager checkpoint materializes before the superseded O(n*depth)
+        # path state releases — the leak here would be depth x full state
+        prev.unpersist()
     if not converged and state.filter("NOT done").limit(1).count() > 0:
+        state.unpersist()  # failing job must not leak executor storage
         raise RuntimeError(
             f"linearize_threads did not converge in {max_iters} "
             "pointer-doubling rounds; the forest has a cycle or depth "
@@ -683,11 +693,20 @@ def validate_forest(messages: DataFrame) -> DataFrame:
     - ``dup_msg_id``: the id appears on more than one message (an
       upsert bug upstream; resolution would fan out spuriously),
     - ``self_parent``: parent_id == msg_id (a 1-cycle; would loop),
+    - ``cycle_parent``: a reciprocal parent pair (a 2-cycle — two
+      regeneration records pointing at each other),
     - ``orphan_parent``: parent_id references no known message (the
       doubling join would silently DROP the chain hanging off it).
 
-    Shape: three id-keyed checks — one partial-aggregated groupBy for
-    dups, a row-local predicate for self-parents, a left-anti hash join
+    Scope: cycles of length >= 3 are NOT detectable by bounded local
+    checks — they are caught by the resolver itself, whose loud
+    non-convergence raise refuses to emit labels rather than silently
+    mislabeling; this gate handles the issue classes where per-row
+    quarantine beats failing the whole job.
+
+    Shape: four id-keyed checks — one partial-aggregated groupBy for
+    dups, a row-local predicate for self-parents, one hash self-join on
+    the (child, parent) edge for 2-cycles, a left-anti hash join
     against the distinct id set for orphans — unioned; only 8-byte ids
     and issue tags move."""
     ids = messages.select(F.col("msg_id").cast("bigint").alias("msg_id"))
@@ -703,14 +722,28 @@ def validate_forest(messages: DataFrame) -> DataFrame:
         .distinct()
         .select("msg_id", F.lit("self_parent").alias("issue"))
     )
-    orphans = (
-        messages.filter(F.col("parent_id").isNotNull())
-        .select(
-            F.col("msg_id").cast("bigint").alias("msg_id"),
-            F.col("parent_id").cast("bigint").alias("pid"),
+    links = messages.filter(F.col("parent_id").isNotNull()).select(
+        F.col("msg_id").cast("bigint").alias("m"),
+        F.col("parent_id").cast("bigint").alias("p"),
+    )
+    rev = links.select(F.col("m").alias("m2"), F.col("p").alias("p2"))
+    two_cycles = (
+        links.join(
+            rev,
+            (F.col("p") == F.col("m2"))
+            & (F.col("p2") == F.col("m"))
+            & (F.col("m") != F.col("p")),
         )
+        .select(F.col("m").alias("msg_id"), F.lit("cycle_parent").alias("issue"))
+        .distinct()
+    )
+    orphans = (
+        links.withColumnRenamed("m", "msg_id")
+        .withColumnRenamed("p", "pid")
         .join(ids.distinct().withColumnRenamed("msg_id", "pid"), "pid", "left_anti")
         .select("msg_id", F.lit("orphan_parent").alias("issue"))
         .distinct()
     )
-    return dups.unionByName(self_p).unionByName(orphans)
+    return (
+        dups.unionByName(self_p).unionByName(two_cycles).unionByName(orphans)
+    )

@@ -513,3 +513,45 @@ def test_tree_store_extract_job_linearizes_then_extracts(spark, tmp_path):
     assert summary["linearized_threads"] == exp_threads
     assert summary["conversations"] == exp_threads
     assert summary["turns_committed"] == exp_turns
+    assert summary["forest_issues"] == 0
+    assert summary["messages_unreached"] is None
+
+    # dirty store: point one mid-tree message at a non-existent parent.
+    # The gate must quarantine it (side output), and the chain hanging
+    # under it must be REPORTED as unreached, not silently dropped.
+    parent_map = {
+        r["msg_id"]: r["parent_id"] for r in spark.read.parquet(input_dir).collect()
+    }
+    victim = next(
+        m for m in sorted(parent_map) if m % 100000 == 1
+    )  # pos-1 node of some conversation (has a subtree below it)
+    dirty = spark.read.parquet(input_dir).withColumn(
+        "parent_id",
+        F.when(F.col("msg_id") == victim, F.lit(10**15)).otherwise(
+            F.col("parent_id")
+        ),
+    )
+    dirty_dir = str(tmp_path / "msgs_dirty")
+    dirty.write.mode("overwrite").parquet(dirty_dir)
+
+    # python twin: remove the victim, walk reachability from roots
+    children = {}
+    for m, p in parent_map.items():
+        children.setdefault(p, []).append(m)
+    reachable = set()
+    stack = [m for m, p in parent_map.items() if p is None]
+    while stack:
+        cur = stack.pop()
+        reachable.add(cur)
+        stack.extend(c for c in children.get(cur, []) if c != victim)
+    # victim removed entirely; its subtree stays in msgs but never resolves
+    exp_unreached = (len(parent_map) - 1) - len(reachable - {victim})
+
+    out2 = str(tmp_path / "out2")
+    s2 = _submit(zip_path, dirty_dir, out2, ("--tree-store",))
+    assert s2["forest_issues"] == 1
+    assert s2["messages_unreached"] == exp_unreached
+    issues = spark.read.parquet(os.path.join(out2, "forest_issues")).collect()
+    assert [(r["msg_id"], r["issue"]) for r in issues] == [
+        (victim, "orphan_parent")
+    ]

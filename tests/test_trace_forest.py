@@ -185,6 +185,8 @@ def test_validate_forest_flags_each_issue_class(spark):
             (4, 99),     # orphan parent
             (5, 1),      # duplicated id below
             (5, 2),      # dup_msg_id (and a second parent)
+            (6, 7),      # reciprocal pair: 2-cycle
+            (7, 6),
         ],
         "msg_id long, parent_id long",
     )
@@ -192,7 +194,13 @@ def test_validate_forest_flags_each_issue_class(spark):
         (r["msg_id"], r["issue"])
         for r in rollouts.validate_forest(msgs).collect()
     }
-    assert got == {(3, "self_parent"), (4, "orphan_parent"), (5, "dup_msg_id")}
+    assert got == {
+        (3, "self_parent"),
+        (4, "orphan_parent"),
+        (5, "dup_msg_id"),
+        (6, "cycle_parent"),
+        (7, "cycle_parent"),
+    }
     clean = spark.createDataFrame(
         [(1, None), (2, 1), (3, 1)], "msg_id long, parent_id long"
     )
@@ -203,5 +211,10 @@ def test_forest_validation_adapter_fires_all_classes(spark):
     issues = collections.Counter(
         r["issue"] for r in Q.q_forest_validation(spark, SF_DIR).collect()
     )
-    assert set(issues) == {"dup_msg_id", "self_parent", "orphan_parent"}
+    assert set(issues) == {
+        "dup_msg_id",
+        "self_parent",
+        "cycle_parent",
+        "orphan_parent",
+    }
     assert all(v > 0 for v in issues.values())

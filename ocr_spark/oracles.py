@@ -5236,3 +5236,11 @@ UNION ALL SELECT msg_id, issue FROM self_p
 UNION ALL SELECT msg_id, issue FROM cycles
 UNION ALL SELECT msg_id, issue FROM orphans
 """
+
+
+ORACLES["forest_resolve_incremental"] = (
+    "WITH RECURSIVE " + _MSG_FOREST_CTES + r"""
+SELECT msg_id, root_id, CAST(depth AS INTEGER) AS depth FROM walk
+WHERE msg_id % 7 = 0
+"""
+)

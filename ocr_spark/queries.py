@@ -8391,3 +8391,28 @@ def q_forest_validation(spark, sf_dir):
     )
     corrupted = corrupted.unionByName(corrupted.filter(F.col("msg_id") % 83 == 0))
     return rollouts.validate_forest(corrupted)
+
+
+def q_forest_resolve_incremental(spark, sf_dir):
+    """Ingest-time forest resolution: new messages (msg_id % 7 == 0
+    plays the incoming regeneration batch) resolve against the frozen
+    corpus's materialized (msg_id, root_id, depth) table — parent
+    already resolved => inherit (root, depth+1) via one hash join;
+    parent inside the batch => batch-local doubling rounds only. The
+    DuckDB oracle walks the WHOLE forest top-down with the recursive
+    CTE and restricts to batch rows, so a hash match proves the
+    incremental path equals full re-resolution.
+
+    Shape: see rollouts.resolve_messages_incremental — one join
+    against the resolved table + O(log batch-depth) rounds; the
+    adapter's heap layout guarantees both init branches fire (batch
+    messages with resolved parents AND with batch-internal parents)."""
+    from ocr_spark import rollouts
+
+    msgs = _doc_message_forest(spark, sf_dir)
+    batch = msgs.filter(F.col("msg_id") % 7 == 0)
+    resolved_all = rollouts.resolve_message_forest(msgs)
+    frozen = resolved_all.join(
+        batch.select("msg_id"), "msg_id", "left_anti"
+    )
+    return rollouts.resolve_messages_incremental(batch, frozen)

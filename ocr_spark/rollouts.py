@@ -519,6 +519,17 @@ def resolve_message_forest(messages: DataFrame, max_iters: int = 20) -> DataFram
         F.when(F.col("parent_id").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("dist"),
         F.col("parent_id").isNull().alias("done"),
     )
+    return _pointer_double(init, max_iters, "resolve_message_forest")
+
+
+def _pointer_double(init: DataFrame, max_iters: int, op_name: str) -> DataFrame:
+    """Shared doubling driver over state ``(msg_id, ptr, dist, done)``
+    with the invariant: done rows have ptr = their root and dist =
+    their depth; frontier rows have ptr = some proper ancestor at
+    distance dist. Each round the frontier jumps to its ancestor's
+    pointer (one hash self-equi-join), checkpointing and releasing the
+    superseded round's blocks; see resolve_message_forest for the full
+    scale rationale."""
     state = init.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):
@@ -555,7 +566,7 @@ def resolve_message_forest(messages: DataFrame, max_iters: int = 20) -> DataFram
         # or split threads downstream — fail loudly instead
         state.unpersist()  # failing job must not leak executor storage
         raise RuntimeError(
-            f"resolve_message_forest did not converge in {max_iters} "
+            f"{op_name} did not converge in {max_iters} "
             "pointer-doubling rounds; the forest has a cycle or depth "
             f"beyond 2^{max_iters} (raise max_iters if the latter)"
         )
@@ -564,6 +575,55 @@ def resolve_message_forest(messages: DataFrame, max_iters: int = 20) -> DataFram
         F.col("ptr").alias("root_id"),
         F.col("dist").cast("int").alias("depth"),
     )
+
+
+def resolve_messages_incremental(
+    batch: DataFrame, resolved: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(msg_id, root_id, depth) for an ingest batch of new messages
+    against an already-materialized resolution table — the continuous-
+    ingestion twin of :func:`resolve_message_forest` (same pattern as
+    turn_novelty_vs_corpus beside turn_novelty_mask): a chat store
+    streams in regeneration branches all day, and re-resolving 10^12
+    frozen messages per ingest would dwarf the batch itself.
+
+    A batch message whose parent is already in ``resolved`` inherits
+    ``(root, depth+1)`` from ONE hash join on the 8-byte parent key;
+    batch roots resolve immediately; only parent chains WITHIN the
+    batch need doubling rounds, so loop depth is bounded by the batch's
+    own chain depth, never the corpus's. Cost per ingest: one join
+    against the resolved table (bucket/partition it by msg_id and the
+    join is co-located) + O(log batch-depth) batch-local rounds.
+
+    Precondition: every batch parent is NULL, in ``resolved``, or in
+    the batch itself — run :func:`validate_forest` over the union
+    first on a store you don't control (a parent in neither set drops
+    from the loop's join exactly like any orphan).
+    """
+    b = batch.select(
+        F.col("msg_id").cast("bigint").alias("msg_id"),
+        F.col("parent_id").cast("bigint").alias("parent_id"),
+    )
+    r = resolved.select(
+        F.col("msg_id").cast("bigint").alias("pid"),
+        F.col("root_id").cast("bigint").alias("p_root"),
+        F.col("depth").cast("bigint").alias("p_depth"),
+    )
+    joined = b.join(r, b.parent_id == r.pid, "left")
+    init = joined.select(
+        "msg_id",
+        F.when(F.col("parent_id").isNull(), F.col("msg_id"))
+        .when(F.col("p_root").isNotNull(), F.col("p_root"))
+        .otherwise(F.col("parent_id"))
+        .alias("ptr"),
+        F.when(F.col("parent_id").isNull(), F.lit(0))
+        .when(F.col("p_root").isNotNull(), F.col("p_depth") + 1)
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("dist"),
+        (F.col("parent_id").isNull() | F.col("p_root").isNotNull()).alias("done"),
+    )
+    return _pointer_double(init, max_iters, "resolve_messages_incremental")
 
 
 def branch_stats(messages: DataFrame, resolved: DataFrame) -> DataFrame:

@@ -218,3 +218,47 @@ def test_forest_validation_adapter_fires_all_classes(spark):
         "orphan_parent",
     }
     assert all(v > 0 for v in issues.values())
+
+
+def test_incremental_resolution_equals_full_resolution(spark):
+    msgs = Q._doc_message_forest(spark, SF_DIR)
+    batch = msgs.filter(F.col("msg_id") % 7 == 0)
+    full = rollouts.resolve_message_forest(msgs)
+    frozen = full.join(batch.select("msg_id"), "msg_id", "left_anti")
+    inc = {
+        r["msg_id"]: (r["root_id"], r["depth"])
+        for r in rollouts.resolve_messages_incremental(batch, frozen).collect()
+    }
+    batch_ids = {r["msg_id"] for r in batch.collect()}
+    exp = {
+        r["msg_id"]: (r["root_id"], r["depth"])
+        for r in full.collect()
+        if r["msg_id"] in batch_ids
+    }
+    assert inc == exp
+    # both init branches must have fired: batch messages inheriting from
+    # a frozen parent AND batch messages whose parent is itself in-batch
+    parent = {r["msg_id"]: r["parent_id"] for r in msgs.collect()}
+    batch_parents = {parent[m] for m in batch_ids if parent[m] is not None}
+    assert batch_parents & batch_ids, "no batch-internal chain exercised"
+    assert batch_parents - batch_ids, "no frozen-parent inheritance exercised"
+
+
+def test_incremental_resolution_batch_chain_needs_doubling(spark):
+    # frozen corpus: a resolved 2-node stem; batch: a 40-deep chain
+    # hanging off it. max_iters=8 < 40 proves the batch chain resolves
+    # by doubling, not one step per round.
+    frozen = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 1)], "msg_id long, root_id long, depth int"
+    )
+    batch = spark.createDataFrame(
+        [(100, 1)] + [(100 + i, 99 + i) for i in range(1, 40)],
+        "msg_id long, parent_id long",
+    )
+    got = {
+        r["msg_id"]: (r["root_id"], r["depth"])
+        for r in rollouts.resolve_messages_incremental(
+            batch, frozen, max_iters=8
+        ).collect()
+    }
+    assert got == {100 + i: (0, 2 + i) for i in range(40)}

@@ -19,6 +19,13 @@ each running the identical extraction job (``--extract-only``), then
 writes throughput + efficiency + the VM's raw-CPU scaling ceiling to
 ``BENCH/BASELINE.md``.
 
+Other modes: ``--extract-only`` / ``--minhash-only`` (the two scaling
+probes, one JVM each), ``--extract-ab`` / ``--extract-ab-costed`` (the
+three extraction shapes, plus the calibrated-cost break-even cell), and
+``--skew-stress`` (the long-agent-trace archetype: byte-identical
+payloads with and without an 80%-monster conversation; writes
+BENCH/SKEW.md).
+
 The timed extraction job has the production shape (SURVEY §3, Spark
 recast of E3): parquet scan -> salted repartition (P5 skew) ->
 vectorized mapInPandas extraction -> parquet snapshot write (the

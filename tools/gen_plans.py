@@ -805,6 +805,21 @@ def main() -> None:
     )
     sections.append(
         (
+            "Incremental forest resolution: one join + batch-local rounds",
+            "The ingest path: batch messages left-join the materialized "
+            "(msg_id -> root, depth) table on the 8-byte parent key — "
+            "bucket both by msg_id and this is co-located — and only "
+            "batch-internal parent chains enter the doubling loop, so "
+            "rounds are bounded by the batch's own depth, never the "
+            "corpus's. The plan below is the post-loop state scan (the "
+            "loop ran eagerly, checkpoint-truncated per round); at "
+            "10^12 resolved messages the per-ingest cost is |batch| + "
+            "one key-partitioned join, not a corpus re-resolution.",
+            plan(Q.q_forest_resolve_incremental(spark, SF_DIR)),
+        )
+    )
+    sections.append(
+        (
             "Tool-payload schema-drift audit: JVM-side key enumeration",
             "get_json_object + json_object_keys run inside codegen (no "
             "Python anywhere), keys explode row-locally (the single "

@@ -5244,3 +5244,28 @@ SELECT msg_id, root_id, CAST(depth AS INTEGER) AS depth FROM walk
 WHERE msg_id % 7 = 0
 """
 )
+
+
+ORACLES["watermark_lateness"] = r"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 3600 AS arrival
+  FROM events
+), late AS (
+  SELECT event_type,
+         greatest(0, max(t) OVER (PARTITION BY event_type
+                                  ORDER BY arrival, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) AS late_s
+  FROM base
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(late_s, 0.5), 4) AS p50_late_s,
+       round(quantile_cont(late_s, 0.95), 4) AS p95_late_s,
+       round(quantile_cont(late_s, 0.99), 4) AS p99_late_s,
+       CAST(max(late_s) AS BIGINT) AS max_late_s,
+       round(avg(CASE WHEN late_s > 1800 THEN 1.0 ELSE 0.0 END), 6) AS frac_dropped_at_30m
+FROM late GROUP BY event_type
+"""

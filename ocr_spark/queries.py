@@ -8416,3 +8416,53 @@ def q_forest_resolve_incremental(spark, sf_dir):
         batch.select("msg_id"), "msg_id", "left_anti"
     )
     return rollouts.resolve_messages_incremental(batch, frozen)
+
+
+def q_watermark_lateness(spark, sf_dir):
+    """Watermark sizing audit for the streaming family: how out-of-order
+    does each event stream actually arrive? Arrival time = event time +
+    transport delay (adapter: content-keyed 0-3600 s delay from
+    md5(event_id); production uses the broker's ingest timestamp);
+    lateness = running max of event time over arrival order minus the
+    event's own time — exactly the disorder ``withWatermark`` must
+    absorb (events later than the watermark get dropped). Emits per
+    event_type the lateness percentiles, max, and the fraction a
+    30-minute watermark (streaming/incremental.py's default) would
+    drop — the number that justifies or overturns that default.
+
+    Shape: one type-keyed window (arrival-ordered running max on
+    integer epoch seconds) + one partial-aggregated groupBy — a single
+    Exchange on event_type. A hot type at 10^12 events upgrades to the
+    bucket-cumulative two-phase form (per arrival-minute maxima, tiny
+    sequential scan over bucket maxima) with identical semantics, same
+    note as the conv-keyed cumulative windows."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("cast(floor(unix_timestamp(ts)) as bigint)")
+    delay = F.expr(
+        "cast(conv(substr(md5(cast(event_id as string)), 1, 4), 16, 10) as bigint) % 3600"
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        sec.alias("t"),
+        (sec + delay).alias("arrival"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = base.select(
+        "event_type",
+        F.greatest(F.lit(0), F.max("t").over(w) - F.col("t")).alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.expr("percentile(late_s, 0.5D)"), 4).alias("p50_late_s"),
+        F.round(F.expr("percentile(late_s, 0.95D)"), 4).alias("p95_late_s"),
+        F.round(F.expr("percentile(late_s, 0.99D)"), 4).alias("p99_late_s"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+        F.round(F.avg((F.col("late_s") > 1800).cast("double")), 6).alias(
+            "frac_dropped_at_30m"
+        ),
+    )

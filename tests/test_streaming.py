@@ -781,3 +781,63 @@ def test_stream_rollout_gate_dedups_and_enforces_budget(spark, dirs):
 
     got = {(r.prompt_group, r.conv_id) for r in spark.read.parquet(dirs["out"]).collect()}
     assert got == {("g0", "c1"), ("g0", "c3"), ("g1", "c5"), ("g1", "c8")}
+
+
+def test_watermark_lateness_audit_matches_pure_python(spark):
+    """Batch companion of the streaming family: the lateness audit that
+    sizes these watermarks, re-derived in pure Python (running max over
+    arrival order per type) and checked for non-vacuity — the adapter's
+    0-3600 s delays must produce real disorder straddling the 30-minute
+    default."""
+    import hashlib
+    import math
+
+    import ocr_spark.queries as Q
+
+    ev = Q._t(spark, "/root/testdata/sf0.01", "events").select(
+        "event_type", "event_id", "ts"
+    ).collect()
+    per_type: dict[str, list[tuple[int, int, int]]] = {}
+    for r in ev:
+        t = int(math.floor(r["ts"].timestamp()))
+        d = int(hashlib.md5(str(r["event_id"]).encode()).hexdigest()[:4], 16) % 3600
+        per_type.setdefault(r["event_type"], []).append((t + d, r["event_id"], t))
+    expected = {}
+    for etype, rows in per_type.items():
+        rows.sort()
+        run, lates = -(10**18), []
+        for _arr, _eid, t in rows:
+            run = max(run, t)
+            lates.append(max(0, run - t))
+        lates_sorted = sorted(lates)
+
+        def q(p):
+            # linear interpolation, same as percentile()/quantile_cont
+            k = (len(lates_sorted) - 1) * p
+            f, c = math.floor(k), math.ceil(k)
+            if f == c:
+                return float(lates_sorted[int(k)])
+            return lates_sorted[f] * (c - k) + lates_sorted[c] * (k - f)
+
+        expected[etype] = (
+            len(lates),
+            round(q(0.5), 4),
+            round(q(0.99), 4),
+            max(lates),
+            round(sum(1.0 for x in lates if x > 1800) / len(lates), 6),
+        )
+    got = {
+        r["event_type"]: (
+            r["n_events"],
+            r["p50_late_s"],
+            r["p99_late_s"],
+            r["max_late_s"],
+            r["frac_dropped_at_30m"],
+        )
+        for r in Q.q_watermark_lateness(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == expected
+    # non-vacuous: real disorder exists, and the 30-minute default drops
+    # a nonzero-but-partial fraction somewhere
+    assert any(v[3] > 0 for v in got.values())
+    assert any(0 < v[4] < 1 for v in got.values())

@@ -273,7 +273,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # branching-trace / tool-schema family (round 5, behind the window)
     "trace_tree_paths", "trace_branch_stats", "tool_arg_schema_drift",
     "thread_linearize", "forest_validation", "forest_resolve_incremental",
-    "watermark_lateness",
+    "watermark_lateness", "tool_schema_diff",
     # ---- rows-only by design (pytest-pinned), permanently behind slot 50 ----
     "bucketed_layout_audit", "turn_gap_stats", "approx_distinct_grams",
     "extract_pipeline", "conv_rollup", "partition_metrics",
@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_validation": Q.q_forest_validation,
         "forest_resolve_incremental": Q.q_forest_resolve_incremental,
         "watermark_lateness": Q.q_watermark_lateness,
+        "tool_schema_diff": Q.q_tool_schema_diff,
         # evaluation / label-aggregation family (round 5)
         "judge_majority_vote": Q.q_judge_majority_vote,
         "judge_kappa_pairs": Q.q_judge_kappa_pairs,

@@ -5269,3 +5269,51 @@ SELECT event_type,
        round(avg(CASE WHEN late_s > 1800 THEN 1.0 ELSE 0.0 END), 6) AS frac_dropped_at_30m
 FROM late GROUP BY event_type
 """
+
+
+ORACLES["tool_schema_diff"] = r"""
+WITH t AS (
+  SELECT text,
+         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
+  FROM documents
+), parsed AS (
+  SELECT 'tool_' || CAST(('0x' || substr(md5(text), 9, 4))::BIGINT % 4 AS VARCHAR) AS tool_name,
+         CAST(('0x' || substr(md5(text), 17, 3))::BIGINT % 28 AS INTEGER) AS day,
+         '{"q":1'
+         || CASE WHEN ('0x' || substr(md5(text), 13, 2))::BIGINT % 2 = 0
+                 THEN ',"k":2' ELSE '' END
+         || CASE WHEN ('0x' || substr(md5(text), 15, 2))::BIGINT % 3 = 0
+                 THEN ',"filters":"f"' ELSE '' END
+         || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 >= 14
+                 THEN ',"page":3' ELSE '' END
+         || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 < 14
+                 THEN ',"legacy":0' ELSE '' END
+         || '}' AS args_json
+  FROM t WHERE role = 'tool'
+), keys AS (
+  SELECT tool_name, day, unnest(json_keys(args_json)) AS arg_key FROM parsed
+), eras AS (
+  SELECT tool_name, arg_key, (day < 14) AS is_old, count(*) AS n
+  FROM keys GROUP BY 1, 2, 3
+), totals AS (
+  SELECT tool_name, (day < 14) AS is_old, count(*) AS tool_calls
+  FROM parsed GROUP BY 1, 2
+), shares AS (
+  SELECT e.tool_name, e.arg_key, e.is_old,
+         round(e.n / t.tool_calls, 6) AS share
+  FROM eras e JOIN totals t
+    ON e.tool_name = t.tool_name AND e.is_old = t.is_old
+), old_s AS (
+  SELECT tool_name, arg_key, share AS old_share FROM shares WHERE is_old
+), new_s AS (
+  SELECT tool_name, arg_key, share AS new_share FROM shares WHERE NOT is_old
+)
+SELECT coalesce(o.tool_name, n.tool_name) AS tool_name,
+       coalesce(o.arg_key, n.arg_key) AS arg_key,
+       o.old_share, n.new_share,
+       CASE WHEN o.old_share IS NULL THEN 'added'
+            WHEN n.new_share IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM old_s o FULL OUTER JOIN new_s n
+  ON o.tool_name = n.tool_name AND o.arg_key = n.arg_key
+"""

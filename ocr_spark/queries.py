@@ -8466,3 +8466,40 @@ def q_watermark_lateness(spark, sf_dir):
             "frac_dropped_at_30m"
         ),
     )
+
+
+def q_tool_schema_diff(spark, sf_dir):
+    """Era-over-era tool schema alert: split the payload stream at day
+    14 and classify every (tool, arg key) as added / removed / kept
+    with its per-era call share — the diff a pipeline fires on when a
+    tool version rolls out. The adapter extends the schema-drift
+    payload synthesis (see q_tool_arg_schema_drift) with a ``legacy``
+    key that EXISTS ONLY before day 14, so all three status branches
+    fire: page is added, legacy is removed, q/k/filters are kept.
+
+    Shape: see transcript_prep.tool_schema_diff — two era-filtered
+    drift passes full-outer hash-joined on the tiny (tool, key) cell
+    key; the join never sees call volume."""
+    from ocr_spark import transcript_prep
+
+    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
+    h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
+    day = (F.expr(h.format(17, 3)) % 28).cast("int")
+    calls = t.filter(F.col("role") == "tool").select(
+        F.concat(
+            F.lit('{"name":"tool_'),
+            (F.expr(h.format(9, 4)) % 4).cast("string"),
+            F.lit('","args":{"q":1'),
+            F.when(F.expr(h.format(13, 2)) % 2 == 0, F.lit(',"k":2')).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.expr(h.format(15, 2)) % 3 == 0, F.lit(',"filters":"f"')
+            ).otherwise(F.lit("")),
+            F.when(day >= 14, F.lit(',"page":3')).otherwise(F.lit("")),
+            F.when(day < 14, F.lit(',"legacy":0')).otherwise(F.lit("")),
+            F.lit("}}"),
+        ).alias("tool"),
+        day.alias("day"),
+    )
+    return transcript_prep.tool_schema_diff(calls)

@@ -332,3 +332,42 @@ def tool_arg_schema_drift(
         "first_day",
         "last_day",
     )
+
+
+def tool_schema_diff(
+    calls: DataFrame,
+    payload: Column | str = "tool",
+    day: Column | str = "day",
+    split_day: int = 14,
+) -> DataFrame:
+    """(tool_name, arg_key, old_share, new_share, status): the
+    era-over-era schema alert built on :func:`tool_arg_schema_drift` —
+    split the observation window at ``split_day``, compute each key's
+    call share within its era, and classify: ``added`` (new era only),
+    ``removed`` (old era only), ``kept`` (both). This is the diff a
+    pipeline fires on when a tool version rolls out: parsers pinned to
+    removed keys break silently; added keys carry traces the current
+    parser drops.
+
+    Shape: two era-filtered passes of the drift audit (each: narrow
+    parse + explode + two partial-aggregated groupBys + broadcast
+    totals) full-outer hash-joined on the tiny (tool, key) cell key —
+    the join input is |tools| x |keys| rows, never call volume."""
+    d = F.col(day) if isinstance(day, str) else day
+    old = tool_arg_schema_drift(
+        calls.filter(d < split_day), payload, day
+    ).select("tool_name", "arg_key", F.col("call_share").alias("old_share"))
+    new = tool_arg_schema_drift(
+        calls.filter(d >= split_day), payload, day
+    ).select("tool_name", "arg_key", F.col("call_share").alias("new_share"))
+    j = old.join(new, ["tool_name", "arg_key"], "full_outer")
+    return j.select(
+        "tool_name",
+        "arg_key",
+        "old_share",
+        "new_share",
+        F.when(F.col("old_share").isNull(), F.lit("added"))
+        .when(F.col("new_share").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )

@@ -262,3 +262,41 @@ def test_incremental_resolution_batch_chain_needs_doubling(spark):
         ).collect()
     }
     assert got == {100 + i: (0, 2 + i) for i in range(40)}
+
+
+def test_tool_schema_diff_all_statuses_and_shares(spark):
+    rows = {
+        (r["tool_name"], r["arg_key"]): r
+        for r in Q.q_tool_schema_diff(spark, SF_DIR).collect()
+    }
+    statuses = collections.Counter(r["status"] for r in rows.values())
+    assert set(statuses) == {"added", "removed", "kept"}
+    for (tool, key), r in rows.items():
+        if key == "page":
+            assert r["status"] == "added" and r["old_share"] is None
+        elif key == "legacy":
+            assert r["status"] == "removed" and r["new_share"] is None
+            assert r["old_share"] == 1.0  # legacy was on every old-era call
+        elif key == "q":
+            assert r["status"] == "kept"
+            assert r["old_share"] == 1.0 and r["new_share"] == 1.0
+
+
+def test_tool_schema_diff_literal_rederivation(spark):
+    calls = spark.createDataFrame(
+        [
+            ('{"name":"a","args":{"q":1,"old":1}}', 3),
+            ('{"name":"a","args":{"q":1}}', 10),
+            ('{"name":"a","args":{"q":1,"new":2}}', 20),
+            ('{"name":"a","args":{"q":1}}', 25),
+        ],
+        "tool string, day int",
+    )
+    rows = {
+        r["arg_key"]: r
+        for r in transcript_prep.tool_schema_diff(calls).collect()
+    }
+    assert rows["q"]["status"] == "kept"
+    assert (rows["q"]["old_share"], rows["q"]["new_share"]) == (1.0, 1.0)
+    assert rows["old"]["status"] == "removed" and rows["old"]["old_share"] == 0.5
+    assert rows["new"]["status"] == "added" and rows["new"]["new_share"] == 0.5

@@ -5130,8 +5130,17 @@ GROUP BY w.root_id
 """
 )
 
-ORACLES["tool_arg_schema_drift"] = r"""
-WITH t AS (
+# Oracle-side twin of queries._tool_payload_calls — change them together.
+def _tool_parsed_cte(with_legacy: bool = False) -> str:
+    legacy = (
+        """
+         || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 < 14
+                 THEN ',"legacy":0' ELSE '' END"""
+        if with_legacy
+        else ""
+    )
+    return (
+        r"""t AS (
   SELECT text,
          ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
   FROM documents
@@ -5144,10 +5153,16 @@ WITH t AS (
          || CASE WHEN ('0x' || substr(md5(text), 15, 2))::BIGINT % 3 = 0
                  THEN ',"filters":"f"' ELSE '' END
          || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 >= 14
-                 THEN ',"page":3' ELSE '' END
+                 THEN ',"page":3' ELSE '' END"""
+        + legacy
+        + r"""
          || '}' AS args_json
   FROM t WHERE role = 'tool'
-), keys AS (
+)"""
+    )
+
+
+ORACLES["tool_arg_schema_drift"] = "WITH " + _tool_parsed_cte() + r""", keys AS (
   SELECT tool_name, day, unnest(json_keys(args_json)) AS arg_key FROM parsed
 ), totals AS (
   SELECT tool_name, count(*) AS tool_calls FROM parsed GROUP BY tool_name
@@ -5271,26 +5286,7 @@ FROM late GROUP BY event_type
 """
 
 
-ORACLES["tool_schema_diff"] = r"""
-WITH t AS (
-  SELECT text,
-         ['user', 'assistant', 'tool'][CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 3 AS INTEGER) + 1] AS role
-  FROM documents
-), parsed AS (
-  SELECT 'tool_' || CAST(('0x' || substr(md5(text), 9, 4))::BIGINT % 4 AS VARCHAR) AS tool_name,
-         CAST(('0x' || substr(md5(text), 17, 3))::BIGINT % 28 AS INTEGER) AS day,
-         '{"q":1'
-         || CASE WHEN ('0x' || substr(md5(text), 13, 2))::BIGINT % 2 = 0
-                 THEN ',"k":2' ELSE '' END
-         || CASE WHEN ('0x' || substr(md5(text), 15, 2))::BIGINT % 3 = 0
-                 THEN ',"filters":"f"' ELSE '' END
-         || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 >= 14
-                 THEN ',"page":3' ELSE '' END
-         || CASE WHEN ('0x' || substr(md5(text), 17, 3))::BIGINT % 28 < 14
-                 THEN ',"legacy":0' ELSE '' END
-         || '}' AS args_json
-  FROM t WHERE role = 'tool'
-), keys AS (
+ORACLES["tool_schema_diff"] = "WITH " + _tool_parsed_cte(with_legacy=True) + r""", keys AS (
   SELECT tool_name, day, unnest(json_keys(args_json)) AS arg_key FROM parsed
 ), eras AS (
   SELECT tool_name, arg_key, (day < 14) AS is_old, count(*) AS n

@@ -8324,26 +8324,41 @@ def q_tool_arg_schema_drift(spark, sf_dir):
     Only (name, key, day) triples ever shuffle."""
     from ocr_spark import transcript_prep
 
+    return transcript_prep.tool_arg_schema_drift(
+        _tool_payload_calls(spark, sf_dir)
+    )
+
+
+def _tool_payload_calls(spark, sf_dir, with_legacy: bool = False):
+    """Shared adapter for the tool-schema family: content-keyed
+    synthetic payloads over tool turns — an always-on key, two
+    optional keys at different rates, a ``page`` key that exists only
+    from day 14 on, and (``with_legacy``) a ``legacy`` key that exists
+    only BEFORE day 14. Mirrored term-for-term by the oracle-side
+    ``_tool_parsed_cte`` in oracles.py — change them together."""
     t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
     h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
     day = (F.expr(h.format(17, 3)) % 28).cast("int")
-    calls = t.filter(F.col("role") == "tool").select(
-        F.concat(
-            F.lit('{"name":"tool_'),
-            (F.expr(h.format(9, 4)) % 4).cast("string"),
-            F.lit('","args":{"q":1'),
-            F.when(F.expr(h.format(13, 2)) % 2 == 0, F.lit(',"k":2')).otherwise(
-                F.lit("")
-            ),
-            F.when(
-                F.expr(h.format(15, 2)) % 3 == 0, F.lit(',"filters":"f"')
-            ).otherwise(F.lit("")),
-            F.when(day >= 14, F.lit(',"page":3')).otherwise(F.lit("")),
-            F.lit("}}"),
-        ).alias("tool"),
-        day.alias("day"),
+    parts = [
+        F.lit('{"name":"tool_'),
+        (F.expr(h.format(9, 4)) % 4).cast("string"),
+        F.lit('","args":{"q":1'),
+        F.when(F.expr(h.format(13, 2)) % 2 == 0, F.lit(',"k":2')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.expr(h.format(15, 2)) % 3 == 0, F.lit(',"filters":"f"')
+        ).otherwise(F.lit("")),
+        F.when(day >= 14, F.lit(',"page":3')).otherwise(F.lit("")),
+    ]
+    if with_legacy:
+        parts.append(
+            F.when(day < 14, F.lit(',"legacy":0')).otherwise(F.lit(""))
+        )
+    parts.append(F.lit("}}"))
+    return t.filter(F.col("role") == "tool").select(
+        F.concat(*parts).alias("tool"), day.alias("day")
     )
-    return transcript_prep.tool_arg_schema_drift(calls)
 
 
 def q_thread_linearize(spark, sf_dir):
@@ -8437,7 +8452,10 @@ def q_watermark_lateness(spark, sf_dir):
     sequential scan over bucket maxima) with identical semantics, same
     note as the conv-keyed cumulative windows."""
     ev = _t(spark, sf_dir, "events")
-    sec = F.expr("cast(floor(unix_timestamp(ts)) as bigint)")
+    # unix_timestamp already returns truncated bigint seconds (the
+    # oracle's floor(epoch(ts)) is needed there because epoch() keeps
+    # the fraction)
+    sec = F.unix_timestamp(F.col("ts"))
     delay = F.expr(
         "cast(conv(substr(md5(cast(event_id as string)), 1, 4), 16, 10) as bigint) % 3600"
     )
@@ -8482,24 +8500,6 @@ def q_tool_schema_diff(spark, sf_dir):
     key; the join never sees call volume."""
     from ocr_spark import transcript_prep
 
-    t = doc_transcripts(spark, sf_dir).withColumn("role", F.expr(_ROLE_EXPR))
-    h = "cast(conv(substr(md5(text), {}, {}), 16, 10) as bigint)"
-    day = (F.expr(h.format(17, 3)) % 28).cast("int")
-    calls = t.filter(F.col("role") == "tool").select(
-        F.concat(
-            F.lit('{"name":"tool_'),
-            (F.expr(h.format(9, 4)) % 4).cast("string"),
-            F.lit('","args":{"q":1'),
-            F.when(F.expr(h.format(13, 2)) % 2 == 0, F.lit(',"k":2')).otherwise(
-                F.lit("")
-            ),
-            F.when(
-                F.expr(h.format(15, 2)) % 3 == 0, F.lit(',"filters":"f"')
-            ).otherwise(F.lit("")),
-            F.when(day >= 14, F.lit(',"page":3')).otherwise(F.lit("")),
-            F.when(day < 14, F.lit(',"legacy":0')).otherwise(F.lit("")),
-            F.lit("}}"),
-        ).alias("tool"),
-        day.alias("day"),
+    return transcript_prep.tool_schema_diff(
+        _tool_payload_calls(spark, sf_dir, with_legacy=True)
     )
-    return transcript_prep.tool_schema_diff(calls)

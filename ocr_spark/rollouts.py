@@ -623,7 +623,22 @@ def resolve_messages_incremental(
         .alias("dist"),
         (F.col("parent_id").isNull() | F.col("p_root").isNotNull()).alias("done"),
     )
-    return _pointer_double(init, max_iters, "resolve_messages_incremental")
+    out = _pointer_double(init, max_iters, "resolve_messages_incremental")
+    # row-conservation guard: a batch parent in NEITHER the resolved
+    # table nor the batch (stale/partial resolved table — the exact
+    # failure mode of continuous ingestion) would silently vanish from
+    # the doubling join; duplicate ids would silently fan out. Both are
+    # one cheap count on the checkpointed output away from being loud.
+    n_in, n_out = b.count(), out.count()
+    if n_out != n_in:
+        raise RuntimeError(
+            f"resolve_messages_incremental emitted {n_out} rows for "
+            f"{n_in} batch messages: parents missing from both the "
+            "resolved table and the batch (stale resolution table?) or "
+            "duplicate msg_ids — run validate_forest over the batch "
+            "plus resolved keys first"
+        )
+    return out
 
 
 def branch_stats(messages: DataFrame, resolved: DataFrame) -> DataFrame:

@@ -300,3 +300,15 @@ def test_tool_schema_diff_literal_rederivation(spark):
     assert (rows["q"]["old_share"], rows["q"]["new_share"]) == (1.0, 1.0)
     assert rows["old"]["status"] == "removed" and rows["old"]["old_share"] == 0.5
     assert rows["new"]["status"] == "added" and rows["new"]["new_share"] == 0.5
+
+
+def test_incremental_resolution_raises_on_stale_resolved_table(spark):
+    # the resolved table lags an ingest: batch msg 43's parent 42 is in
+    # neither the table nor the batch — must fail loudly, never silently
+    # drop the chain
+    frozen = spark.createDataFrame(
+        [(0, 0, 0)], "msg_id long, root_id long, depth int"
+    )
+    batch = spark.createDataFrame([(43, 42)], "msg_id long, parent_id long")
+    with pytest.raises(RuntimeError, match="stale resolution table"):
+        rollouts.resolve_messages_incremental(batch, frozen, max_iters=3)

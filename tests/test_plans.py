@@ -1373,3 +1373,26 @@ def test_message_forest_resolution_is_hash_joined(spark):
     assert "Scan ExistingRDD" in resolved or "LocalTableScan" in resolved, resolved
     p = plan(Q.q_trace_branch_stats(spark, SF_DIR))
     assert n_ops(p, "CartesianProduct") + n_ops(p, "BroadcastNestedLoopJoin") == 0, p
+
+
+def test_watermark_lateness_single_type_keyed_exchange(spark):
+    """The running-max window and the percentile rollup both key on
+    event_type: one hashpartitioning Exchange serves the window and the
+    final aggregate partials on the same key — no rangepartitioning
+    (global sort) sneaks in for the arrival ordering."""
+    p = plan(Q.q_watermark_lateness(spark, SF_DIR))
+    assert "rangepartitioning" not in p, p
+    assert n_ops(p, "Window") == 1, p
+    assert n_ops(p, "CartesianProduct") + n_ops(p, "SortMergeJoin") == 0, p
+
+
+def test_tool_schema_diff_joins_cells_not_calls(spark):
+    """The era diff joins the tiny (tool, key) share cells, never call
+    volume: both era passes keep their broadcast totals join, the final
+    full-outer join is over aggregated cells, and no Python eval or
+    cartesian appears anywhere."""
+    p = plan(Q.q_tool_schema_diff(spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, p
+    assert n_ops(p, "CartesianProduct") == 0, p
+    assert n_ops(p, "BroadcastHashJoin") >= 2, p  # the two era totals
+    assert n_ops(p, "Generate") == 2, p  # one arg-key explode per era
